@@ -1,0 +1,153 @@
+"""Seeded +-1 random projection of FracMinHash sets into Z^d.
+
+Math (bit-exact with reference src/random_projection.cpp:9-26): for each hash
+``h`` in a set and each 64-lane block start ``i in {0, 64, ... < d}``,
+``x = splitmix64(h + i)``; lane ``n`` of the block contributes
+``1 - 2*((x >> n) & 1)`` to ``vec[i + n]``. The result is an int32 count
+vector; its accumulation is order-independent, so any batching/sharding of the
+hash set is exact.
+
+Two execution paths, tested equal:
+
+- :func:`project_host` — numpy uint64 + unpackbits. Used for bit-match tests
+  and as a CPU fallback.
+- :func:`project_device_batch` — the TPU path. Hash sets are padded into a
+  ``(B, H)`` bucket; splitmix64 runs on (hi, lo) uint32 pairs; the +-1 sum
+  over hashes for lane ``n`` equals ``count_valid - 2 * sum(bit_n)``, computed
+  as a masked popcount reduction per 64-lane block under ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .splitmix import splitmix64_np, splitmix64_u32, add64_u32, split_u64
+
+_U64 = np.uint64
+
+
+# ---------------------------------------------------------------------------
+# Host path
+# ---------------------------------------------------------------------------
+
+def project_host(hashes, d: int, hash_chunk: int = 65536) -> np.ndarray:
+    """Project one hash set (iterable of uint64) into an int32 vector of dim d.
+
+    Bit-exact with reference transform_set_into_vector
+    (src/random_projection.cpp:9-26). Chunked over hashes to bound memory.
+    """
+    hashes = np.fromiter((int(h) for h in hashes), dtype=np.uint64) \
+        if not isinstance(hashes, np.ndarray) else hashes.astype(np.uint64)
+    num_blocks = (d + 63) // 64
+    offsets = (np.arange(num_blocks, dtype=np.uint64) * _U64(64))
+    bitsum = np.zeros((num_blocks, 64), dtype=np.int64)
+    n = hashes.shape[0]
+    for s in range(0, n, hash_chunk):
+        hs = hashes[s:s + hash_chunk]
+        x = splitmix64_np(hs[:, None] + offsets[None, :])      # (h, B)
+        bytes_ = x.view(np.uint8).reshape(hs.shape[0], num_blocks, 8)
+        bits = np.unpackbits(bytes_, axis=-1, bitorder="little")  # (h, B, 64)
+        bitsum += bits.sum(axis=0, dtype=np.int64)
+    vec = (np.int64(n) - 2 * bitsum).reshape(-1)[:d]
+    return vec.astype(np.int32)
+
+
+def project_host_many(hash_sets, d: int) -> np.ndarray:
+    """Project a list of hash sets -> (N, d) int32 matrix (host path)."""
+    out = np.zeros((len(hash_sets), d), dtype=np.int32)
+    for i, hs in enumerate(hash_sets):
+        out[i] = project_host(np.asarray(sorted(hs), dtype=np.uint64), d)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Device path
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("d",))
+def project_device_batch(hash_hi, hash_lo, valid_count, d: int):
+    """Project a padded batch of hash sets on the TPU.
+
+    Args:
+      hash_hi, hash_lo: (B, H) uint32 — hash values split into 32-bit halves.
+        Padding entries must be ZERO and are excluded via ``valid_count``:
+        rather than a (B, H) mask we exploit that every padded row position
+        beyond ``valid_count[b]`` is masked with an explicit mask built from
+        iota (cheap, avoids shipping a mask array).
+      valid_count: (B,) int32 — number of real hashes per set.
+      d: static output dimension.
+
+    Returns:
+      (B, d) int32 sketch vectors, bit-exact with :func:`project_host`.
+    """
+    B, H = hash_hi.shape
+    num_blocks = (d + 63) // 64
+    mask = (jax.lax.broadcasted_iota(jnp.int32, (B, H), 1)
+            < valid_count[:, None])                       # (B, H) bool
+    lane_shift = jnp.arange(32, dtype=jnp.uint32)
+
+    def block(carry, b):
+        xhi, xlo = add64_u32(hash_hi, hash_lo, 0)  # copy
+        # x = hash + 64*b  (the += GOLDEN lives inside splitmix64_u32)
+        blo = (b.astype(jnp.uint32) * jnp.uint32(64))
+        lo = xlo + blo
+        hi = xhi + (lo < xlo).astype(jnp.uint32)
+        rhi, rlo = splitmix64_u32(hi, lo)
+        # lanes 0..31 from lo word, 32..63 from hi word
+        bits_lo = (rlo[:, :, None] >> lane_shift) & jnp.uint32(1)   # (B,H,32)
+        bits_hi = (rhi[:, :, None] >> lane_shift) & jnp.uint32(1)
+        m = mask[:, :, None]
+        s_lo = jnp.sum(jnp.where(m, bits_lo, 0).astype(jnp.int32), axis=1)
+        s_hi = jnp.sum(jnp.where(m, bits_hi, 0).astype(jnp.int32), axis=1)
+        bitsum = jnp.concatenate([s_lo, s_hi], axis=-1)             # (B, 64)
+        vec_block = valid_count[:, None] - 2 * bitsum
+        return carry, vec_block
+
+    _, blocks = jax.lax.scan(block, None, jnp.arange(num_blocks, dtype=jnp.int32))
+    # blocks: (num_blocks, B, 64) -> (B, num_blocks*64) -> trim to d
+    vecs = jnp.transpose(blocks, (1, 0, 2)).reshape(B, num_blocks * 64)
+    return vecs[:, :d].astype(jnp.int32)
+
+
+def _bucket_size(n: int, min_bucket: int = 256) -> int:
+    """Round a hash-set size up to a power of two for bounded recompilation."""
+    b = min_bucket
+    while b < n:
+        b *= 2
+    return b
+
+
+def project_device_many(hash_sets, d: int, batch_hint_elems: int = 1 << 24,
+                        min_bucket: int = 256) -> np.ndarray:
+    """Project many ragged hash sets on the TPU with power-of-two bucketing.
+
+    Sets are grouped by padded bucket size (so jit compiles once per bucket
+    size) and batched so each launch stays near ``batch_hint_elems`` padded
+    hash slots.
+    """
+    N = len(hash_sets)
+    out = np.zeros((N, d), dtype=np.int32)
+    order = sorted(range(N), key=lambda i: len(hash_sets[i]))
+    by_bucket: dict[int, list[int]] = {}
+    for i in order:
+        by_bucket.setdefault(_bucket_size(max(1, len(hash_sets[i])), min_bucket), []).append(i)
+    for bucket, idxs in by_bucket.items():
+        batch = max(1, batch_hint_elems // bucket)
+        for s in range(0, len(idxs), batch):
+            group = idxs[s:s + batch]
+            B = len(group)
+            arr = np.zeros((B, bucket), dtype=np.uint64)
+            counts = np.zeros((B,), dtype=np.int32)
+            for r, i in enumerate(group):
+                hs = np.fromiter((int(h) for h in hash_sets[i]), dtype=np.uint64)
+                arr[r, :hs.shape[0]] = hs
+                counts[r] = hs.shape[0]
+            hi, lo = split_u64(arr)
+            vecs = project_device_batch(jnp.asarray(hi), jnp.asarray(lo),
+                                        jnp.asarray(counts), d)
+            out[np.asarray(group)] = np.asarray(vecs)
+    return out

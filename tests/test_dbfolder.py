@@ -1,0 +1,86 @@
+"""Conformance gates for the ingest slice (SURVEY.md §7.3 step 2): hashes,
+vectors.bin, and vector_norms.txt must match the reference outputs on toy.
+
+The reference orders accessions by directory-iteration order while we sort
+lexicographically, so comparisons are keyed per accession, and the byte
+content per row is required to be identical.
+"""
+
+import numpy as np
+import pytest
+
+from metagenome_vector_sketches_tpu.io.hashes import parse_hashes_file
+from metagenome_vector_sketches_tpu.io import sigzip
+from metagenome_vector_sketches_tpu.io.dbfolder import DbFolder, compute_norms, cap_int16
+from metagenome_vector_sketches_tpu.ops.projection import project_host
+
+
+@pytest.fixture(scope="module")
+def ref_hashes(ref_toy_dir):
+    return dict(parse_hashes_file(str(ref_toy_dir / "all_hashes_toy.txt")))
+
+
+def test_sigzip_matches_reference_hashes(toy_sig_dir, ref_hashes):
+    files = list(sigzip.iter_signature_files(str(toy_sig_dir)))
+    assert len(files) == 61
+    for path in files[:8]:
+        name = sigzip.accession_name(path)
+        ours = sigzip.read_sig_zip(path)
+        assert name in ref_hashes
+        theirs = set(int(h) for h in ref_hashes[name])
+        assert ours == theirs, f"hash set mismatch for {name}"
+
+
+@pytest.mark.parametrize("db,dtype,d", [
+    ("toy_db_2048", "int32", 2048),
+    ("toy_db_2048_i16", "int16", 2048),
+    ("toy_db_256", "int32", 256),
+])
+def test_vectors_and_norms_bit_match(ref_toy_dir, ref_hashes, db, dtype, d):
+    ref_db = DbFolder(str(ref_toy_dir / db))
+    assert ref_db.dimension == d
+    assert ref_db.dtype == dtype
+    ref_names, _ = ref_db.names_and_norms()
+    ref_vecs = ref_db.load_vectors()
+
+    with open(str(ref_toy_dir / db / "vector_norms.txt")) as f:
+        ref_norm_strs = {ln.split()[0]: ln.split()[1] for ln in f if ln.strip()}
+
+    # project a subset (full 61 x 2048 host projection is slow in pure numpy
+    # only for the big dims; 61 sets is fine)
+    idx = {n: i for i, n in enumerate(ref_names)}
+    take = ref_names[::7]  # 9 accessions spread over the db
+    for name in take:
+        ours32 = project_host(np.asarray(ref_hashes[name], dtype=np.uint64), d)
+        want = ref_vecs[idx[name]]
+        if dtype == "int16":
+            np.testing.assert_array_equal(cap_int16(ours32[None])[0], want)
+        else:
+            np.testing.assert_array_equal(ours32, want)
+        norm = compute_norms(ours32[None].astype(np.int32), d)[0]
+        assert f"{float(norm):.6g}" == ref_norm_strs[name], name
+
+
+def test_full_db_write_round_trip(tmp_path, ref_toy_dir, ref_hashes):
+    """End-to-end: project all 61 accessions at d=256 on the jax device path
+    and require byte-identical per-accession rows + identical norm strings."""
+    from metagenome_vector_sketches_tpu.ops.projection import project_device_many
+
+    ref_db = DbFolder(str(ref_toy_dir / "toy_db_256"))
+    ref_names, _ = ref_db.names_and_norms()
+    ref_vecs = ref_db.load_vectors()
+    names = sorted(ref_hashes.keys())
+    vecs = project_device_many([ref_hashes[n] for n in names], 256)
+    out = DbFolder.write(str(tmp_path / "db"), names, vecs, 256)
+
+    got_names, _ = out.names_and_norms()
+    got_vecs = out.load_vectors()
+    ref_index = {n: i for i, n in enumerate(ref_names)}
+    for i, n in enumerate(got_names):
+        np.testing.assert_array_equal(got_vecs[i], ref_vecs[ref_index[n]])
+
+    with open(str(ref_toy_dir / "toy_db_256/vector_norms.txt")) as f:
+        ref_norm_strs = {ln.split()[0]: ln.split()[1] for ln in f if ln.strip()}
+    with open(str(tmp_path / "db/vector_norms.txt")) as f:
+        got_norm_strs = {ln.split()[0]: ln.split()[1] for ln in f if ln.strip()}
+    assert got_norm_strs == ref_norm_strs
