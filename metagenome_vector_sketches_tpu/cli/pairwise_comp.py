@@ -1,0 +1,59 @@
+"""pairwise_comp: compute one shard of the all-vs-all thresholded pairwise
+matrix (reference CLI: src/pairwise_comp_optimized.cpp:834-844; the int16
+dispatch on dtype.txt at :852-879 is automatic here too).
+
+Flags match the reference (all of --db/--max_memory_gb/--num_threads/
+--output_folder/--num_shards/--shard_idx are accepted; memory/threads are
+advisory on TPU — tiling is chosen from --max_memory_gb when given).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pairwise_comp")
+    p.add_argument("--db", required=True, help="db folder")
+    p.add_argument("--max_memory_gb", type=float, required=True)
+    p.add_argument("--num_threads", type=int, required=True)
+    p.add_argument("--output_folder", required=True)
+    p.add_argument("--num_shards", type=int, required=True)
+    p.add_argument("--shard_idx", type=int, required=True)
+    p.add_argument("--start_shard", type=int, default=None,
+                   help="(vestigial in the reference; accepted, unused)")
+    p.add_argument("--end_shard", type=int, default=None,
+                   help="(vestigial in the reference; accepted, unused)")
+    p.add_argument("--tile", type=int, default=None,
+                   help="Device tile edge override (extension)")
+    return p
+
+
+def tile_from_memory(max_memory_gb: float, dimension: int) -> int:
+    """Pick a device tile edge from the memory budget: two limb blocks of
+    tile x d int8 x L(<=3) plus the int32 partial tiles must fit. (The
+    reference's own formula divides by bytes_per_vector^2 — a known bug we
+    deliberately do not copy; SURVEY.md 'known reference bugs'.)"""
+    budget = max_memory_gb * (1 << 30)
+    # dominant terms: ~9 int32 partial tiles of tile^2 + 6 int8 limb blocks
+    import math
+    tile = int(math.sqrt(max(1.0, budget / 48.0)))
+    tile = max(256, min(8192, 1 << (tile.bit_length() - 1)))
+    return tile
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from ..io.dbfolder import DbFolder
+    from ..matrix.compute import compute_pairwise_shard
+    db = DbFolder(args.db if args.db.endswith("/") else args.db)
+    tile = args.tile or tile_from_memory(args.max_memory_gb, db.dimension)
+    compute_pairwise_shard(args.db, args.output_folder,
+                           num_shards=args.num_shards, shard_idx=args.shard_idx,
+                           tile_rows=tile, tile_cols=tile)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,129 @@
+"""ctypes binding to the C++ codec library (native/codecs.cpp).
+
+The shared library is built on demand with the repo Makefile (a one-time
+~1 s g++ invocation, cached in native/build/). If no compiler is available
+the package silently falls back to the numpy spec implementation.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libmvs_codecs.so")
+
+_lib = None
+_lock = threading.Lock()
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-s", "-C", _NATIVE_DIR],
+                       check=True, capture_output=True, timeout=120)
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH) and not _build():
+            raise OSError("libmvs_codecs.so unavailable")
+        lib = ctypes.CDLL(_LIB_PATH)
+        u64 = ctypes.c_uint64
+        pu8 = ctypes.POINTER(ctypes.c_uint8)
+        pu64 = ctypes.POINTER(u64)
+        lib.mvs_free.argtypes = [ctypes.c_void_p]
+        for name in ("mvs_cv_encode", "mvs_rice_encode"):
+            fn = getattr(lib, name)
+            fn.argtypes = [pu64, u64, ctypes.POINTER(pu8), ctypes.POINTER(u64)]
+            fn.restype = ctypes.c_int
+        lib.mvs_ef_encode.argtypes = [pu64, u64, u64,
+                                      ctypes.POINTER(pu8), ctypes.POINTER(u64)]
+        lib.mvs_ef_encode.restype = ctypes.c_int
+        for name in ("mvs_cv_decode", "mvs_rice_decode", "mvs_ef_decode"):
+            fn = getattr(lib, name)
+            fn.argtypes = [pu8, u64, u64, ctypes.POINTER(pu64),
+                           ctypes.POINTER(u64), ctypes.POINTER(u64)]
+            fn.restype = ctypes.c_int
+        _lib = lib
+        return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except OSError:
+        return False
+
+
+def _as_u64_ptr(values: np.ndarray):
+    values = np.ascontiguousarray(values, dtype=np.uint64)
+    return values, values.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def _encode(fn, values: np.ndarray, *extra) -> bytes:
+    lib = _load()
+    values, ptr = _as_u64_ptr(values)
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_uint64()
+    rc = fn(ptr, len(values), *extra, ctypes.byref(out), ctypes.byref(out_len))
+    if rc != 0:
+        raise ValueError("codec encode failed")
+    try:
+        return ctypes.string_at(out, out_len.value)
+    finally:
+        lib.mvs_free(out)
+
+
+def _decode(fn, buf, offset: int):
+    lib = _load()
+    buf = bytes(buf) if not isinstance(buf, (bytes, bytearray, memoryview)) else buf
+    raw = (ctypes.c_uint8 * len(buf)).from_buffer_copy(buf)
+    vals = ctypes.POINTER(ctypes.c_uint64)()
+    n = ctypes.c_uint64()
+    consumed = ctypes.c_uint64()
+    rc = fn(raw, len(buf), offset, ctypes.byref(vals), ctypes.byref(n),
+            ctypes.byref(consumed))
+    if rc != 0:
+        raise ValueError("codec decode failed (truncated buffer?)")
+    try:
+        out = np.ctypeslib.as_array(vals, shape=(n.value,)).copy() if n.value \
+            else np.empty(0, dtype=np.uint64)
+    finally:
+        lib.mvs_free(vals)
+    return out.astype(np.uint64), consumed.value
+
+
+def cv_encode(values) -> bytes:
+    return _encode(_load().mvs_cv_encode, values)
+
+
+def cv_decode(buf, offset: int = 0):
+    return _decode(_load().mvs_cv_decode, buf, offset)
+
+
+def rice_encode(values) -> bytes:
+    return _encode(_load().mvs_rice_encode, values)
+
+
+def rice_decode(buf, offset: int = 0):
+    return _decode(_load().mvs_rice_decode, buf, offset)
+
+
+def ef_encode(values, universe: int) -> bytes:
+    return _encode(_load().mvs_ef_encode, values, int(universe))
+
+
+def ef_decode(buf, offset: int = 0):
+    return _decode(_load().mvs_ef_decode, buf, offset)

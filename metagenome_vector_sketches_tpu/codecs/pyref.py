@@ -1,0 +1,235 @@
+"""Pure-numpy reference implementation of the codec formats (the executable
+spec; see FORMATS.md). The C++ library in native/codecs.cpp must produce
+byte-identical output.
+
+All serializations are little-endian with u64 headers and a u64 word stream;
+bit 0 of word 0 is the first bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+
+
+def _bit_length(x: int) -> int:
+    return int(x).bit_length()
+
+
+def _words_to_bytes(header: list[int], words: np.ndarray) -> bytes:
+    head = np.array(header, dtype="<u8").tobytes()
+    return head + words.astype("<u8").tobytes()
+
+
+def _read_u64s(buf, offset: int, count: int) -> np.ndarray:
+    return np.frombuffer(buf, dtype="<u8", count=count, offset=offset)
+
+
+# ---------------------------------------------------------------------------
+# fixed-width bit packing
+# ---------------------------------------------------------------------------
+
+def pack_fixed(values: np.ndarray, width: int) -> np.ndarray:
+    """Pack n values of `width` bits each into a u64 word array."""
+    n = len(values)
+    total_bits = n * width
+    num_words = (total_bits + 63) // 64
+    words = np.zeros(num_words + 1, dtype=np.uint64)  # +1 scratch for spill
+    if n:
+        v = values.astype(np.uint64)
+        starts = np.arange(n, dtype=np.uint64) * _U64(width)
+        widx = (starts >> _U64(6)).astype(np.int64)
+        shift = (starts & _U64(63))
+        np.bitwise_or.at(words, widx, v << shift)
+        # spill into the next word where shift + width > 64
+        spill = shift.astype(np.int64) + width > 64
+        if spill.any():
+            rs = (_U64(64) - shift[spill])
+            np.bitwise_or.at(words, widx[spill] + 1, v[spill] >> rs)
+    return words[:num_words]
+
+
+def unpack_fixed(words: np.ndarray, n: int, width: int) -> np.ndarray:
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    w = np.concatenate([words.astype(np.uint64), np.zeros(1, dtype=np.uint64)])
+    starts = np.arange(n, dtype=np.uint64) * _U64(width)
+    widx = (starts >> _U64(6)).astype(np.int64)
+    shift = (starts & _U64(63))
+    lo = w[widx] >> shift
+    # bits from the following word where the field straddles
+    rs = (_U64(64) - shift) & _U64(63)          # shift==0 -> rs=0 (no straddle)
+    hi = np.where(shift == 0, _U64(0), w[widx + 1] << rs)
+    mask = _U64(0xFFFFFFFFFFFFFFFF) if width == 64 else ((_U64(1) << _U64(width)) - _U64(1))
+    return ((lo | hi) & mask).astype(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# compact_vector: [size u64][width u64][num_words u64][words...]
+# ---------------------------------------------------------------------------
+
+def cv_encode(values: np.ndarray) -> bytes:
+    values = np.asarray(values, dtype=np.uint64)
+    n = len(values)
+    mx = int(values.max()) if n else 0
+    width = max(1, _bit_length(mx))
+    words = pack_fixed(values, width)
+    return _words_to_bytes([n, width, len(words)], words)
+
+
+def cv_decode(buf, offset: int = 0):
+    n, width, num_words = (int(x) for x in _read_u64s(buf, offset, 3))
+    words = _read_u64s(buf, offset + 24, num_words)
+    consumed = 24 + 8 * num_words
+    return unpack_fixed(words, n, width), consumed
+
+
+# ---------------------------------------------------------------------------
+# rice_sequence: [size u64][param u64][num_words u64][words...]
+# value v -> (v>>l) one-bits, a zero bit, then l low bits (LSB first).
+# l minimizes total bits; ties -> smaller l.
+# ---------------------------------------------------------------------------
+
+def _rice_pick_param(values: np.ndarray) -> int:
+    n = len(values)
+    if n == 0:
+        return 0
+    best_l, best_bits = 0, None
+    for l in range(0, 64):
+        total = int(np.sum(values >> _U64(l), dtype=np.uint64)) + n * (1 + l)
+        if best_bits is None or total < best_bits:
+            best_l, best_bits = l, total
+    return best_l
+
+
+def _or_bits(words: np.ndarray, start: int, value: int, nbits: int) -> None:
+    """Scalar helper: OR the low nbits of value into the bitstream at start."""
+    while nbits > 0:
+        widx, shift = start >> 6, start & 63
+        take = min(nbits, 64 - shift)
+        words[widx] |= _U64((value & ((1 << take) - 1)) << shift)
+        value >>= take
+        start += take
+        nbits -= take
+
+
+def rice_encode(values: np.ndarray) -> bytes:
+    values = np.asarray(values, dtype=np.uint64)
+    n = len(values)
+    l = _rice_pick_param(values)
+    if n:
+        q = (values >> _U64(l)).astype(np.uint64)
+        lens = q + _U64(1 + l)
+        starts = np.zeros(n, dtype=np.uint64)
+        starts[1:] = np.cumsum(lens)[:-1]
+        total_bits = int(starts[-1] + lens[-1])
+        num_words = (total_bits + 63) // 64
+        words = np.zeros(num_words + 1, dtype=np.uint64)
+        rem = values & ((_U64(1) << _U64(l)) - _U64(1)) if l else np.zeros(n, dtype=np.uint64)
+        easy = lens <= _U64(64)
+        if easy.any():
+            # chunk = q ones | 0 | remainder, emitted as one <=64-bit piece
+            qe, se, le = q[easy], starts[easy], lens[easy]
+            ones = (_U64(1) << qe) - _U64(1)
+            chunk = ones | (rem[easy] << (qe + _U64(1)))
+            widx = (se >> _U64(6)).astype(np.int64)
+            shift = se & _U64(63)
+            np.bitwise_or.at(words, widx, chunk << shift)
+            spill = shift.astype(np.int64) + le.astype(np.int64) > 64
+            if spill.any():
+                rs = _U64(64) - shift[spill]
+                np.bitwise_or.at(words, widx[spill] + 1, chunk[spill] >> rs)
+        hard = np.flatnonzero(~easy)
+        for i in hard:  # rare: unary run longer than 63 bits
+            start, qq = int(starts[i]), int(q[i])
+            while qq > 0:
+                take = min(qq, 63)
+                _or_bits(words, start, (1 << take) - 1, take)
+                start += take
+                qq -= take
+            start += 1  # the 0 terminator (words already zero)
+            if l:
+                _or_bits(words, start, int(rem[i]), l)
+        words = words[:num_words]
+    else:
+        words = np.empty(0, dtype=np.uint64)
+    return _words_to_bytes([n, l, len(words)], words)
+
+
+def rice_decode(buf, offset: int = 0):
+    n, l, num_words = (int(x) for x in _read_u64s(buf, offset, 3))
+    words = _read_u64s(buf, offset + 24, num_words)
+    consumed = 24 + 8 * num_words
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), consumed
+    bits = np.unpackbits(words.view(np.uint8), bitorder="little")
+    out = np.empty(n, dtype=np.uint64)
+    pos = 0
+    for i in range(n):
+        q = 0
+        while bits[pos]:
+            q += 1
+            pos += 1
+        pos += 1  # the 0 terminator
+        rem = 0
+        for b in range(l):
+            rem |= int(bits[pos + b]) << b
+        pos += l
+        out[i] = (q << l) | rem
+    return out, consumed
+
+
+# ---------------------------------------------------------------------------
+# elias_fano: [n u64][universe u64][low_width u64][num_low_words u64]
+#             [low words...][num_high_words u64][high words...]
+# universe must be > max(values); values must be non-decreasing.
+# high bit i-th value: bit ((v>>l) + i) set in the high bit vector.
+# ---------------------------------------------------------------------------
+
+def _ef_low_bits(n: int, universe: int) -> int:
+    if n == 0:
+        return 0
+    q = universe // n
+    return max(0, _bit_length(q) - 1)
+
+
+def ef_encode(values: np.ndarray, universe: int) -> bytes:
+    values = np.asarray(values, dtype=np.uint64)
+    n = len(values)
+    universe = max(int(universe), 1)
+    l = _ef_low_bits(n, universe)
+    if l:
+        low_words = pack_fixed(values & ((_U64(1) << _U64(l)) - _U64(1)), l)
+    else:
+        low_words = np.empty(0, dtype=np.uint64)
+    high_bits = n + (universe >> l) + 1
+    num_high_words = (high_bits + 63) // 64
+    high = np.zeros(num_high_words, dtype=np.uint64)
+    if n:
+        pos = (values >> _U64(l)) + np.arange(n, dtype=np.uint64)
+        np.bitwise_or.at(high, (pos >> _U64(6)).astype(np.int64),
+                         _U64(1) << (pos & _U64(63)))
+    head = np.array([n, universe, l, len(low_words)], dtype="<u8").tobytes()
+    mid = low_words.astype("<u8").tobytes()
+    tail = np.array([num_high_words], dtype="<u8").tobytes() + high.astype("<u8").tobytes()
+    return head + mid + tail
+
+
+def ef_decode(buf, offset: int = 0):
+    n, universe, l, num_low = (int(x) for x in _read_u64s(buf, offset, 4))
+    pos = offset + 32
+    low_words = _read_u64s(buf, pos, num_low)
+    pos += 8 * num_low
+    num_high = int(_read_u64s(buf, pos, 1)[0])
+    pos += 8
+    high = _read_u64s(buf, pos, num_high)
+    pos += 8 * num_high
+    consumed = pos - offset
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), consumed
+    bits = np.unpackbits(high.view(np.uint8), bitorder="little")
+    set_pos = np.flatnonzero(bits)[:n].astype(np.uint64)
+    highs = set_pos - np.arange(n, dtype=np.uint64)
+    lows = unpack_fixed(low_words, n, l) if l else np.zeros(n, dtype=np.uint64)
+    return ((highs << _U64(l)) | lows).astype(np.uint64), consumed

@@ -1,0 +1,146 @@
+"""Shard reader for the active matrix format.
+
+Mirrors the reference reader stack (read_pc_mat_cmp.cpp): shard discovery by
+`shard_K` directory regex (:96-113), static row->shard mapping (:117-120),
+row-index decode with delta-coded addresses (:145-175), and per-row decode of
+quantized Jaccards + delta-coded neighbor columns (:597-671).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+from .. import codecs
+
+_SHARD_RE = re.compile(r"shard_(\d+)$")
+
+
+def discover_shards(matrix_folder: str) -> int:
+    """Number of shards = max shard index + 1 (read_pc_mat_cmp.cpp:96-113)."""
+    max_shard = -1
+    for entry in os.listdir(matrix_folder):
+        if os.path.isdir(os.path.join(matrix_folder, entry)):
+            m = _SHARD_RE.fullmatch(entry)
+            if m:
+                max_shard = max(max_shard, int(m.group(1)))
+    return max_shard + 1
+
+
+def get_shard_for_row(row: int, total_vectors: int, num_shards: int) -> int:
+    rows_per_shard = (total_vectors + num_shards - 1) // num_shards
+    return row // rows_per_shard
+
+
+@dataclass
+class ShardIndex:
+    """Decoded row_index.bin + neighbor_start.bin of one shard."""
+    rows: np.ndarray          # row ids in written order
+    addresses: np.ndarray     # absolute byte offsets into matrix.bin
+    start_neighbor: np.ndarray  # first neighbor column per row (written order)
+    row_to_pos: dict          # row id -> position in written order
+
+
+def load_shard_index(shard_folder: str) -> ShardIndex | None:
+    index_path = os.path.join(shard_folder, "row_index.bin")
+    ngh_path = os.path.join(shard_folder, "neighbor_start.bin")
+    if not (os.path.exists(index_path) and os.path.exists(ngh_path)):
+        return None
+    with open(index_path, "rb") as f:
+        blob = f.read()
+    rows, consumed = codecs.cv_decode(blob, 0)
+    deltas, _ = codecs.cv_decode(blob, consumed)
+    addresses = np.zeros(len(rows), dtype=np.uint64)
+    if len(rows) > 1:
+        addresses[1:] = np.cumsum(deltas.astype(np.uint64))
+    with open(ngh_path, "rb") as f:
+        start_neighbor, _ = codecs.rice_decode(f.read(), 0)
+    return ShardIndex(rows=rows.astype(np.int64), addresses=addresses,
+                      start_neighbor=start_neighbor.astype(np.int64),
+                      row_to_pos={int(r): i for i, r in enumerate(rows)})
+
+
+class ShardReader:
+    """Random-access row decode over one shard's matrix.bin."""
+
+    def __init__(self, shard_folder: str):
+        self.folder = shard_folder
+        self.index = load_shard_index(shard_folder)
+        self._blob = None
+
+    @property
+    def blob(self) -> bytes:
+        if self._blob is None:
+            with open(os.path.join(self.folder, "matrix.bin"), "rb") as f:
+                self._blob = f.read()
+        return self._blob
+
+    def decode_row(self, row: int):
+        """-> (neighbor_cols int64 array, quantized_jaccards uint64 array)
+        or None if the row has no entry in this shard."""
+        if self.index is None:
+            return None
+        pos = self.index.row_to_pos.get(int(row))
+        if pos is None:
+            return None
+        addr = int(self.index.addresses[pos])
+        q, consumed = codecs.cv_decode(self.blob, addr)
+        n = len(q)
+        cols = np.empty(n, dtype=np.int64)
+        cols[0] = self.index.start_neighbor[pos]
+        if n > 1:
+            deltas, _ = codecs.rice_decode(self.blob, addr + consumed)
+            cols[1:] = cols[0] + np.cumsum(deltas.astype(np.int64))
+        return cols, q
+
+
+class MatrixReader:
+    """Multi-shard reader with per-shard caching (the query stack's engine)."""
+
+    def __init__(self, matrix_folder: str):
+        self.matrix_folder = matrix_folder
+        self.num_shards = discover_shards(matrix_folder)
+        self._shards: dict[int, ShardReader] = {}
+
+    def shard(self, idx: int) -> ShardReader:
+        if idx not in self._shards:
+            self._shards[idx] = ShardReader(
+                os.path.join(self.matrix_folder, f"shard_{idx}"))
+        return self._shards[idx]
+
+    def load_neighbors_for_rows(self, rows, total_vectors: int):
+        """Batched per-shard row decode
+        (load_neighbors_for_rows_jaccard_wo_sort, read_pc_mat_cmp.cpp:597-671).
+        Returns a list aligned with `rows`: (cols, q) or None."""
+        results = [None] * len(rows)
+        by_shard: dict[int, list[int]] = {}
+        for i, row in enumerate(rows):
+            by_shard.setdefault(
+                get_shard_for_row(int(row), total_vectors, self.num_shards), []).append(i)
+        for shard_idx, query_idxs in by_shard.items():
+            reader = self.shard(shard_idx)
+            for qi in query_idxs:
+                results[qi] = reader.decode_row(int(rows[qi]))
+        return results
+
+    def decode_all_triples(self, total_vectors: int):
+        """Decode every (row, col, q) triple across all shards — the
+        conformance/parity view of the whole matrix."""
+        rows_out, cols_out, q_out = [], [], []
+        for s in range(self.num_shards):
+            reader = self.shard(s)
+            if reader.index is None:
+                continue
+            for row in reader.index.rows:
+                cols, q = reader.decode_row(int(row))
+                rows_out.append(np.full(len(cols), row, dtype=np.int64))
+                cols_out.append(cols)
+                q_out.append(q.astype(np.int64))
+        if not rows_out:
+            empty = np.empty(0, dtype=np.int64)
+            return empty, empty.copy(), empty.copy()
+        return (np.concatenate(rows_out), np.concatenate(cols_out),
+                np.concatenate(q_out))

@@ -1,0 +1,277 @@
+// Native succinct integer codecs for metagenome_vector_sketches_tpu.
+//
+// Byte-identical with the executable spec in
+// metagenome_vector_sketches_tpu/codecs/pyref.py (see FORMATS.md). These are
+// the framework's replacement for the reference's `bits` submodule
+// (compact_vector / rice_sequence / elias_fano; reference usage at
+// pairwise_comp_optimized.cpp:309-330 and read_pc_mat_cmp.cpp:133-175).
+//
+// C ABI for ctypes. All buffers returned through out-params are malloc'd and
+// must be released with mvs_free(). All formats are little-endian u64 headers
+// followed by u64 word streams; bit 0 of word 0 is the first bit.
+//
+// Build: see native/Makefile (g++ -O3 -shared -fPIC).
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+class BitWriter {
+public:
+    // append the low `nbits` of `value` (nbits <= 64)
+    void append(uint64_t value, unsigned nbits) {
+        if (nbits == 0) return;
+        if (nbits < 64) value &= (uint64_t(1) << nbits) - 1;
+        unsigned shift = bitpos_ & 63;
+        size_t widx = bitpos_ >> 6;
+        if (widx >= words_.size()) words_.resize(widx + 2, 0);
+        words_[widx] |= value << shift;
+        if (shift + nbits > 64) {
+            if (widx + 1 >= words_.size()) words_.resize(widx + 2, 0);
+            words_[widx + 1] |= value >> (64 - shift);
+        }
+        bitpos_ += nbits;
+    }
+    void append_ones(uint64_t count) {
+        while (count >= 64) { append(~uint64_t(0), 64); count -= 64; }
+        if (count) append((uint64_t(1) << count) - 1, (unsigned)count);
+    }
+    void set_bit(uint64_t pos) {  // random-access set (elias-fano high bits)
+        size_t widx = pos >> 6;
+        if (widx >= words_.size()) words_.resize(widx + 1, 0);
+        words_[widx] |= uint64_t(1) << (pos & 63);
+    }
+    uint64_t num_bits() const { return bitpos_; }
+    std::vector<uint64_t> take(uint64_t num_words) {
+        words_.resize(num_words, 0);
+        return std::move(words_);
+    }
+
+private:
+    std::vector<uint64_t> words_;
+    uint64_t bitpos_ = 0;
+};
+
+class BitReader {
+public:
+    BitReader(const uint64_t* words, uint64_t num_words)
+        : words_(words), num_words_(num_words) {}
+    uint64_t read(unsigned nbits) {
+        if (nbits == 0) return 0;
+        size_t widx = bitpos_ >> 6;
+        unsigned shift = bitpos_ & 63;
+        uint64_t lo = word(widx) >> shift;
+        uint64_t v = lo;
+        if (shift + nbits > 64) v |= word(widx + 1) << (64 - shift);
+        bitpos_ += nbits;
+        if (nbits < 64) v &= (uint64_t(1) << nbits) - 1;
+        return v;
+    }
+    uint64_t read_unary() {  // count ones until a zero, consume the zero
+        uint64_t q = 0;
+        for (;;) {
+            size_t widx = bitpos_ >> 6;
+            unsigned shift = bitpos_ & 63;
+            uint64_t w = ~(word(widx) >> shift);  // zeros become ones
+            if (w != 0) {
+                unsigned tz = (unsigned)__builtin_ctzll(w);
+                if (tz < 64u - shift) {
+                    q += tz;
+                    bitpos_ += tz + 1;
+                    return q;
+                }
+            }
+            q += 64 - shift;
+            bitpos_ += 64 - shift;
+        }
+    }
+
+private:
+    uint64_t word(size_t i) const { return i < num_words_ ? words_[i] : 0; }
+    const uint64_t* words_;
+    uint64_t num_words_;
+    uint64_t bitpos_ = 0;
+};
+
+unsigned bit_length(uint64_t x) { return x ? 64 - (unsigned)__builtin_clzll(x) : 0; }
+
+uint8_t* emit(const std::vector<uint64_t>& header,
+              const std::vector<const std::vector<uint64_t>*>& parts,
+              uint64_t* out_len) {
+    uint64_t len = header.size() * 8;
+    for (auto* p : parts) len += p->size() * 8;
+    uint8_t* buf = (uint8_t*)std::malloc(len);
+    uint64_t off = 0;
+    std::memcpy(buf + off, header.data(), header.size() * 8);
+    off += header.size() * 8;
+    for (auto* p : parts) {
+        std::memcpy(buf + off, p->data(), p->size() * 8);
+        off += p->size() * 8;
+    }
+    *out_len = len;
+    return buf;
+}
+
+uint64_t rd(const uint8_t* buf, uint64_t off) {
+    uint64_t v;
+    std::memcpy(&v, buf + off, 8);
+    return v;
+}
+
+}  // namespace
+
+extern "C" {
+
+void mvs_free(void* p) { std::free(p); }
+
+// ---------------------------------------------------------------- compact_vector
+int mvs_cv_encode(const uint64_t* vals, uint64_t n, uint8_t** out, uint64_t* out_len) {
+    uint64_t mx = 0;
+    for (uint64_t i = 0; i < n; ++i) mx = vals[i] > mx ? vals[i] : mx;
+    unsigned width = mx ? bit_length(mx) : 1;
+    BitWriter bw;
+    for (uint64_t i = 0; i < n; ++i) bw.append(vals[i], width);
+    uint64_t num_words = (n * width + 63) / 64;
+    auto words = bw.take(num_words);
+    *out = emit({n, (uint64_t)width, num_words}, {&words}, out_len);
+    return 0;
+}
+
+int mvs_cv_decode(const uint8_t* buf, uint64_t len, uint64_t offset,
+                  uint64_t** vals, uint64_t* n, uint64_t* consumed) {
+    if (offset + 24 > len) return -1;
+    uint64_t size = rd(buf, offset), width = rd(buf, offset + 8),
+             num_words = rd(buf, offset + 16);
+    if (offset + 24 + num_words * 8 > len) return -1;
+    std::vector<uint64_t> words(num_words);
+    std::memcpy(words.data(), buf + offset + 24, num_words * 8);
+    uint64_t* out = (uint64_t*)std::malloc(size ? size * 8 : 8);
+    BitReader br(words.data(), num_words);
+    for (uint64_t i = 0; i < size; ++i) out[i] = br.read((unsigned)width);
+    *vals = out;
+    *n = size;
+    *consumed = 24 + num_words * 8;
+    return 0;
+}
+
+// ---------------------------------------------------------------- rice_sequence
+static unsigned rice_pick_param(const uint64_t* vals, uint64_t n) {
+    if (n == 0) return 0;
+    unsigned best_l = 0;
+    uint64_t best_bits = ~uint64_t(0);
+    for (unsigned l = 0; l < 64; ++l) {
+        uint64_t total = n * (uint64_t)(1 + l);
+        for (uint64_t i = 0; i < n; ++i) total += vals[i] >> l;
+        if (total < best_bits) { best_bits = total; best_l = l; }
+    }
+    return best_l;
+}
+
+int mvs_rice_encode(const uint64_t* vals, uint64_t n, uint8_t** out, uint64_t* out_len) {
+    unsigned l = rice_pick_param(vals, n);
+    BitWriter bw;
+    for (uint64_t i = 0; i < n; ++i) {
+        uint64_t q = vals[i] >> l;
+        bw.append_ones(q);
+        bw.append(0, 1);
+        if (l) bw.append(vals[i], l);
+    }
+    uint64_t num_words = (bw.num_bits() + 63) / 64;
+    auto words = bw.take(num_words);
+    *out = emit({n, (uint64_t)l, num_words}, {&words}, out_len);
+    return 0;
+}
+
+int mvs_rice_decode(const uint8_t* buf, uint64_t len, uint64_t offset,
+                    uint64_t** vals, uint64_t* n, uint64_t* consumed) {
+    if (offset + 24 > len) return -1;
+    uint64_t size = rd(buf, offset), l = rd(buf, offset + 8),
+             num_words = rd(buf, offset + 16);
+    if (offset + 24 + num_words * 8 > len) return -1;
+    std::vector<uint64_t> words(num_words);
+    std::memcpy(words.data(), buf + offset + 24, num_words * 8);
+    uint64_t* out = (uint64_t*)std::malloc(size ? size * 8 : 8);
+    BitReader br(words.data(), num_words);
+    for (uint64_t i = 0; i < size; ++i) {
+        uint64_t q = br.read_unary();
+        uint64_t rem = l ? br.read((unsigned)l) : 0;
+        out[i] = (q << l) | rem;
+    }
+    *vals = out;
+    *n = size;
+    *consumed = 24 + num_words * 8;
+    return 0;
+}
+
+// ---------------------------------------------------------------- elias_fano
+int mvs_ef_encode(const uint64_t* vals, uint64_t n, uint64_t universe,
+                  uint8_t** out, uint64_t* out_len) {
+    if (universe < 1) universe = 1;
+    unsigned l = 0;
+    if (n) {
+        uint64_t q = universe / n;
+        l = q ? bit_length(q) - 1 : 0;
+    }
+    BitWriter low;
+    if (l)
+        for (uint64_t i = 0; i < n; ++i) low.append(vals[i], l);
+    uint64_t num_low = (n * (uint64_t)l + 63) / 64;
+    auto low_words = low.take(num_low);
+
+    uint64_t high_bits = n + (universe >> l) + 1;
+    uint64_t num_high = (high_bits + 63) / 64;
+    BitWriter high;
+    for (uint64_t i = 0; i < n; ++i) high.set_bit((vals[i] >> l) + i);
+    auto high_words = high.take(num_high);
+
+    std::vector<uint64_t> nh = {num_high};
+    // layout: [n][universe][l][num_low][low...][num_high][high...]
+    std::vector<uint64_t> header = {n, universe, (uint64_t)l, num_low};
+    *out = emit(header, {&low_words, &nh, &high_words}, out_len);
+    return 0;
+}
+
+int mvs_ef_decode(const uint8_t* buf, uint64_t len, uint64_t offset,
+                  uint64_t** vals, uint64_t* n, uint64_t* consumed) {
+    if (offset + 32 > len) return -1;
+    uint64_t size = rd(buf, offset), universe = rd(buf, offset + 8),
+             l = rd(buf, offset + 16), num_low = rd(buf, offset + 24);
+    (void)universe;
+    uint64_t pos = offset + 32;
+    if (pos + num_low * 8 + 8 > len) return -1;
+    std::vector<uint64_t> low_words(num_low);
+    std::memcpy(low_words.data(), buf + pos, num_low * 8);
+    pos += num_low * 8;
+    uint64_t num_high = rd(buf, pos);
+    pos += 8;
+    if (pos + num_high * 8 > len) return -1;
+    std::vector<uint64_t> high_words(num_high);
+    std::memcpy(high_words.data(), buf + pos, num_high * 8);
+    pos += num_high * 8;
+
+    uint64_t* out = (uint64_t*)std::malloc(size ? size * 8 : 8);
+    BitReader low(low_words.data(), num_low);
+    // scan set bits of the high vector in order
+    uint64_t found = 0;
+    for (uint64_t w = 0; w < num_high && found < size; ++w) {
+        uint64_t word = high_words[w];
+        while (word && found < size) {
+            unsigned tz = (unsigned)__builtin_ctzll(word);
+            uint64_t bitpos = w * 64 + tz;
+            uint64_t hi = bitpos - found;
+            uint64_t lo = l ? low.read((unsigned)l) : 0;
+            out[found] = (hi << l) | lo;
+            ++found;
+            word &= word - 1;
+        }
+    }
+    *vals = out;
+    *n = size;
+    *consumed = pos - offset;
+    return 0;
+}
+
+}  // extern "C"

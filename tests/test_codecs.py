@@ -1,0 +1,88 @@
+import numpy as np
+import pytest
+
+from metagenome_vector_sketches_tpu.codecs import pyref
+
+try:
+    from metagenome_vector_sketches_tpu.codecs import native
+    HAVE_NATIVE = native.available()
+except Exception:
+    HAVE_NATIVE = False
+
+CASES = [
+    np.array([], dtype=np.uint64),
+    np.array([0], dtype=np.uint64),
+    np.array([0, 0, 0], dtype=np.uint64),
+    np.array([1, 2, 3, 200, 255], dtype=np.uint64),
+    np.array([2**63, 1, 2**64 - 1, 0], dtype=np.uint64),
+    np.arange(1000, dtype=np.uint64) * 37,
+]
+
+
+def _rng_cases():
+    rng = np.random.default_rng(3)
+    yield rng.integers(0, 256, size=5000).astype(np.uint64)
+    yield rng.integers(0, 2**40, size=500).astype(np.uint64)
+    yield np.concatenate([rng.integers(0, 8, size=1000),
+                          [2**50]]).astype(np.uint64)  # outlier forces big param
+
+
+@pytest.mark.parametrize("codec", ["cv", "rice"])
+def test_pyref_round_trip(codec):
+    enc = getattr(pyref, f"{codec}_encode")
+    dec = getattr(pyref, f"{codec}_decode")
+    for vals in list(CASES) + list(_rng_cases()):
+        blob = enc(vals)
+        got, consumed = dec(blob)
+        assert consumed == len(blob)
+        np.testing.assert_array_equal(got, vals)
+
+
+def test_pyref_ef_round_trip():
+    rng = np.random.default_rng(4)
+    for vals in [np.array([], dtype=np.uint64),
+                 np.array([0], dtype=np.uint64),
+                 np.array([5], dtype=np.uint64),
+                 np.sort(rng.choice(10**6, size=500, replace=False)).astype(np.uint64),
+                 np.arange(100, dtype=np.uint64),
+                 np.array([0, 0, 3, 3, 7], dtype=np.uint64)]:  # duplicates allowed
+        universe = int(vals[-1]) + 1 if len(vals) else 1
+        blob = pyref.ef_encode(vals, universe)
+        got, consumed = pyref.ef_decode(blob)
+        assert consumed == len(blob)
+        np.testing.assert_array_equal(got, vals)
+
+
+@pytest.mark.skipif(not HAVE_NATIVE, reason="native codecs unavailable")
+def test_native_matches_pyref_bytes():
+    rng = np.random.default_rng(5)
+    for vals in list(CASES) + list(_rng_cases()):
+        assert native.cv_encode(vals) == pyref.cv_encode(vals)
+        assert native.rice_encode(vals) == pyref.rice_encode(vals)
+    for _ in range(5):
+        vals = np.sort(rng.choice(10**7, size=300, replace=False)).astype(np.uint64)
+        u = int(vals[-1]) + 1
+        assert native.ef_encode(vals, u) == pyref.ef_encode(vals, u)
+
+
+@pytest.mark.skipif(not HAVE_NATIVE, reason="native codecs unavailable")
+def test_native_round_trip_and_offsets():
+    rng = np.random.default_rng(6)
+    a = rng.integers(0, 255, size=321).astype(np.uint64)
+    b = rng.integers(0, 2**33, size=77).astype(np.uint64)
+    blob = native.cv_encode(a) + native.rice_encode(b)
+    got_a, c1 = native.cv_decode(blob, 0)
+    got_b, c2 = native.rice_decode(blob, c1)
+    assert c1 + c2 == len(blob)
+    np.testing.assert_array_equal(got_a, a)
+    np.testing.assert_array_equal(got_b, b)
+    # cross-impl decode
+    got_a2, _ = pyref.cv_decode(blob, 0)
+    np.testing.assert_array_equal(got_a2, a)
+
+
+@pytest.mark.skipif(not HAVE_NATIVE, reason="native codecs unavailable")
+def test_native_truncated_buffer_errors():
+    blob = native.rice_encode(np.arange(100, dtype=np.uint64))
+    with pytest.raises(ValueError):
+        native.rice_decode(blob[:10], 0)

@@ -1,0 +1,85 @@
+"""Conformance gates for the pairwise engine (SURVEY.md §7.3 step 3):
+decoded (row, col, quantized-jaccard) triple sets must match the exact
+reference-semantics oracle on the toy db, for both dtypes and any sharding.
+"""
+
+import numpy as np
+import pytest
+
+from metagenome_vector_sketches_tpu.io.dbfolder import DbFolder
+from metagenome_vector_sketches_tpu.matrix.compute import (
+    compute_pairwise_shard, compute_pairwise_oracle,
+)
+from metagenome_vector_sketches_tpu.matrix.reader import MatrixReader
+from metagenome_vector_sketches_tpu.matrix.writer import quantize_jaccard
+from metagenome_vector_sketches_tpu.ops import pairwise as pw
+
+
+def _oracle_triples(db: DbFolder):
+    _, norms = db.names_and_norms()
+    norms_sq = norms * norms
+    vecs = db.load_vectors().astype(np.int32)
+    r, c, v = compute_pairwise_oracle(vecs, norms_sq, db.dimension, db.dtype)
+    q = quantize_jaccard(v, r, c, norms_sq, db.dimension)
+    return set(zip(r.tolist(), c.tolist(), q.tolist()))
+
+
+def _decoded_triples(matrix_folder: str, total: int):
+    reader = MatrixReader(matrix_folder)
+    r, c, q = reader.decode_all_triples(total)
+    return set(zip(r.tolist(), c.tolist(), q.tolist()))
+
+
+@pytest.mark.parametrize("db_name,num_shards", [
+    ("toy_db_256", 1),
+    ("toy_db_256", 3),
+    ("toy_db_2048", 1),
+    ("toy_db_2048_i16", 1),
+])
+def test_pairwise_matches_oracle(tmp_path, ref_toy_dir, db_name, num_shards):
+    db = DbFolder(str(ref_toy_dir / db_name))
+    out = str(tmp_path / "matrix")
+    for s in range(num_shards):
+        compute_pairwise_shard(str(ref_toy_dir / db_name), out,
+                               num_shards=num_shards, shard_idx=s,
+                               tile_rows=32, tile_cols=32, verbose=False)
+    got = _decoded_triples(out, db.num_vectors)
+    want = _oracle_triples(db)
+    assert got == want
+    # sanity: self-pairs present with q ~ 255 (reference keeps them, :659)
+    selfs = [q for (r, c, q) in got if r == c]
+    assert selfs and min(selfs) >= 254
+
+
+def test_limb_decomposition_exact():
+    rng = np.random.default_rng(11)
+    import jax.numpy as jnp
+    for max_abs in [1, 127, 128, 3000, 32767, 2**20]:
+        L = pw.pick_limbs(max_abs)
+        v = rng.integers(-max_abs, max_abs + 1, size=(8, 64)).astype(np.int32)
+        limbs = np.asarray(pw.decompose_limbs(jnp.asarray(v), L)).astype(np.int64)
+        recon = sum(limbs[k] * (1 << (7 * k)) for k in range(L - 1))
+        recon = recon + limbs[L - 1] * (1 << (7 * (L - 1)))
+        np.testing.assert_array_equal(recon, v.astype(np.int64))
+
+
+def test_tile_candidates_exact_dots():
+    rng = np.random.default_rng(12)
+    import jax.numpy as jnp
+    d = 128
+    vi = rng.integers(-500, 500, size=(16, d)).astype(np.int32)
+    vj = rng.integers(-500, 500, size=(24, d)).astype(np.int32)
+    L = pw.pick_limbs(500)
+    li = pw.decompose_limbs(jnp.asarray(vi), L)
+    lj = pw.decompose_limbs(jnp.asarray(vj), L)
+    # threshold of -inf so every pair is a candidate
+    thr = np.full(16, -1e30, dtype=np.float32)
+    thr_j = np.full(24, 0.0, dtype=np.float32)
+    idx, pab, count = pw.tile_candidates(li, lj, jnp.asarray(thr),
+                                         jnp.asarray(thr_j), cap=16 * 24)
+    assert int(count) == 16 * 24
+    dots = pw.recombine_exact(np.asarray(pab), L)
+    want = (vi.astype(np.int64) @ vj.astype(np.int64).T).reshape(-1)
+    got = np.zeros_like(want)
+    got[np.asarray(idx)] = dots
+    np.testing.assert_array_equal(got, want)
