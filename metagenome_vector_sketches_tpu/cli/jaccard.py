@@ -1,0 +1,58 @@
+"""jaccard: flat-IP index build and adaptive nearest-neighbor search
+(reference CLI: src/jaccard.py:327-363).
+
+Usage:
+  jaccard index <output_index_folder> [-t threads]
+  jaccard search <index_folder> <query_file> [-j jaccard] [-t threads]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+__version__ = "0.1.0"
+__date__ = "2026-08-16"
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Flat-IP indexer and searcher.")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_index = sub.add_parser("index", help="Index vectors from a db folder.")
+    p_index.add_argument("output_index",
+                         help="Path to index folder [same folder contains the vectors].")
+    p_index.add_argument("-t", "--threads", type=int, default=1)
+
+    p_search = sub.add_parser("search", help="Search vectors in the index.")
+    p_search.add_argument("index_folder")
+    p_search.add_argument("query_file",
+                          help="Formatted as 'ID: space_separated_hashes', one per line")
+    p_search.add_argument("-j", type=float, default=0.1,
+                          help="Retrieve all datasets with higher Jaccard index")
+    p_search.add_argument("-t", "--threads", type=int, default=1)
+    parser.add_argument("-v", "--version", action="store_true")
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if getattr(args, "version", False):
+        print(f"Version: {__version__}, Date: {__date__}")
+        return 0
+    print(f"Version: {__version__}, Date: {__date__}")
+    print("Command line:", " ".join(sys.argv))
+    if args.command == "index":
+        from ..ann.flat_index import index_vectors
+        index_vectors(args.output_index)
+    elif args.command == "search":
+        from ..ann.search import search_index
+        folder = args.index_folder
+        if not folder.endswith("/"):
+            folder += "/"
+        search_index(folder, args.query_file, args.j)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

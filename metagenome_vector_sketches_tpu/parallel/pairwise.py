@@ -1,0 +1,99 @@
+"""Sharded all-vs-all pairwise sweep.
+
+Each device owns a row block of the (limb-decomposed) vector matrix; the
+column side streams through the ring via jax.lax.all_gather over the mesh
+axis (ICI on real hardware). The thresholded survivor mask / quantized
+Jaccard tiles come back row-sharded, so downstream host finalization and
+shard writing stay per-host exactly like the single-chip engine.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from .mesh import DATA_AXIS
+
+
+def sharded_pairwise_counts(mesh, v_limbs, thr, d: int):
+    """One full sharded sweep: per-row survivor counts of the retention
+    threshold (the all-reduce'd statistic used for capacity planning and the
+    multi-chip validation step).
+
+    Args:
+      mesh: 1-D Mesh over axis 'data'.
+      v_limbs: (L, N, d) int8 — row-sharded on axis 1 (N divisible by mesh size).
+      thr: (N,) float32 squared norms — row-sharded.
+      d: dimension.
+
+    Returns:
+      (N,) int32 per-row survivor counts, row-sharded.
+    """
+    L = v_limbs.shape[0]
+
+    def step(v_local, thr_local):
+        # gather the full column side over ICI
+        v_all = jax.lax.all_gather(v_local, DATA_AXIS, axis=1, tiled=True)
+        thr_all = jax.lax.all_gather(thr_local, DATA_AXIS, axis=0, tiled=True)
+        approx = jnp.zeros((v_local.shape[1], v_all.shape[1]), jnp.float32)
+        for a in range(L):
+            for b in range(L):
+                p = jax.lax.dot_general(
+                    v_local[a], v_all[b],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                approx = approx + p.astype(jnp.float32) * np.float32(2.0 ** (7 * (a + b)))
+        passes = approx / np.float32(d) > 0.05 * (thr_local[:, None] + thr_all[None, :])
+        return jnp.sum(passes.astype(jnp.int32), axis=1)
+
+    fn = shard_map(step, mesh=mesh,
+                   in_specs=(P(None, DATA_AXIS, None), P(DATA_AXIS)),
+                   out_specs=P(DATA_AXIS))
+    return jax.jit(fn)(v_limbs, thr)
+
+
+def distributed_topk(mesh, queries, v_norm, k: int):
+    """Distributed flat-IP top-k: database rows sharded across the mesh,
+    queries replicated; local fused dot+top_k then an all_gather merge.
+
+    Args:
+      queries: (B, d) float32 replicated.
+      v_norm: (N, d) float32 L2-normalized database, row-sharded.
+      k: static top-k (<= N / mesh size for the local stage).
+
+    Returns:
+      (D (B, k) float32, I (B, k) int32 global row indices), replicated.
+    """
+    n_dev = mesh.devices.size
+
+    def step(q, v_local):
+        scores = jax.lax.dot_general(
+            q, v_local, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        kk = min(k, v_local.shape[0])
+        d_loc, i_loc = jax.lax.top_k(scores, kk)
+        base = jax.lax.axis_index(DATA_AXIS) * v_local.shape[0]
+        i_loc = i_loc + base
+        if kk < k:
+            pad_d = jnp.full((q.shape[0], k - kk), -jnp.inf, jnp.float32)
+            pad_i = jnp.full((q.shape[0], k - kk), -1, jnp.int32)
+            d_loc = jnp.concatenate([d_loc, pad_d], axis=1)
+            i_loc = jnp.concatenate([i_loc, pad_i], axis=1)
+        # merge across devices: gather the n_dev*k candidates, re-top-k
+        d_all = jax.lax.all_gather(d_loc, DATA_AXIS, axis=1, tiled=True)
+        i_all = jax.lax.all_gather(i_loc, DATA_AXIS, axis=1, tiled=True)
+        d_fin, sel = jax.lax.top_k(d_all, k)
+        i_fin = jnp.take_along_axis(i_all, sel, axis=1)
+        return d_fin, i_fin
+
+    fn = shard_map(step, mesh=mesh,
+                   in_specs=(P(), P(DATA_AXIS, None)),
+                   out_specs=(P(), P()),
+                   check_vma=False)  # outputs identical on all devices post-gather
+    return jax.jit(fn)(queries, v_norm)

@@ -1,0 +1,108 @@
+"""ANN path gates (SURVEY.md §7.3 step 5): flat-IP index exactness vs numpy
+brute force, index persistence, and search-pipeline neighbor parity against
+true Jaccard on toy."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from metagenome_vector_sketches_tpu.ann.flat_index import (
+    FlatIPIndex, normalize_l2, index_vectors,
+)
+from metagenome_vector_sketches_tpu.ann import search as ann_search
+from metagenome_vector_sketches_tpu.io.dbfolder import DbFolder
+from metagenome_vector_sketches_tpu.io.hashes import parse_hashes_file
+
+
+def test_flat_index_matches_bruteforce():
+    rng = np.random.default_rng(21)
+    V = normalize_l2(rng.normal(size=(500, 64)).astype(np.float32))
+    Q = normalize_l2(rng.normal(size=(7, 64)).astype(np.float32))
+    idx = FlatIPIndex(V, chunk_rows=128)  # force multi-chunk merge
+    D, I = idx.search(Q, 10)
+    scores = Q.astype(np.float64) @ V.astype(np.float64).T
+    for qi in range(7):
+        want = np.argsort(-scores[qi], kind="stable")[:10]
+        got_set, want_set = set(I[qi].tolist()), set(want.tolist())
+        # allow reordering only among exact ties
+        assert got_set == want_set or np.allclose(
+            np.sort(scores[qi][list(got_set)]), np.sort(scores[qi][list(want_set)]),
+            rtol=1e-6)
+        assert np.all(np.diff(D[qi]) <= 1e-6)
+
+
+def test_flat_index_k_exceeds_ntotal():
+    rng = np.random.default_rng(22)
+    V = normalize_l2(rng.normal(size=(5, 16)).astype(np.float32))
+    idx = FlatIPIndex(V)
+    D, I = idx.search(V[:2], 50)
+    assert I.shape == (2, 50)
+    assert np.all(I[:, 5:] == -1)
+    assert np.all(D[:, 5:] == 0.0)
+
+
+def test_index_save_load_round_trip(tmp_path, ref_toy_dir):
+    db_src = str(ref_toy_dir / "toy_db_256")
+    db_dir = tmp_path / "db"
+    shutil.copytree(db_src, db_dir)
+    path = index_vectors(str(db_dir), verbose=False)
+    assert os.path.basename(path) == "faiss.index"
+    idx = FlatIPIndex.load(path)
+    assert idx.ntotal == 61 and idx.d == 256
+    # self-search: each vector's own index is its top hit (ip ~= 1)
+    D, I = idx.search(idx.vectors[:10], 1)
+    np.testing.assert_array_equal(I[:, 0], np.arange(10))
+    assert np.all(D[:, 0] > 0.999)
+
+
+@pytest.fixture(scope="module")
+def toy_index_2048(tmp_path_factory, ref_toy_dir):
+    db_dir = tmp_path_factory.mktemp("annd") / "db"
+    shutil.copytree(str(ref_toy_dir / "toy_db_2048"), db_dir)
+    index_vectors(str(db_dir), verbose=False)
+    return str(db_dir) + "/"
+
+
+def test_search_pipeline_recovers_true_neighbors(toy_index_2048, ref_toy_dir,
+                                                 tmp_path):
+    """End-to-end jaccard-search on toy: estimated neighbors above j=0.1 must
+    match true hash-set Jaccard within the estimator's accuracy envelope
+    (the reference's own validation approach, jaccard.py test():226-325)."""
+    named = parse_hashes_file(str(ref_toy_dir / "all_hashes_toy.txt"))
+    hashes = dict(named)
+    db = DbFolder(toy_index_2048)
+    names, _ = db.names_and_norms()
+    take = names[:6]
+    qf = tmp_path / "q.txt"
+    with open(qf, "w") as f:
+        for n in take:
+            f.write(f"{n}: " + " ".join(str(h) for h in hashes[n]) + "\n")
+    results = ann_search.search_index(toy_index_2048, str(qf), 0.1,
+                                      verbose=False)
+    by_query = {}
+    for qi, nid, jac in results:
+        by_query.setdefault(qi, []).append((nid, jac))
+    for qi, name in enumerate(take):
+        got = dict(by_query.get(qi, []))
+        # self hit with jaccard ~1
+        assert got.get(name, 0) > 0.9, (name, got)
+        # estimated vs true jaccard within RMSE envelope (~0.03 at d=2048)
+        s1 = set(int(h) for h in hashes[name])
+        for nid, est in got.items():
+            s2 = set(int(h) for h in hashes[nid])
+            true = len(s1 & s2) / len(s1 | s2)
+            assert abs(est - true) < 0.12, (name, nid, est, true)
+
+
+def test_jaccard_cli(toy_index_2048, ref_toy_dir, tmp_path, capsys):
+    from metagenome_vector_sketches_tpu.cli.jaccard import main
+    named = dict(parse_hashes_file(str(ref_toy_dir / "all_hashes_toy.txt")))
+    name = next(iter(named))
+    qf = tmp_path / "q.txt"
+    qf.write_text(f"{name}: " + " ".join(str(h) for h in named[name]) + "\n")
+    rc = main(["search", toy_index_2048.rstrip("/"), str(qf), "-j", "0.2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Query 0:" in out and name in out
