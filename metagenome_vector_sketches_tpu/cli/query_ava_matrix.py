@@ -1,0 +1,63 @@
+"""query_ava_matrix: standalone reader for the LEGACY raw-int32 matrix format
+(reference src/query_ava_matrix.cpp — its historical query tool over the
+'prev' format with row_index.txt). Queries rows, sorts neighbors by the
+norms-based Jaccard descending, prints/report like the modern tool.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="query_ava_matrix")
+    p.add_argument("--matrix", required=True,
+                   help="Legacy matrix folder (matrix.bin + row_index.txt)")
+    p.add_argument("--db", required=True, help="db folder (vector_norms.txt)")
+    p.add_argument("--query_file")
+    p.add_argument("--query_ids", nargs="+")
+    p.add_argument("--top", type=int, default=10)
+    args = p.parse_args(argv)
+
+    from ..io.dbfolder import DbFolder
+    from ..matrix.legacy import read_legacy_prev
+    from ..query.engine import parse_query_to_index, read_queries_from_file
+
+    db = DbFolder(args.db)
+    identifiers, norms = db.names_and_norms_f32()
+    id_to_index = db.id_to_index()
+    if args.query_file:
+        queries, _ = read_queries_from_file(args.query_file, id_to_index)
+    elif args.query_ids:
+        queries = [i for i in (parse_query_to_index(s, id_to_index)
+                               for s in args.query_ids) if i >= 0]
+    else:
+        print("No queries specified", file=sys.stderr)
+        return 1
+
+    data = read_legacy_prev(args.matrix)
+    for q in queries:
+        print(f"Query: {q} ({identifiers[q]})")
+        if q not in data:
+            print("  No neighbors found")
+            continue
+        cols, vals = data[q]
+        # sort by jaccard = inter / (|A| + |B| - inter), norms squared
+        na = float(norms[q]) ** 2
+        jac = np.array([v / (na + float(norms[c]) ** 2 - v)
+                        for c, v in zip(cols, vals)])
+        order = np.argsort(-jac, kind="stable")
+        for rank in order[:args.top]:
+            c = int(cols[rank])
+            nid = identifiers[c] if c < len(identifiers) else "UNKNOWN"
+            print(f"  {c} ({nid}) intersection={int(vals[rank])} "
+                  f"jaccard={jac[rank]:.6g}")
+        print()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

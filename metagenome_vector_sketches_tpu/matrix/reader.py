@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import re
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -74,8 +75,20 @@ class ShardReader:
     @property
     def blob(self) -> bytes:
         if self._blob is None:
-            with open(os.path.join(self.folder, "matrix.bin"), "rb") as f:
-                self._blob = f.read()
+            path = os.path.join(self.folder, "matrix.bin")
+            # retry-open against flaky shared filesystems (the reference's
+            # 5 x 50 ms loop, read_pc_mat_cmp.cpp:471-476)
+            last_err = None
+            for _ in range(5):
+                try:
+                    with open(path, "rb") as f:
+                        self._blob = f.read()
+                    break
+                except OSError as e:
+                    last_err = e
+                    time.sleep(0.05)
+            else:
+                raise last_err
         return self._blob
 
     def decode_row(self, row: int):
