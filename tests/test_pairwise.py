@@ -30,19 +30,22 @@ def _decoded_triples(matrix_folder: str, total: int):
     return set(zip(r.tolist(), c.tolist(), q.tolist()))
 
 
-@pytest.mark.parametrize("db_name,num_shards", [
-    ("toy_db_256", 1),
-    ("toy_db_256", 3),
-    ("toy_db_2048", 1),
-    ("toy_db_2048_i16", 1),
+@pytest.mark.parametrize("db_name,num_shards,budget", [
+    ("toy_db_256", 1, 8 << 30),
+    ("toy_db_256", 3, 8 << 30),
+    ("toy_db_256", 2, 0),        # force the streaming fallback path
+    ("toy_db_2048", 1, 8 << 30),
+    ("toy_db_2048_i16", 1, 8 << 30),
 ])
-def test_pairwise_matches_oracle(tmp_path, ref_toy_dir, db_name, num_shards):
+def test_pairwise_matches_oracle(tmp_path, ref_toy_dir, db_name, num_shards,
+                                 budget):
     db = DbFolder(str(ref_toy_dir / db_name))
     out = str(tmp_path / "matrix")
     for s in range(num_shards):
         compute_pairwise_shard(str(ref_toy_dir / db_name), out,
                                num_shards=num_shards, shard_idx=s,
-                               tile_rows=32, tile_cols=32, verbose=False)
+                               tile_rows=32, tile_cols=32, verbose=False,
+                               device_budget_bytes=budget)
     got = _decoded_triples(out, db.num_vectors)
     want = _oracle_triples(db)
     assert got == want
