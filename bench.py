@@ -50,23 +50,51 @@ def bench_pairwise(N=8192, d=2048, tile=2048, max_abs=1500, reps=10):
         # data dependence via seed forces sequential real execution of the chain
         return pw.sweep_counts_impl(limbs, thr, coords, tile) + seed * 0
 
-    def chained(n):
+    @functools.partial(jax.jit, static_argnames=("block",))
+    def pallas_seeded(limbs, thr, seed, block):
+        from metagenome_vector_sketches_tpu.ops.pallas_pairwise import (
+            pallas_sweep_counts)
+        c = pallas_sweep_counts.__wrapped__(limbs, thr, block=block)
+        return c.reshape(-1) + seed * 0
+
+    def chained(step, shape, n):
         t0 = time.perf_counter()
-        acc = jnp.zeros((nt * nt,), jnp.int32)
+        acc = jnp.zeros(shape, jnp.int32)
         for _ in range(n):
-            acc = sweep_seeded(limbs, thr, coords, acc, tile=tile)
+            acc = step(acc)
         total = int(np.asarray(acc).sum())
         return time.perf_counter() - t0, total
 
-    chained(1)  # warm-up / compile
-    d1, _ = chained(1)
-    dn, total = chained(reps)
-    per_sweep = (dn - d1) / (reps - 1)
+    def measure(step, shape):
+        chained(step, shape, 1)  # warm-up / compile
+        d1, _ = chained(step, shape, 1)
+        dn, total = chained(step, shape, reps)
+        return (dn - d1) / (reps - 1), d1, total
+
+    per_sweep, d1, total = measure(
+        lambda acc: sweep_seeded(limbs, thr, coords, acc, tile=tile), (nt * nt,))
+    extras = {"N": N, "d": d, "tile": tile, "L": L,
+              "xla_sweep_ms": round(per_sweep * 1e3, 3),
+              "wall_one_sweep_ms": round(d1 * 1e3, 1),
+              "candidates": total}
+
+    from metagenome_vector_sketches_tpu.ops import pallas_pairwise as pp
+    if pp.available():
+        try:
+            block = 512
+            p_sweep, _, p_total = measure(
+                lambda acc: pallas_seeded(limbs, thr, acc, block=block),
+                ((N // block) ** 2,))
+            assert p_total == total, (p_total, total)
+            extras["pallas_sweep_ms"] = round(p_sweep * 1e3, 3)
+            extras["pallas_block"] = block
+            per_sweep = min(per_sweep, p_sweep)
+        except Exception as e:  # pragma: no cover
+            extras["pallas_error"] = str(e)[:120]
+
     pairs = float(N) * N
-    return pairs / per_sweep, {"N": N, "d": d, "tile": tile, "L": L,
-                               "sweep_ms": round(per_sweep * 1e3, 3),
-                               "wall_one_sweep_ms": round(d1 * 1e3, 1),
-                               "candidates": total}
+    extras["sweep_ms"] = round(per_sweep * 1e3, 3)
+    return pairs / per_sweep, extras
 
 
 def _marginal(run_chain, reps=8):

@@ -146,7 +146,18 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
     rt0, rt1 = begin_row // tile, (end_row - 1) // tile + 1
     coords = np.array([(r, c) for r in range(rt0, rt1) for c in range(nt)],
                       dtype=np.int32)
-    counts = np.asarray(pw.sweep_counts(limbs, thr_j, jnp.asarray(coords), tile))
+    counts = None
+    if tile % 128 == 0 and d % 128 == 0:
+        # Pallas fast path (TPU): one kernel over the whole tile grid
+        from ..ops import pallas_pairwise as pp
+        if pp.available():
+            try:
+                counts = np.asarray(pp.pallas_sweep_counts(
+                    limbs, thr_j, row_t0=rt0, row_t1=rt1, block=tile)).reshape(-1)
+            except Exception:
+                counts = None  # e.g. VMEM overflow at large tiles -> XLA path
+    if counts is None:
+        counts = np.asarray(pw.sweep_counts(limbs, thr_j, jnp.asarray(coords), tile))
     hot = np.flatnonzero(counts > 0)
     if verbose:
         log(f"sweep: {len(coords)} tiles, {len(hot)} hot, "
