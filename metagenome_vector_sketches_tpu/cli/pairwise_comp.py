@@ -27,6 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="(vestigial in the reference; accepted, unused)")
     p.add_argument("--tile", type=int, default=None,
                    help="Device tile edge override (extension)")
+    p.add_argument("--resume", action="store_true",
+                   help="Skip the shard if its folder is already complete "
+                        "(extension; the shard is the checkpoint unit)")
     return p
 
 
@@ -51,7 +54,7 @@ def main(argv=None) -> int:
     tile = args.tile or tile_from_memory(args.max_memory_gb, db.dimension)
     compute_pairwise_shard(args.db, args.output_folder,
                            num_shards=args.num_shards, shard_idx=args.shard_idx,
-                           tile_rows=tile, tile_cols=tile)
+                           tile_rows=tile, tile_cols=tile, resume=args.resume)
     return 0
 
 

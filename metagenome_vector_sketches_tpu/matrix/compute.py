@@ -68,16 +68,30 @@ def _finalize(idx_np, pab_np, r_tile, c_tile, tile, L, d, norms_sq,
     return r[keep], c[keep], dots[keep]
 
 
+def shard_is_complete(output_folder: str, shard_idx: int) -> bool:
+    """A shard is complete when its neighbor_start.bin exists (written last
+    by the writer) — the unit of checkpoint/restart, like the reference's
+    re-run-the-failed-shard recovery model (SURVEY.md §5)."""
+    return os.path.exists(os.path.join(output_folder, f"shard_{shard_idx}",
+                                       "neighbor_start.bin"))
+
+
 def compute_pairwise_shard(db_folder: str, output_folder: str,
                            num_shards: int = 1, shard_idx: int = 0,
                            tile_rows: int = 1024, tile_cols: int = 1024,
                            device_budget_bytes: int = 8 << 30,
+                           resume: bool = False,
                            verbose: bool = True) -> str:
     """Compute one shard of the all-vs-all matrix and write its folder.
 
     Returns the shard folder path. tile_rows is the tile edge of the
     device-resident path (tile_cols kept for the streaming fallback's API).
+    With resume=True, an already-complete shard folder is left untouched.
     """
+    if resume and shard_is_complete(output_folder, shard_idx):
+        if verbose:
+            log(f"Shard {shard_idx} already complete, skipping (resume)")
+        return os.path.join(output_folder, f"shard_{shard_idx}")
     db = DbFolder(db_folder)
     d = db.dimension
     dtype = db.dtype
@@ -163,20 +177,29 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
         log(f"sweep: {len(coords)} tiles, {len(hot)} hot, "
             f"{int(counts.sum())} candidates")
 
-    parts = []
+    # bucket hot tiles by capacity so each batched extraction is sized to its
+    # tiles' true counts; one program + one host read per bucket
+    buckets: dict[int, list[int]] = {}
     for k in hot:
-        r, c = int(coords[k][0]), int(coords[k][1])
-        cap = max(256, _next_pow2(int(counts[k])))
-        idx, count = pw.tile_extract(limbs, thr_j, jnp.int32(r), jnp.int32(c),
-                                     tile, cap)
-        count = int(count)
-        pab = pw.tile_exact_pab(limbs, jnp.int32(r), jnp.int32(c),
-                                idx[:max(256, _next_pow2(count))], tile)
-        out = _finalize(np.asarray(idx[:count]), np.asarray(pab[:count]),
-                        r, c, tile, L, d, norms_sq, exact_filter,
-                        begin_row, end_row, total)
-        if out is not None:
-            parts.append(out)
+        buckets.setdefault(max(256, _next_pow2(int(counts[k]))), []).append(k)
+
+    parts = []
+    for cap, ks in buckets.items():
+        bcoords = jnp.asarray(coords[ks])
+        idx_b, counts_b, pab_b = pw.extract_batch(limbs, thr_j, bcoords,
+                                                  tile, cap)
+        idx_b = np.asarray(idx_b)
+        counts_b = np.asarray(counts_b)
+        pab_b = np.asarray(pab_b)
+        for t, k in enumerate(ks):
+            r, c = int(coords[k][0]), int(coords[k][1])
+            n = int(counts_b[t])
+            assert n == int(counts[k])
+            out = _finalize(idx_b[t, :n], pab_b[t, :n],
+                            r, c, tile, L, d, norms_sq, exact_filter,
+                            begin_row, end_row, total)
+            if out is not None:
+                parts.append(out)
     return _concat(parts)
 
 

@@ -126,6 +126,55 @@ def tile_extract(limbs, thr, r, c, tile: int, cap: int):
     return idx, count
 
 
+@functools.partial(jax.jit, static_argnames=("tile", "cap"))
+def extract_batch(limbs, thr, coords, tile: int, cap: int):
+    """Candidate extraction + exact partial dots for a BATCH of hot tiles in
+    one program (lax.scan over tiles): one dispatch and one host read replace
+    per-tile calls. Tiles should be bucketed so cap ~ their true counts.
+
+    Args:
+      limbs: (L, Npad, d) int8 device-resident database; thr (Npad,) f32.
+      coords: (K, 2) int32 (row_tile, col_tile) pairs.
+      cap: static per-tile candidate capacity.
+
+    Returns (idx (K, cap) int32 flattened in-tile coords (-1 pad),
+             counts (K,) int32, pab (K, cap, L*L) int32 exact partial dots).
+    """
+    L, npad, d = limbs.shape
+
+    def one(carry, rc):
+        r, c = rc[0], rc[1]
+        vi = jax.lax.dynamic_slice(limbs, (0, r * tile, 0), (L, tile, d))
+        vj = jax.lax.dynamic_slice(limbs, (0, c * tile, 0), (L, tile, d))
+        thr_i = jax.lax.dynamic_slice(thr, (r * tile,), (tile,))
+        thr_j = jax.lax.dynamic_slice(thr, (c * tile,), (tile,))
+        approx = jnp.zeros((tile, tile), jnp.float32)
+        for a in range(L):
+            for b in range(L):
+                p = jax.lax.dot_general(
+                    vi[a], vj[b],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                approx = approx + p.astype(jnp.float32) * np.float32(2.0 ** (7 * (a + b)))
+        passes = approx / np.float32(d) > \
+            0.05 * (thr_i[:, None] + thr_j[None, :]) * np.float32(1.0 - 1e-5) - np.float32(4.0)
+        flat = passes.reshape(-1)
+        count = jnp.sum(flat.astype(jnp.int32))
+        idx = jnp.nonzero(flat, size=cap, fill_value=-1)[0].astype(jnp.int32)
+        safe = jnp.maximum(idx, 0)
+        gi = jnp.take(vi, safe // tile, axis=1)
+        gj = jnp.take(vj, safe % tile, axis=1)
+        pab = []
+        for a in range(L):
+            for b in range(L):
+                pab.append(jnp.sum(gi[a].astype(jnp.int32) * gj[b].astype(jnp.int32),
+                                   axis=-1))
+        return carry, (idx, count, jnp.stack(pab, axis=-1))
+
+    _, (idx, counts, pab) = jax.lax.scan(one, None, coords)
+    return idx, counts, pab
+
+
 @functools.partial(jax.jit, static_argnames=("tile",))
 def tile_exact_pab(limbs, r, c, idx, tile: int):
     """Exact (K, L*L) int32 partial limb dots for flattened coords of one
