@@ -30,6 +30,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="Skip the shard if its folder is already complete "
                         "(extension; the shard is the checkpoint unit)")
+    p.add_argument("--strategy", type=int, default=0, choices=[0, 1],
+                   help="0 = projected-sketch estimates (default); 1 = exact "
+                        "MinHash set Jaccard from --hashes (the reference's "
+                        "historical strategy 1)")
+    p.add_argument("--hashes", default=None,
+                   help="all_hashes.txt for --strategy 1")
     return p
 
 
@@ -49,7 +55,16 @@ def tile_from_memory(max_memory_gb: float, dimension: int) -> int:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from ..io.dbfolder import DbFolder
-    from ..matrix.compute import compute_pairwise_shard
+    from ..matrix.compute import compute_pairwise_shard, compute_minhash_shard
+    if args.strategy == 1:
+        if not args.hashes:
+            print("--strategy 1 requires --hashes <all_hashes.txt>",
+                  file=__import__("sys").stderr)
+            return 1
+        compute_minhash_shard(args.hashes, args.output_folder,
+                              num_shards=args.num_shards,
+                              shard_idx=args.shard_idx, db_folder=args.db)
+        return 0
     db = DbFolder(args.db if args.db.endswith("/") else args.db)
     tile = args.tile or tile_from_memory(args.max_memory_gb, db.dimension)
     compute_pairwise_shard(args.db, args.output_folder,

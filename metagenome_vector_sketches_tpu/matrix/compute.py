@@ -256,6 +256,67 @@ def _compute_streaming(db, norms_sq, total, begin_row, end_row, tile_rows,
     return _concat(parts)
 
 
+def compute_minhash_shard(hashes_file: str, output_folder: str,
+                          num_shards: int = 1, shard_idx: int = 0,
+                          db_folder: str | None = None,
+                          verbose: bool = True) -> str:
+    """MinHash-strategy pairwise shard (the reference's historical
+    --strategy 1): EXACT set Jaccard from the raw hash sets via TPU
+    incidence matmuls (ops.minhash), written in the active matrix format.
+
+    If db_folder is given, its vector_norms.txt order defines the indices;
+    otherwise a minimal db folder 'minhash_db' is written next to the matrix
+    (norm = sqrt(|set|), so norm^2 is the exact |A| — the same contract the
+    sketch path's norms estimate), making the whole query stack work
+    unchanged.
+    """
+    from ..io.hashes import parse_hashes_file
+    from ..io.dbfolder import DbFolder
+    from ..ops import minhash
+
+    named = parse_hashes_file(hashes_file)
+    names = [n for n, _ in named]
+    sets_ = [h for _, h in named]
+    if db_folder:
+        order = DbFolder(db_folder).names_and_norms()[0]
+        index = {n: i for i, n in enumerate(names)}
+        sets_ = [sets_[index[n]] for n in order]
+        names = order
+
+    total = len(names)
+    rows_per_shard = (total + num_shards - 1) // num_shards
+    begin_row = shard_idx * rows_per_shard
+    end_row = min(begin_row + rows_per_shard, total)
+    if verbose:
+        log(f"MinHash shard {shard_idx}: rows {begin_row} to {end_row} of {total}")
+
+    t0 = time.perf_counter()
+    r, c, inter, sizes = minhash.minhash_triples(sets_)
+    keep = (r >= begin_row) & (r < end_row)
+    r, c, inter = r[keep], c[keep], inter[keep]
+    if verbose:
+        log(f"Total computation time: {(time.perf_counter()-t0)*1000:.0f} ms "
+            f"({len(r)} surviving pairs)")
+
+    if not db_folder:
+        mdb = os.path.join(output_folder, "minhash_db")
+        os.makedirs(mdb, exist_ok=True)
+        with open(os.path.join(mdb, "vector_norms.txt"), "w") as f:
+            for n, s in zip(names, sizes):
+                f.write(f"{n} {np.sqrt(float(s)):.6g}\n")
+        with open(os.path.join(mdb, "dimension.txt"), "w") as f:
+            f.write("1\n")
+        with open(os.path.join(mdb, "dtype.txt"), "w") as f:
+            f.write("minhash\n")
+
+    shard_folder = os.path.join(output_folder, f"shard_{shard_idx}")
+    # dimension=1 and norms_sq=|A| make the writer's J = inter/(|A|+|B|-inter)
+    # the exact set Jaccard
+    writer.write_shard(shard_folder, r, c, inter.astype(np.int64),
+                       sizes.astype(np.float64), dimension=1)
+    return shard_folder
+
+
 def compute_pairwise_oracle(vectors: np.ndarray, norms_sq: np.ndarray,
                             dimension: int, dtype: str = "int32",
                             row_range: tuple[int, int] | None = None):
