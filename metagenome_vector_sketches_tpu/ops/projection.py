@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .splitmix import splitmix64_np, splitmix64_u32, add64_u32, split_u64
+from .splitmix import splitmix64_np, splitmix64_u32, split_u64
 
 _U64 = np.uint64
 
@@ -74,10 +74,10 @@ def project_device_batch(hash_hi, hash_lo, valid_count, d: int):
 
     Args:
       hash_hi, hash_lo: (B, H) uint32 — hash values split into 32-bit halves.
-        Padding entries must be ZERO and are excluded via ``valid_count``:
-        rather than a (B, H) mask we exploit that every padded row position
-        beyond ``valid_count[b]`` is masked with an explicit mask built from
-        iota (cheap, avoids shipping a mask array).
+        Padding entries must be ZERO. Rather than masking the padded slots
+        (a (B,H,32) select per block), we sum over ALL slots and subtract the
+        deterministic contribution of the zero hash: every padded slot
+        contributes splitmix64(0 + 64b)'s bits, a per-(block, lane) constant.
       valid_count: (B,) int32 — number of real hashes per set.
       d: static output dimension.
 
@@ -86,24 +86,29 @@ def project_device_batch(hash_hi, hash_lo, valid_count, d: int):
     """
     B, H = hash_hi.shape
     num_blocks = (d + 63) // 64
-    mask = (jax.lax.broadcasted_iota(jnp.int32, (B, H), 1)
-            < valid_count[:, None])                       # (B, H) bool
     lane_shift = jnp.arange(32, dtype=jnp.uint32)
 
+    # padded-slot (zero-hash) bit constants: (num_blocks, 64) int32
+    zoff = jnp.arange(num_blocks, dtype=jnp.uint32) * jnp.uint32(64)
+    zhi, zlo = splitmix64_u32(jnp.zeros_like(zoff), zoff)
+    zbits = jnp.concatenate(
+        [((zlo[:, None] >> lane_shift) & jnp.uint32(1)).astype(jnp.int32),
+         ((zhi[:, None] >> lane_shift) & jnp.uint32(1)).astype(jnp.int32)],
+        axis=-1)
+    num_pad = (jnp.int32(H) - valid_count)[:, None]       # (B, 1)
+
     def block(carry, b):
-        xhi, xlo = add64_u32(hash_hi, hash_lo, 0)  # copy
         # x = hash + 64*b  (the += GOLDEN lives inside splitmix64_u32)
         blo = (b.astype(jnp.uint32) * jnp.uint32(64))
-        lo = xlo + blo
-        hi = xhi + (lo < xlo).astype(jnp.uint32)
+        lo = hash_lo + blo
+        hi = hash_hi + (lo < hash_lo).astype(jnp.uint32)
         rhi, rlo = splitmix64_u32(hi, lo)
-        # lanes 0..31 from lo word, 32..63 from hi word
-        bits_lo = (rlo[:, :, None] >> lane_shift) & jnp.uint32(1)   # (B,H,32)
-        bits_hi = (rhi[:, :, None] >> lane_shift) & jnp.uint32(1)
-        m = mask[:, :, None]
-        s_lo = jnp.sum(jnp.where(m, bits_lo, 0).astype(jnp.int32), axis=1)
-        s_hi = jnp.sum(jnp.where(m, bits_hi, 0).astype(jnp.int32), axis=1)
-        bitsum = jnp.concatenate([s_lo, s_hi], axis=-1)             # (B, 64)
+        # lanes 0..31 from lo word, 32..63 from hi word; sum over ALL slots
+        s_lo = jnp.sum(((rlo[:, :, None] >> lane_shift) & jnp.uint32(1))
+                       .astype(jnp.int32), axis=1)
+        s_hi = jnp.sum(((rhi[:, :, None] >> lane_shift) & jnp.uint32(1))
+                       .astype(jnp.int32), axis=1)
+        bitsum = jnp.concatenate([s_lo, s_hi], axis=-1) - num_pad * zbits[b]
         vec_block = valid_count[:, None] - 2 * bitsum
         return carry, vec_block
 
