@@ -106,6 +106,61 @@ def write_legacy_ef(folder: str, rows, cols, values, dimension: int) -> None:
         index_out.write(codecs.cv_encode(positions))
 
 
+# ---------------------------------------------------------------- format C
+def write_legacy_rice(folder: str, rows, cols, values, dimension: int) -> None:
+    """The 'rice-everything' historical variant (reference writer
+    write_sparse_results_rice, pairwise_comp_optimized.cpp:341-476): per row
+    a rice_sequence of delta columns then a rice_sequence of round(dot/d)
+    values; row_index.bin = rice(rows) + rice(absolute positions);
+    neighbor_start.bin = rice(first columns)."""
+    os.makedirs(folder, exist_ok=True)
+    rows, cols, values, unique_rows, bounds = _group(rows, cols, values)
+    vals = round_half_away(values.astype(np.float64) / dimension).astype(np.uint64)
+    positions = np.zeros(len(unique_rows), dtype=np.uint64)
+    start_neighbor = np.zeros(len(unique_rows), dtype=np.uint64)
+    pos = 0
+    with open(os.path.join(folder, "matrix.bin"), "wb") as bin_out:
+        for k, row in enumerate(unique_rows):
+            s, e = bounds[k], bounds[k + 1]
+            row_cols = cols[s:e]
+            positions[k] = pos
+            start_neighbor[k] = row_cols[0]
+            deltas = np.diff(row_cols).astype(np.uint64)
+            blob = codecs.rice_encode(deltas)
+            blob += codecs.rice_encode(vals[s:e])
+            bin_out.write(blob)
+            pos += len(blob)
+    with open(os.path.join(folder, "row_index.bin"), "wb") as f:
+        f.write(codecs.rice_encode(unique_rows.astype(np.uint64)))
+        f.write(codecs.rice_encode(positions))
+    with open(os.path.join(folder, "neighbor_start.bin"), "wb") as f:
+        f.write(codecs.rice_encode(start_neighbor))
+
+
+def read_legacy_rice(folder: str):
+    """-> dict row -> (cols int64, values int64) (reference reader
+    load_neighbors_for_rows_rice, read_pc_mat_cmp.cpp:373-514)."""
+    with open(os.path.join(folder, "row_index.bin"), "rb") as f:
+        blob = f.read()
+    rows, consumed = codecs.rice_decode(blob, 0)
+    positions, _ = codecs.rice_decode(blob, consumed)
+    with open(os.path.join(folder, "neighbor_start.bin"), "rb") as f:
+        starts, _ = codecs.rice_decode(f.read(), 0)
+    with open(os.path.join(folder, "matrix.bin"), "rb") as f:
+        data = f.read()
+    out = {}
+    for k, (row, pos) in enumerate(zip(rows.astype(np.int64),
+                                       positions.astype(np.int64))):
+        deltas, used = codecs.rice_decode(data, int(pos))
+        vals, _ = codecs.rice_decode(data, int(pos) + used)
+        cols = np.empty(len(vals), dtype=np.int64)
+        cols[0] = starts[k]
+        if len(vals) > 1:
+            cols[1:] = cols[0] + np.cumsum(deltas.astype(np.int64))
+        out[int(row)] = (cols, vals.astype(np.int64))
+    return out
+
+
 def read_legacy_ef(folder: str):
     """-> dict row -> (cols int64, values int64)."""
     with open(os.path.join(folder, "row_index.bin"), "rb") as f:

@@ -51,7 +51,7 @@ def test_clusters_load_and_pca(ref_toy_dir):
     assert pca.explained_variance_ratio_[0] >= pca.explained_variance_ratio_[1]
 
 
-@pytest.mark.parametrize("fmt", ["prev", "ef"])
+@pytest.mark.parametrize("fmt", ["prev", "ef", "rice"])
 def test_legacy_round_trip(tmp_path, fmt):
     rng = np.random.default_rng(41)
     rows = np.repeat(np.arange(5), 7)
@@ -62,6 +62,9 @@ def test_legacy_round_trip(tmp_path, fmt):
     if fmt == "prev":
         legacy.write_legacy_prev(folder, rows, cols, vals, d)
         got = legacy.read_legacy_prev(folder)
+    elif fmt == "rice":
+        legacy.write_legacy_rice(folder, rows, cols, vals, d)
+        got = legacy.read_legacy_rice(folder)
     else:
         legacy.write_legacy_ef(folder, rows, cols, vals, d)
         got = legacy.read_legacy_ef(folder)
