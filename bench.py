@@ -36,7 +36,7 @@ def bench_pairwise(N=8192, d=2048, tile=2048, max_abs=1500, reps=10):
     norms_sq = (np.einsum("ij,ij->i", V.astype(np.float64), V.astype(np.float64))
                 / d).astype(np.float32)
     L = pw.pick_limbs(max_abs)
-    limbs = pw.decompose_limbs(jnp.asarray(V), L)
+    limbs = pw.decompose_planes(jnp.asarray(V), L)
     limbs.block_until_ready()
     thr = jnp.asarray(norms_sq)
     nt = N // tile
@@ -65,11 +65,17 @@ def bench_pairwise(N=8192, d=2048, tile=2048, max_abs=1500, reps=10):
         total = int(np.asarray(acc).sum())
         return time.perf_counter() - t0, total
 
-    def measure(step, shape):
+    def measure(step, shape, rounds=3):
+        """Best-of-`rounds` marginal sweep time (tunnel/clock jitter between
+        runs is real; the minimum is the device's actual steady-state)."""
         chained(step, shape, 1)  # warm-up / compile
-        d1, _ = chained(step, shape, 1)
-        dn, total = chained(step, shape, reps)
-        return (dn - d1) / (reps - 1), d1, total
+        best, d1_best, total = float("inf"), float("inf"), 0
+        for _ in range(rounds):
+            d1, _ = chained(step, shape, 1)
+            dn, total = chained(step, shape, reps)
+            best = min(best, (dn - d1) / (reps - 1))
+            d1_best = min(d1_best, d1)
+        return best, d1_best, total
 
     per_sweep, d1, total = measure(
         lambda acc: sweep_seeded(limbs, thr, coords, acc, tile=tile), (nt * nt,))

@@ -113,8 +113,8 @@ def compute_pairwise_shard(db_folder: str, output_folder: str,
     t0 = time.perf_counter()
     tile = tile_rows
     npad = ((total + tile - 1) // tile) * tile
-    limb_bytes = L * npad * d
-    if limb_bytes <= device_budget_bytes:
+    plane_bytes = pw.num_planes(L) * npad * d
+    if plane_bytes <= device_budget_bytes:
         rows, cols, vals = _compute_device_resident(
             db, norms_sq, total, begin_row, end_row, tile, L, d,
             exact_filter, verbose)
@@ -152,7 +152,7 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
     V[:total] = db.load_vectors().astype(np.int32)
     thr = np.full(npad, np.float32(1e30), dtype=np.float32)
     thr[:total] = norms_sq.astype(np.float32)
-    limbs = pw.decompose_limbs(jnp.asarray(V), L)
+    planes = pw.decompose_planes(jnp.asarray(V), L)
     del V
     thr_j = jnp.asarray(thr)
 
@@ -167,11 +167,11 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
         if pp.available():
             try:
                 counts = np.asarray(pp.pallas_sweep_counts(
-                    limbs, thr_j, row_t0=rt0, row_t1=rt1, block=tile)).reshape(-1)
+                    planes, thr_j, row_t0=rt0, row_t1=rt1, block=tile)).reshape(-1)
             except Exception:
                 counts = None  # e.g. VMEM overflow at large tiles -> XLA path
     if counts is None:
-        counts = np.asarray(pw.sweep_counts(limbs, thr_j, jnp.asarray(coords), tile))
+        counts = np.asarray(pw.sweep_counts(planes, thr_j, jnp.asarray(coords), tile))
     hot = np.flatnonzero(counts > 0)
     if verbose:
         log(f"sweep: {len(coords)} tiles, {len(hot)} hot, "
@@ -186,7 +186,7 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
     parts = []
     for cap, ks in buckets.items():
         bcoords = jnp.asarray(coords[ks])
-        idx_b, counts_b, pab_b = pw.extract_batch(limbs, thr_j, bcoords,
+        idx_b, counts_b, pab_b = pw.extract_batch(planes, thr_j, bcoords,
                                                   tile, cap)
         idx_b = np.asarray(idx_b)
         counts_b = np.asarray(counts_b)
@@ -216,12 +216,12 @@ def _compute_streaming(db, norms_sq, total, begin_row, end_row, tile_rows,
         key = (start, end)
         if key not in cache:
             block = db.load_vectors(start, end).astype(np.int32)
-            limbs = pw.decompose_limbs(jnp.asarray(block), L)
-            if cache_bytes[0] + limbs.size > budget and cache:
+            planes = pw.decompose_planes(jnp.asarray(block), L)
+            if cache_bytes[0] + planes.size > budget and cache:
                 cache.clear()
                 cache_bytes[0] = 0
-            cache[key] = limbs
-            cache_bytes[0] += limbs.size
+            cache[key] = planes
+            cache_bytes[0] += planes.size
         return cache[key]
 
     parts = []

@@ -3,14 +3,25 @@
 The reference's flagship compute is a blocked int32 GEMM with a sparsity
 threshold (pairwise_comp_optimized.cpp:57-160). TPUs do integer matmuls
 natively only at int8 on the MXU, so we decompose each int32 component into
-base-128 limbs:
+BALANCED base-128 digits:
 
-    v = sum_k limb_k * 2^(7k),   limb_k in [0,127] for k < L-1,
-                                 limb_{L-1} = v >> 7(L-1) in [-128,127]
+    v = sum_k limb_k * 2^(7k),   limb_k in [-64, 63] for every k (incl. top)
 
 so the exact dot is  dot(x, y) = sum_{a,b} 2^{7(a+b)} * dot(limb_a(x), limb_b(y))
 with every partial dot an int8 x int8 -> int32 MXU matmul (exact: each partial
-is bounded by d * 128^2 << 2^31).
+is bounded by d * 64^2 << 2^31). Balanced digits buy a Karatsuba-style
+combine: limb sums fit int8 (|limb_a + limb_b| <= 128), so the two cross
+terms of each unordered pair collapse into ONE matmul,
+
+    p_ab + p_ba = (A_a+A_b)(B_a+B_b)^T - P_aa - P_bb,
+
+cutting the sweep from L^2 to L(L+1)/2 matmuls (4 -> 3 for the int32 path,
+9 -> 6 for int16). The sum operands are PRECOMPUTED once as extra "planes"
+of the device-resident database (:func:`karatsuba_planes`), so the hot loop
+is a plain weighted sum of plane matmuls — the subtraction folds into the
+diagonal weights (:func:`plane_weights`) — with zero per-tile elementwise
+work (which also keeps the Pallas kernel Mosaic-compatible). See
+:func:`approx_dot_f32`.
 
 On device we also build a float32 approximation of the combined dot and apply
 the reference's retention threshold with conservative slack, compact the
@@ -31,9 +42,22 @@ import jax
 import jax.numpy as jnp
 
 
+def _balanced_top(v: int, L: int) -> int:
+    """Top digit of the balanced base-128 decomposition of python int v."""
+    cur = v
+    for _ in range(L - 1):
+        digit = ((cur + 64) % 128) - 64
+        cur = (cur - digit) >> 7          # exact: cur - digit divisible by 128
+    return cur
+
+
 def _limbs_ok(max_abs: int, L: int) -> bool:
-    # top limb is signed: v >> 7(L-1) must land in [-128, 127]
-    return (-128 <= (-max_abs) >> (7 * (L - 1))) and ((max_abs >> (7 * (L - 1))) <= 127)
+    if L == 1:
+        # single limb: no cross sums, plain int8 range suffices
+        return -128 <= -max_abs and max_abs <= 127
+    # every limb (incl. top) must land in [-64, 63] so limb SUMS fit int8
+    # (_balanced_top is monotone in v, so endpoints suffice)
+    return -64 <= _balanced_top(-max_abs, L) and _balanced_top(max_abs, L) <= 63
 
 
 def pick_limbs(max_abs: int) -> int:
@@ -45,52 +69,133 @@ def pick_limbs(max_abs: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("L",))
 def decompose_limbs(v, L: int):
-    """(n, d) int32 -> (L, n, d) int8 base-128 limbs (top limb signed)."""
+    """(n, d) int32 -> (L, n, d) int8 balanced base-128 digits.
+
+    Every digit lands in [-64, 63] (for L > 1), so the sum of any two digits
+    fits int8 — the property :func:`approx_dot_f32`'s Karatsuba combine needs.
+    Reconstruction is the plain radix identity v = sum_k limb_k * 2^(7k).
+    """
     v = v.astype(jnp.int32)
     limbs = []
     cur = v
     for _ in range(L - 1):
-        limbs.append((cur & 127).astype(jnp.int8))
-        cur = cur >> 7  # arithmetic shift
+        digit = ((cur + 64) & 127) - 64   # balanced remainder in [-64, 63]
+        limbs.append(digit.astype(jnp.int8))
+        cur = (cur - digit) >> 7          # exact arithmetic shift
     limbs.append(cur.astype(jnp.int8))
     return jnp.stack(limbs)
 
 
-def sweep_counts_impl(limbs, thr, tile_coords, tile: int):
+def num_planes(L: int) -> int:
+    return L * (L + 1) // 2
+
+
+def limbs_from_planes(P: int) -> int:
+    """Inverse of num_planes (planes count is 1, 3, 6, 10, ... for L=1,2,3,4)."""
+    L = int((np.sqrt(8 * P + 1) - 1) / 2 + 0.5)
+    assert num_planes(L) == P, f"not a plane count: {P}"
+    return L
+
+
+def plane_weights(L: int) -> np.ndarray:
+    """float32 combine weights for the Karatsuba plane matmuls.
+
+    Plane order: the L limbs, then the sums limb_a+limb_b for a < b in
+    lexicographic order. From
+        dot = sum_k 2^{14k} P_kk + sum_{a<b} 2^{7(a+b)} (M_ab - P_aa - P_bb)
+    the subtraction folds into the diagonal weights:
+        w_diag(k)    = 2^{14k} - sum_{j != k} 2^{7(k+j)}
+        w_pair(a,b)  = 2^{7(a+b)}
+    All weights are integers exactly representable in float32.
+    """
+    w = [float(1 << (14 * k)) - sum(float(1 << (7 * (k + j)))
+                                    for j in range(L) if j != k)
+         for k in range(L)]
+    w += [float(1 << (7 * (a + b))) for a in range(L) for b in range(a + 1, L)]
+    return np.asarray(w, dtype=np.float32)
+
+
+def karatsuba_planes(limbs):
+    """(L, n, d) int8 balanced limbs -> (L(L+1)/2, n, d) int8 planes: the
+    limbs followed by the pairwise limb sums (|sum| <= 128 fits int8 because
+    the digits are balanced). Precomputed ONCE so the hot sweep is pure
+    matmuls. The first L planes ARE the limbs (the exact-dot path uses them).
+    """
+    L = limbs.shape[0]
+    sums = [limbs[a] + limbs[b] for a in range(L) for b in range(a + 1, L)]
+    if not sums:
+        return limbs
+    return jnp.concatenate([limbs, jnp.stack(sums)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("L",))
+def decompose_planes(v, L: int):
+    """(n, d) int32 -> (L(L+1)/2, n, d) int8 Karatsuba planes (the hot-path
+    database representation: balanced limbs + pairwise limb sums)."""
+    return karatsuba_planes(decompose_limbs.__wrapped__(v, L))
+
+
+def approx_dot_f32(vi_planes, vj_planes):
+    """float32 approximation of the exact integer dot tile from Karatsuba
+    planes, in L(L+1)/2 plain int8 MXU matmuls (no elementwise work).
+
+    float32 rounding: each plane product is bounded by d*128^2, so converting
+    the int32 partials to float32 loses at most ~1 ulp each before the
+    weighted accumulation — the same error envelope as the naive L^2 combine,
+    covered by the sweep's threshold slack (SLACK_REL/SLACK_ABS).
+    """
+    P = vi_planes.shape[0]
+    weights = plane_weights(limbs_from_planes(P))
+
+    def mm(x, y):
+        return jax.lax.dot_general(
+            x, y, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    approx = mm(vi_planes[0], vj_planes[0]).astype(jnp.float32) * weights[0]
+    for p in range(1, P):
+        approx = approx + mm(vi_planes[p], vj_planes[p]).astype(jnp.float32) * weights[p]
+    return approx
+
+
+# Retention-threshold slack of the float32 sweep: the exact host re-filter
+# removes false positives, so the slack only needs to bound the float32
+# rounding of approx_dot_f32 against false NEGATIVES (relative term covers
+# ulp(dot)-scale error on large dots, absolute term the weighted-combine
+# noise floor on small ones).
+SLACK_REL = np.float32(1.0 - 1e-5)
+SLACK_ABS = np.float32(16.0)
+
+
+def sweep_counts_impl(planes, thr, tile_coords, tile: int):
     """Survivor counts for a batch of (row_tile, col_tile) coordinate pairs,
     as ONE jitted lax.scan — the whole-sweep hot loop. Nothing bigger than a
     per-tile scalar leaves the fused matmul+threshold epilogue, so this runs
-    at MXU speed-of-light (~85% of int8 peak on v5e), and one dispatch covers
-    thousands of tiles (dispatch/D2H latency amortized — essential both for
-    production hosts and high-latency device tunnels).
+    at MXU speed-of-light on v5e, and one dispatch covers thousands of tiles
+    (dispatch/D2H latency amortized — essential both for production hosts and
+    high-latency device tunnels).
 
     Args:
-      limbs: (L, Npad, d) int8 — the whole (padded) database, device-resident.
-        Padding rows must have thr = +inf so they never pass.
+      planes: (P, Npad, d) int8 Karatsuba planes (:func:`decompose_planes`)
+        of the whole (padded) database, device-resident. Padding rows must
+        have thr = +inf so they never pass.
       thr:   (Npad,) float32 squared norms.
       tile_coords: (T, 2) int32 — (row_tile_index, col_tile_index) pairs.
       tile: static tile edge (Npad % tile == 0).
 
     Returns: (T,) int32 survivor counts per tile.
     """
-    L, Npad, d = limbs.shape
+    P, Npad, d = planes.shape
 
     def tile_fn(carry, rc):
         r, c = rc[0], rc[1]
-        vi = jax.lax.dynamic_slice(limbs, (0, r * tile, 0), (L, tile, d))
-        vj = jax.lax.dynamic_slice(limbs, (0, c * tile, 0), (L, tile, d))
+        vi = jax.lax.dynamic_slice(planes, (0, r * tile, 0), (P, tile, d))
+        vj = jax.lax.dynamic_slice(planes, (0, c * tile, 0), (P, tile, d))
         thr_i = jax.lax.dynamic_slice(thr, (r * tile,), (tile,))
         thr_j = jax.lax.dynamic_slice(thr, (c * tile,), (tile,))
-        approx = jnp.zeros((tile, tile), jnp.float32)
-        for a in range(L):
-            for b in range(L):
-                p = jax.lax.dot_general(
-                    vi[a], vj[b],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                approx = approx + p.astype(jnp.float32) * np.float32(2.0 ** (7 * (a + b)))
+        approx = approx_dot_f32(vi, vj)
         passes = approx / np.float32(d) > \
-            0.05 * (thr_i[:, None] + thr_j[None, :]) * np.float32(1.0 - 1e-5) - np.float32(4.0)
+            0.05 * (thr_i[:, None] + thr_j[None, :]) * SLACK_REL - SLACK_ABS
         return carry, jnp.sum(passes.astype(jnp.int32))
 
     _, counts = jax.lax.scan(tile_fn, None, tile_coords)
@@ -101,25 +206,18 @@ sweep_counts = jax.jit(sweep_counts_impl, static_argnames=("tile",))
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "cap"))
-def tile_extract(limbs, thr, r, c, tile: int, cap: int):
+def tile_extract(planes, thr, r, c, tile: int, cap: int):
     """Candidate extraction for ONE hot tile out of the device-resident
     database: recompute its mask and compact coordinates (row-major order).
     Returns (idx (cap,) int32 with -1 padding, count)."""
-    L, Npad, d = limbs.shape
-    vi = jax.lax.dynamic_slice(limbs, (0, r * tile, 0), (L, tile, d))
-    vj = jax.lax.dynamic_slice(limbs, (0, c * tile, 0), (L, tile, d))
+    P, Npad, d = planes.shape
+    vi = jax.lax.dynamic_slice(planes, (0, r * tile, 0), (P, tile, d))
+    vj = jax.lax.dynamic_slice(planes, (0, c * tile, 0), (P, tile, d))
     thr_i = jax.lax.dynamic_slice(thr, (r * tile,), (tile,))
     thr_j = jax.lax.dynamic_slice(thr, (c * tile,), (tile,))
-    approx = jnp.zeros((tile, tile), jnp.float32)
-    for a in range(L):
-        for b in range(L):
-            p = jax.lax.dot_general(
-                vi[a], vj[b],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            approx = approx + p.astype(jnp.float32) * np.float32(2.0 ** (7 * (a + b)))
+    approx = approx_dot_f32(vi, vj)
     passes = approx / np.float32(d) > \
-        0.05 * (thr_i[:, None] + thr_j[None, :]) * np.float32(1.0 - 1e-5) - np.float32(4.0)
+        0.05 * (thr_i[:, None] + thr_j[None, :]) * SLACK_REL - SLACK_ABS
     flat = passes.reshape(-1)
     count = jnp.sum(flat.astype(jnp.int32))
     idx = jnp.nonzero(flat, size=cap, fill_value=-1)[0].astype(jnp.int32)
@@ -127,43 +225,38 @@ def tile_extract(limbs, thr, r, c, tile: int, cap: int):
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "cap"))
-def extract_batch(limbs, thr, coords, tile: int, cap: int):
+def extract_batch(planes, thr, coords, tile: int, cap: int):
     """Candidate extraction + exact partial dots for a BATCH of hot tiles in
     one program (lax.scan over tiles): one dispatch and one host read replace
     per-tile calls. Tiles should be bucketed so cap ~ their true counts.
 
     Args:
-      limbs: (L, Npad, d) int8 device-resident database; thr (Npad,) f32.
+      planes: (P, Npad, d) int8 Karatsuba planes of the device-resident
+        database (the first L planes are the limbs); thr (Npad,) f32.
       coords: (K, 2) int32 (row_tile, col_tile) pairs.
       cap: static per-tile candidate capacity.
 
     Returns (idx (K, cap) int32 flattened in-tile coords (-1 pad),
              counts (K,) int32, pab (K, cap, L*L) int32 exact partial dots).
     """
-    L, npad, d = limbs.shape
+    P, npad, d = planes.shape
+    L = limbs_from_planes(P)
 
     def one(carry, rc):
         r, c = rc[0], rc[1]
-        vi = jax.lax.dynamic_slice(limbs, (0, r * tile, 0), (L, tile, d))
-        vj = jax.lax.dynamic_slice(limbs, (0, c * tile, 0), (L, tile, d))
+        vi = jax.lax.dynamic_slice(planes, (0, r * tile, 0), (P, tile, d))
+        vj = jax.lax.dynamic_slice(planes, (0, c * tile, 0), (P, tile, d))
         thr_i = jax.lax.dynamic_slice(thr, (r * tile,), (tile,))
         thr_j = jax.lax.dynamic_slice(thr, (c * tile,), (tile,))
-        approx = jnp.zeros((tile, tile), jnp.float32)
-        for a in range(L):
-            for b in range(L):
-                p = jax.lax.dot_general(
-                    vi[a], vj[b],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                approx = approx + p.astype(jnp.float32) * np.float32(2.0 ** (7 * (a + b)))
+        approx = approx_dot_f32(vi, vj)
         passes = approx / np.float32(d) > \
-            0.05 * (thr_i[:, None] + thr_j[None, :]) * np.float32(1.0 - 1e-5) - np.float32(4.0)
+            0.05 * (thr_i[:, None] + thr_j[None, :]) * SLACK_REL - SLACK_ABS
         flat = passes.reshape(-1)
         count = jnp.sum(flat.astype(jnp.int32))
         idx = jnp.nonzero(flat, size=cap, fill_value=-1)[0].astype(jnp.int32)
         safe = jnp.maximum(idx, 0)
-        gi = jnp.take(vi, safe // tile, axis=1)
-        gj = jnp.take(vj, safe % tile, axis=1)
+        gi = jnp.take(vi[:L], safe // tile, axis=1)
+        gj = jnp.take(vj[:L], safe % tile, axis=1)
         pab = []
         for a in range(L):
             for b in range(L):
@@ -176,38 +269,32 @@ def extract_batch(limbs, thr, coords, tile: int, cap: int):
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
-def tile_exact_pab(limbs, r, c, idx, tile: int):
+def tile_exact_pab(planes, r, c, idx, tile: int):
     """Exact (K, L*L) int32 partial limb dots for flattened coords of one
     tile of the device-resident database."""
-    L, Npad, d = limbs.shape
-    vi = jax.lax.dynamic_slice(limbs, (0, r * tile, 0), (L, tile, d))
-    vj = jax.lax.dynamic_slice(limbs, (0, c * tile, 0), (L, tile, d))
-    return exact_pab_at(vi, vj, idx, tile)
+    P, Npad, d = planes.shape
+    L = limbs_from_planes(P)
+    vi = jax.lax.dynamic_slice(planes, (0, r * tile, 0), (P, tile, d))
+    vj = jax.lax.dynamic_slice(planes, (0, c * tile, 0), (P, tile, d))
+    return exact_pab_at(vi[:L], vj[:L], idx, tile)
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
-def tile_scan(vi_limbs, vj_limbs, thr_i, thr_j, cap: int):
-    """Phase-1-only sweep: fused limb matmuls + threshold -> compacted
-    candidate coords. This is the speed-of-light hot loop (the L^2 int32
-    partial tiles never leave the MXU epilogue); exact partial dots for the
-    (sparse) candidates are computed separately with :func:`exact_pab_at`
-    sized to the true count.
+def tile_scan(vi_planes, vj_planes, thr_i, thr_j, cap: int):
+    """Phase-1-only sweep: fused plane matmuls + threshold -> compacted
+    candidate coords. This is the speed-of-light hot loop (the int32 partial
+    tiles never leave the MXU epilogue); exact partial dots for the (sparse)
+    candidates are computed separately with :func:`exact_pab_at` sized to the
+    true count.
 
     Returns (idx (cap,) int32 row-major flattened coords with -1 padding,
     count () int32 true number of passes — retry with bigger cap if > cap).
     """
-    L, Ti, d = vi_limbs.shape
-    Tj = vj_limbs.shape[1]
-    approx = jnp.zeros((Ti, Tj), jnp.float32)
-    for a in range(L):
-        for b in range(L):
-            p = jax.lax.dot_general(
-                vi_limbs[a], vj_limbs[b],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            approx = approx + p.astype(jnp.float32) * np.float32(2.0 ** (7 * (a + b)))
+    P, Ti, d = vi_planes.shape
+    Tj = vj_planes.shape[1]
+    approx = approx_dot_f32(vi_planes, vj_planes)
     thr = 0.05 * (thr_i[:, None] + thr_j[None, :])
-    passes = approx / np.float32(d) > thr * np.float32(1.0 - 1e-5) - np.float32(4.0)
+    passes = approx / np.float32(d) > thr * SLACK_REL - SLACK_ABS
     flat = passes.reshape(-1)
     count = jnp.sum(flat.astype(jnp.int32))
     idx = jnp.nonzero(flat, size=cap, fill_value=-1)[0].astype(jnp.int32)
@@ -215,19 +302,20 @@ def tile_scan(vi_limbs, vj_limbs, thr_i, thr_j, cap: int):
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
-def tile_candidates(vi_limbs, vj_limbs, thr_i, thr_j, cap: int):
+def tile_candidates(vi_planes, vj_planes, thr_i, thr_j, cap: int):
     """One (Ti x Tj) tile of the thresholded pairwise sweep.
 
     Two fused phases:
-    1. The MXU sweep — int8 limb matmuls whose float32 limb-combine and
-       threshold test fuse into the matmul epilogue, so the L^2 int32 partial
-       tiles never hit HBM (this is the speed-of-light path: only the
-       boolean mask is materialized).
+    1. The MXU sweep — L(L+1)/2 plain int8 plane matmuls (Karatsuba) whose
+       float32 combine and threshold test fuse into the matmul epilogue, so
+       the int32 partial tiles never hit HBM (this is the speed-of-light
+       path: only the boolean mask is materialized).
     2. Exact partial dots are recomputed ONLY for the compacted candidates by
        gathering their rows: K*d VPU work, negligible next to the sweep.
 
     Args:
-      vi_limbs: (L, Ti, d) int8;  vj_limbs: (L, Tj, d) int8.
+      vi_planes: (P, Ti, d) int8;  vj_planes: (P, Tj, d) int8 Karatsuba
+        planes (:func:`decompose_planes`; the first L planes are the limbs).
       thr_i, thr_j: (Ti,)/(Tj,) float32 — squared norms (the |set| estimates).
       cap: static candidate capacity for this tile.
 
@@ -239,43 +327,37 @@ def tile_candidates(vi_limbs, vj_limbs, thr_i, thr_j, cap: int):
       count: () int32 — true number of threshold passes (may exceed cap;
              caller must retry with a bigger cap if count > cap).
     """
-    L, Ti, d = vi_limbs.shape
-    Tj = vj_limbs.shape[1]
+    P, Ti, d = vi_planes.shape
+    Tj = vj_planes.shape[1]
     # phase 1: fused sweep -> boolean mask only
-    approx = jnp.zeros((Ti, Tj), jnp.float32)
-    for a in range(L):
-        for b in range(L):
-            p = jax.lax.dot_general(
-                vi_limbs[a], vj_limbs[b],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            approx = approx + p.astype(jnp.float32) * np.float32(2.0 ** (7 * (a + b)))
+    approx = approx_dot_f32(vi_planes, vj_planes)
     thr = 0.05 * (thr_i[:, None] + thr_j[None, :])
-    # Conservative slack: float32 rounding of approx and thr is bounded well
-    # under (relative 1e-5 + absolute 4) for the magnitudes involved; the
-    # exact float64/integer re-filter on host removes false positives.
-    passes = approx / np.float32(d) > thr * np.float32(1.0 - 1e-5) - np.float32(4.0)
+    # Conservative slack: the exact float64/integer re-filter on host removes
+    # false positives; SLACK_REL/SLACK_ABS bound the float32 rounding of the
+    # combine against false negatives.
+    passes = approx / np.float32(d) > thr * SLACK_REL - SLACK_ABS
     flat = passes.reshape(-1)
     count = jnp.sum(flat.astype(jnp.int32))
     idx = jnp.nonzero(flat, size=cap, fill_value=-1)[0].astype(jnp.int32)
 
     # phase 2: exact partial dots for the candidates via row gathers
-    pab = exact_pab_at(vi_limbs, vj_limbs, idx, Tj)
+    pab = exact_pab_at(vi_planes, vj_planes, idx, Tj)
     return idx, pab, count
 
 
 @functools.partial(jax.jit, static_argnames=("Tj",))
-def exact_pab_at(vi_limbs, vj_limbs, idx, Tj: int):
+def exact_pab_at(vi_planes, vj_planes, idx, Tj: int):
     """Exact (K, L*L) int32 partial limb dots for flattened tile coords
     `idx` (-1 entries are computed at a safe slot and discarded by the
-    caller). K*d VPU work — size this to the true candidate count, not the
+    caller). Accepts Karatsuba planes (only their first L limb planes are
+    used). K*d VPU work — size this to the true candidate count, not the
     tile, by slicing idx before calling."""
-    L = vi_limbs.shape[0]
+    L = limbs_from_planes(vi_planes.shape[0])
     safe = jnp.maximum(idx, 0)
     rows = safe // Tj
     cols = safe % Tj
-    gi = vi_limbs[:, rows, :]        # (L, K, d) int8
-    gj = vj_limbs[:, cols, :]
+    gi = vi_planes[:L, rows, :]      # (L, K, d) int8
+    gj = vj_planes[:L, cols, :]
     pab = []
     for a in range(L):
         for b in range(L):

@@ -1,11 +1,13 @@
 """Pallas TPU kernel for the pairwise counts sweep.
 
-The grid walks (row-block, col-block) tiles of the limb-decomposed database;
-each step runs the L^2 int8 MXU matmuls with the float32 limb-combine and
-retention-threshold epilogue entirely in VMEM and emits ONE int32 survivor
-count per tile — the same contract as ops.pairwise.sweep_counts, expressed as
-a single pallas_call over the whole sweep (no per-tile dispatch, no
-dynamic-slice scan machinery).
+The grid walks (row-block, col-block) tiles of the plane-decomposed database
+(ops.pairwise.decompose_planes: balanced limbs + precomputed Karatsuba limb
+sums); each step runs L(L+1)/2 plain int8 MXU matmuls with the float32
+weighted combine and retention-threshold epilogue entirely in VMEM and emits
+ONE int32 survivor count per tile — the same contract as
+ops.pairwise.sweep_counts, expressed as a single pallas_call over the whole
+sweep (no per-tile dispatch, no dynamic-slice scan machinery, and no
+elementwise int8 work in the kernel, which Mosaic rejects).
 
 Used on TPU when available (ops.pairwise.sweep_counts remains the portable
 XLA path; tests check equivalence in interpreter mode on tiny shapes).
@@ -22,23 +24,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_kernel(L: int, d: int, block: int):
-    weights = [np.float32(2.0 ** (7 * (a + b))) for a in range(L) for b in range(L)]
+def _make_kernel(P: int, d: int, block: int):
+    from .pairwise import SLACK_ABS, SLACK_REL, limbs_from_planes, plane_weights
+    weights = plane_weights(limbs_from_planes(P))
 
     def kernel(vi_ref, vj_ref, thr_i_ref, thr_j_ref, count_ref):
-        approx = jnp.zeros((block, block), jnp.float32)
-        k = 0
-        for a in range(L):
-            for b in range(L):
-                p = jax.lax.dot_general(
-                    vi_ref[a], vj_ref[b],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                approx = approx + p.astype(jnp.float32) * weights[k]
-                k += 1
+        def mm(x, y):
+            return jax.lax.dot_general(
+                x, y, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        # weighted Karatsuba plane combine — L(L+1)/2 plain MXU matmuls
+        # (see ops.pairwise.approx_dot_f32)
+        approx = mm(vi_ref[0], vj_ref[0]).astype(jnp.float32) * weights[0]
+        for p in range(1, P):
+            approx = approx + mm(vi_ref[p], vj_ref[p]).astype(jnp.float32) * weights[p]
         thr = 0.05 * (thr_i_ref[0][:, None] + thr_j_ref[0][None, :])
-        passes = approx / np.float32(d) > \
-            thr * np.float32(1.0 - 1e-5) - np.float32(4.0)
+        passes = approx / np.float32(d) > thr * SLACK_REL - SLACK_ABS
         # per-tile scalar broadcast into the (8,128)-padded output tile
         count_ref[0, 0, :, :] = jnp.full((8, 128), jnp.sum(passes.astype(jnp.int32)),
                                          jnp.int32)
@@ -48,32 +50,32 @@ def _make_kernel(L: int, d: int, block: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("row_t0", "row_t1", "block", "interpret"))
-def pallas_sweep_counts(limbs, thr, row_t0: int = 0, row_t1: int | None = None,
+def pallas_sweep_counts(planes, thr, row_t0: int = 0, row_t1: int | None = None,
                         block: int = 512, interpret: bool = False):
     """Survivor counts for row tiles [row_t0, row_t1) x ALL column tiles.
 
     Args:
-      limbs: (L, Npad, d) int8, Npad % block == 0; padding rows need
-        thr = +inf. On TPU `block` must be a multiple of 128 and the
-        (L, block, d) blocks of both operand sides must fit VMEM
-        (block=512 at d=2048, L=2 uses ~4 MB).
+      planes: (P, Npad, d) int8 Karatsuba planes (decompose_planes),
+        Npad % block == 0; padding rows need thr = +inf. On TPU `block` must
+        be a multiple of 128 and the (P, block, d) blocks of both operand
+        sides must fit VMEM (block=512 at d=2048, P=3 uses ~6 MB).
       thr: (Npad,) float32 squared norms.
 
     Returns: (row_t1-row_t0, Npad//block) int32 per-tile survivor counts.
     """
-    L, npad, d = limbs.shape
+    P, npad, d = planes.shape
     nt = npad // block
     if row_t1 is None:
         row_t1 = nt
-    kernel = _make_kernel(L, d, block)
+    kernel = _make_kernel(P, d, block)
     grid = (row_t1 - row_t0, nt)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((L, block, d), lambda i, j: (0, i + row_t0, 0),
+            pl.BlockSpec((P, block, d), lambda i, j: (0, i + row_t0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, block, d), lambda i, j: (0, j, 0),
+            pl.BlockSpec((P, block, d), lambda i, j: (0, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block), lambda i, j: (0, i + row_t0),
                          memory_space=pltpu.VMEM),
@@ -84,7 +86,7 @@ def pallas_sweep_counts(limbs, thr, row_t0: int = 0, row_t1: int | None = None,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((row_t1 - row_t0, nt, 8, 128), jnp.int32),
         interpret=interpret,
-    )(limbs, limbs, thr.reshape(1, -1), thr.reshape(1, -1))
+    )(planes, planes, thr.reshape(1, -1), thr.reshape(1, -1))
     return out[:, :, 0, 0]
 
 

@@ -63,25 +63,13 @@ def make_pipeline_step(mesh, d: int, L: int, k: int):
         # exact squared norms as the |set| estimate
         norms_sq = jnp.sum((vecs.astype(jnp.float32) / np.float32(np.sqrt(d))) ** 2,
                            axis=1)
-        # limb decomposition (base 128)
-        limbs = []
-        cur = vecs
-        for _ in range(L - 1):
-            limbs.append((cur & 127).astype(jnp.int8))
-            cur = cur >> 7
-        limbs.append(cur.astype(jnp.int8))
-        limbs = jnp.stack(limbs)                                    # (L, b, d)
+        # balanced base-128 planes (limbs + Karatsuba sums) + weighted sweep
+        from ..ops.pairwise import approx_dot_f32, decompose_planes
+        planes = decompose_planes.__wrapped__(vecs, L)           # (P, b, d)
 
-        v_all = jax.lax.all_gather(limbs, DATA_AXIS, axis=1, tiled=True)
+        v_all = jax.lax.all_gather(planes, DATA_AXIS, axis=1, tiled=True)
         thr_all = jax.lax.all_gather(norms_sq, DATA_AXIS, axis=0, tiled=True)
-        approx = jnp.zeros((vecs.shape[0], v_all.shape[1]), jnp.float32)
-        for a in range(L):
-            for b in range(L):
-                p = jax.lax.dot_general(
-                    limbs[a], v_all[b],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                approx = approx + p.astype(jnp.float32) * np.float32(2.0 ** (7 * (a + b)))
+        approx = approx_dot_f32(planes, v_all)
         passes = approx / np.float32(d) > 0.05 * (norms_sq[:, None] + thr_all[None, :])
         survivors = jnp.sum(passes.astype(jnp.int32), axis=1)       # (b,) local
 

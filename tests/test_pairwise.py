@@ -64,6 +64,31 @@ def test_limb_decomposition_exact():
         recon = sum(limbs[k] * (1 << (7 * k)) for k in range(L - 1))
         recon = recon + limbs[L - 1] * (1 << (7 * (L - 1)))
         np.testing.assert_array_equal(recon, v.astype(np.int64))
+        if L > 1:
+            # balanced digits: every limb in [-64, 63] so limb SUMS fit int8
+            # (the property the Karatsuba combine in approx_dot_f32 relies on)
+            assert limbs.min() >= -64 and limbs.max() <= 63
+
+
+def test_approx_dot_karatsuba_exact():
+    """approx_dot_f32 over Karatsuba planes (L(L+1)/2 matmuls) must equal
+    the exact integer dot up to the float32 rounding the threshold slack is
+    sized for."""
+    rng = np.random.default_rng(13)
+    import jax.numpy as jnp
+    d = 256
+    for max_abs in [100, 1500, 32767]:
+        L = pw.pick_limbs(max_abs)
+        vi = rng.integers(-max_abs, max_abs + 1, size=(16, d)).astype(np.int32)
+        vj = rng.integers(-max_abs, max_abs + 1, size=(24, d)).astype(np.int32)
+        pi = pw.decompose_planes(jnp.asarray(vi), L)
+        pj = pw.decompose_planes(jnp.asarray(vj), L)
+        assert pi.shape[0] == pw.num_planes(L)
+        got = np.asarray(pw.approx_dot_f32(pi, pj)).astype(np.float64)
+        want = (vi.astype(np.int64) @ vj.astype(np.int64).T).astype(np.float64)
+        # float32 relative rounding of the weighted combine only
+        np.testing.assert_allclose(got, want, rtol=1e-6,
+                                   atol=max(1.0, np.abs(want).max() * 1e-6))
 
 
 def test_tile_candidates_exact_dots():
@@ -73,8 +98,8 @@ def test_tile_candidates_exact_dots():
     vi = rng.integers(-500, 500, size=(16, d)).astype(np.int32)
     vj = rng.integers(-500, 500, size=(24, d)).astype(np.int32)
     L = pw.pick_limbs(500)
-    li = pw.decompose_limbs(jnp.asarray(vi), L)
-    lj = pw.decompose_limbs(jnp.asarray(vj), L)
+    li = pw.decompose_planes(jnp.asarray(vi), L)
+    lj = pw.decompose_planes(jnp.asarray(vj), L)
     # threshold of -inf so every pair is a candidate
     thr = np.full(16, -1e30, dtype=np.float32)
     thr_j = np.full(24, 0.0, dtype=np.float32)

@@ -14,7 +14,7 @@ def _setup(N, d, max_abs=300, seed=5):
     norms = (np.einsum("ij,ij->i", V.astype(np.float64),
                        V.astype(np.float64)) / d).astype(np.float32)
     L = pw.pick_limbs(max_abs)
-    return pw.decompose_limbs(jnp.asarray(V), L), jnp.asarray(norms)
+    return pw.decompose_planes(jnp.asarray(V), L), jnp.asarray(norms)
 
 
 def test_pallas_matches_xla_full_grid():
