@@ -13,8 +13,11 @@ Two execution paths, tested equal:
   and as a CPU fallback.
 - :func:`project_device_batch` — the TPU path. Hash sets are padded into a
   ``(B, H)`` bucket; splitmix64 runs on (hi, lo) uint32 pairs; the +-1 sum
-  over hashes for lane ``n`` equals ``count_valid - 2 * sum(bit_n)``, computed
-  as a masked popcount reduction per 64-lane block under ``lax.scan``.
+  over hashes for lane ``n`` equals ``count_valid - 2 * sum(bit_n)``. The
+  per-lane bit sums use SWAR vertical counters (:func:`_bit_lane_sums`):
+  chunks of 15 words accumulate 8 lanes per 4-bit field of one uint32
+  accumulator — ~5x fewer VPU ops and ~8x less intermediate traffic than
+  extracting each lane to its own int32.
 """
 
 from __future__ import annotations
@@ -68,6 +71,27 @@ def project_host_many(hash_sets, d: int) -> np.ndarray:
 # Device path
 # ---------------------------------------------------------------------------
 
+def _bit_lane_sums(w, nc: int):
+    """Per-lane bit sums of (B, nc*15) uint32 words -> (B, 32) int32.
+
+    SWAR vertical counters: within a chunk of 15 words, ``(w >> k) & 0x11111111``
+    drops lane k+4j into 4-bit field j of one accumulator word; 15 single-bit
+    adds cannot carry across fields. Fields are widened and summed across
+    chunks afterwards (nc * 8 unpack ops amortized over 15 words each).
+    """
+    B = w.shape[0]
+    wc = w.reshape(B, nc, 15)
+    mask = jnp.uint32(0x11111111)
+    js = (jnp.arange(8, dtype=jnp.uint32) * jnp.uint32(4))
+    per_k = []
+    for k in range(4):
+        acc4 = jnp.sum((wc >> jnp.uint32(k)) & mask, axis=2)       # (B, nc)
+        fields = (acc4[:, :, None] >> js) & jnp.uint32(0xF)        # (B, nc, 8)
+        per_k.append(jnp.sum(fields.astype(jnp.int32), axis=1))    # (B, 8)
+    # lane n = 4j + k  ->  stack k last, j-major reshape restores lane order
+    return jnp.stack(per_k, axis=2).reshape(B, 32)
+
+
 @functools.partial(jax.jit, static_argnames=("d",))
 def project_device_batch(hash_hi, hash_lo, valid_count, d: int):
     """Project a padded batch of hash sets on the TPU.
@@ -88,6 +112,15 @@ def project_device_batch(hash_hi, hash_lo, valid_count, d: int):
     num_blocks = (d + 63) // 64
     lane_shift = jnp.arange(32, dtype=jnp.uint32)
 
+    # pad the hash slots to a multiple of the SWAR chunk (15 words); the
+    # extra zero-hash slots fold into the same padded-slot correction below
+    nc = (H + 14) // 15
+    Hp = nc * 15
+    if Hp != H:
+        pad = ((0, 0), (0, Hp - H))
+        hash_hi = jnp.pad(hash_hi, pad)
+        hash_lo = jnp.pad(hash_lo, pad)
+
     # padded-slot (zero-hash) bit constants: (num_blocks, 64) int32
     zoff = jnp.arange(num_blocks, dtype=jnp.uint32) * jnp.uint32(64)
     zhi, zlo = splitmix64_u32(jnp.zeros_like(zoff), zoff)
@@ -95,7 +128,7 @@ def project_device_batch(hash_hi, hash_lo, valid_count, d: int):
         [((zlo[:, None] >> lane_shift) & jnp.uint32(1)).astype(jnp.int32),
          ((zhi[:, None] >> lane_shift) & jnp.uint32(1)).astype(jnp.int32)],
         axis=-1)
-    num_pad = (jnp.int32(H) - valid_count)[:, None]       # (B, 1)
+    num_pad = (jnp.int32(Hp) - valid_count)[:, None]      # (B, 1)
 
     def block(carry, b):
         # x = hash + 64*b  (the += GOLDEN lives inside splitmix64_u32)
@@ -104,10 +137,8 @@ def project_device_batch(hash_hi, hash_lo, valid_count, d: int):
         hi = hash_hi + (lo < hash_lo).astype(jnp.uint32)
         rhi, rlo = splitmix64_u32(hi, lo)
         # lanes 0..31 from lo word, 32..63 from hi word; sum over ALL slots
-        s_lo = jnp.sum(((rlo[:, :, None] >> lane_shift) & jnp.uint32(1))
-                       .astype(jnp.int32), axis=1)
-        s_hi = jnp.sum(((rhi[:, :, None] >> lane_shift) & jnp.uint32(1))
-                       .astype(jnp.int32), axis=1)
+        s_lo = _bit_lane_sums(rlo, nc)
+        s_hi = _bit_lane_sums(rhi, nc)
         bitsum = jnp.concatenate([s_lo, s_hi], axis=-1) - num_pad * zbits[b]
         vec_block = valid_count[:, None] - 2 * bitsum
         return carry, vec_block
