@@ -161,6 +161,83 @@ def read_legacy_rice(folder: str):
     return out
 
 
+# ---------------------------------------------------------------- format D
+def write_legacy_sorted(folder: str, rows, cols, dots, norms_sq,
+                        dimension: int) -> None:
+    """The sorted-by-jaccard uint16 historical variant (reference writer
+    write_sparse_results_jaccard, pairwise_comp_optimized.cpp:479-643; its
+    reader is commented out upstream, read_pc_mat_cmp.cpp:516-595): self
+    pairs dropped, J = (dot/d)/(|A|+|B|-dot/d) clamped to 1 and quantized
+    round(J*65535); per row, neighbors sorted by quantized J DESCENDING
+    (ties broken by ascending column — the reference's std::sort is
+    unstable), stored as raw uint16 top value + rice_sequence of descending
+    deltas + compact_vector of neighbor columns in that order;
+    row_index.bin = compact_vector(rows) + compact_vector(position deltas,
+    first position implicitly 0). The reference zstd-compresses both files
+    via shellout; we write uncompressed like the other legacy writers."""
+    os.makedirs(folder, exist_ok=True)
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    dots = np.asarray(dots, dtype=np.int64)
+    norms_sq = np.asarray(norms_sq, dtype=np.float64)
+    keep = rows != cols
+    rows, cols, dots = rows[keep], cols[keep], dots[keep]
+    inter = dots.astype(np.float64) / dimension
+    jac = np.minimum(inter / (norms_sq[rows] + norms_sq[cols] - inter), 1.0)
+    q = round_half_away(jac * 65535.0).astype(np.uint64)
+
+    order = np.lexsort((cols, rows))
+    rows, cols, q = rows[order], cols[order], q[order]
+    unique_rows, start = np.unique(rows, return_index=True)
+    bounds = np.append(start, len(rows))
+
+    positions = np.zeros(len(unique_rows), dtype=np.uint64)
+    pos = 0
+    with open(os.path.join(folder, "matrix.bin"), "wb") as bin_out:
+        for k in range(len(unique_rows)):
+            s, e = bounds[k], bounds[k + 1]
+            # jaccard-desc, column-asc tiebreak (input is column-sorted and
+            # the mergesort kind is stable)
+            srt = np.argsort(-q[s:e].astype(np.int64), kind="stable")
+            rq = q[s:e][srt]
+            rc = cols[s:e][srt].astype(np.uint64)
+            positions[k] = pos
+            blob = int(rq[0]).to_bytes(2, "little")
+            blob += codecs.rice_encode((rq[:-1] - rq[1:]).astype(np.uint64))
+            blob += codecs.cv_encode(rc)
+            bin_out.write(blob)
+            pos += len(blob)
+    with open(os.path.join(folder, "row_index.bin"), "wb") as f:
+        f.write(codecs.cv_encode(unique_rows.astype(np.uint64)))
+        f.write(codecs.cv_encode(np.diff(positions).astype(np.uint64)))
+
+
+def read_legacy_sorted(folder: str):
+    """-> dict row -> (cols int64 in jaccard-desc order, q uint16-as-int64
+    quantized jaccards; dequantize J ~ q/65535)."""
+    with open(os.path.join(folder, "row_index.bin"), "rb") as f:
+        blob = f.read()
+    rows, consumed = codecs.cv_decode(blob, 0)
+    pdeltas, _ = codecs.cv_decode(blob, consumed)
+    positions = np.zeros(len(rows), dtype=np.int64)
+    if len(rows) > 1:
+        positions[1:] = np.cumsum(pdeltas.astype(np.int64))
+    with open(os.path.join(folder, "matrix.bin"), "rb") as f:
+        data = f.read()
+    out = {}
+    for row, pos in zip(rows.astype(np.int64), positions):
+        pos = int(pos)
+        top = int.from_bytes(data[pos:pos + 2], "little")
+        deltas, used = codecs.rice_decode(data, pos + 2)
+        cols, _ = codecs.cv_decode(data, pos + 2 + used)
+        q = np.empty(len(cols), dtype=np.int64)
+        q[0] = top
+        if len(cols) > 1:
+            q[1:] = top - np.cumsum(deltas.astype(np.int64))
+        out[int(row)] = (cols.astype(np.int64), q)
+    return out
+
+
 def read_legacy_ef(folder: str):
     """-> dict row -> (cols int64, values int64)."""
     with open(os.path.join(folder, "row_index.bin"), "rb") as f:

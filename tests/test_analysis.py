@@ -76,6 +76,31 @@ def test_legacy_round_trip(tmp_path, fmt):
         np.testing.assert_array_equal(got[r][1], want_vals[mask][order])
 
 
+def test_legacy_sorted_round_trip(tmp_path):
+    """Format D (sorted-by-jaccard uint16): self pairs dropped, rows come
+    back jaccard-descending with exact quantized values."""
+    rng = np.random.default_rng(43)
+    n, d = 6, 2048
+    rows = np.repeat(np.arange(n), n)
+    cols = np.tile(np.arange(n), n)
+    norms_sq = rng.uniform(500, 5000, size=n)
+    dots = rng.integers(1, int(0.4 * d * 500), size=n * n).astype(np.int64)
+    folder = str(tmp_path / "sorted")
+    legacy.write_legacy_sorted(folder, rows, cols, dots, norms_sq, d)
+    got = legacy.read_legacy_sorted(folder)
+    inter = dots.astype(np.float64) / d
+    jac = np.minimum(inter / (norms_sq[rows] + norms_sq[cols] - inter), 1.0)
+    q = legacy.round_half_away(jac * 65535.0).astype(np.int64)
+    for r in range(n):
+        mask = (rows == r) & (cols != r)        # self pairs are dropped
+        gc, gq = got[r]
+        assert np.all(np.diff(gq) <= 0)          # jaccard-descending
+        np.testing.assert_array_equal(np.sort(gc), np.sort(cols[mask]))
+        want = {int(c): int(v) for c, v in zip(cols[mask], q[mask])}
+        for c, v in zip(gc, gq):
+            assert want[int(c)] == int(v)
+
+
 def test_interpret_and_export(tmp_path, ref_toy_dir):
     from metagenome_vector_sketches_tpu.matrix.compute import compute_pairwise_shard
     from metagenome_vector_sketches_tpu.analysis.interpret import neighbor_count_histogram
