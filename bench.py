@@ -157,23 +157,29 @@ def bench_topk(N=65536, d=2048, B=256, k=50):
 
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def topk_seeded(q, V, seed, k):
+    @functools.partial(jax.jit, static_argnames=("k", "recall"))
+    def topk_seeded(q, V, seed, k, recall):
         best_d = jnp.full((q.shape[0], k), -jnp.inf, jnp.float32)
         best_i = jnp.full((q.shape[0], k), -1, jnp.int32)
-        D, I = _chunk_topk.__wrapped__(q, V, 0, best_d, best_i, k)
+        D, I = _chunk_topk.__wrapped__(q, V, 0, best_d, best_i, k,
+                                       recall_target=recall)
         return jnp.sum(D) + jnp.sum(I).astype(jnp.float32) + seed * 0
 
-    def chain(n):
-        t0 = time.perf_counter()
-        seed = jnp.float32(0)
-        for _ in range(n):
-            seed = topk_seeded(Q0, V, seed, k)
-        np.asarray(seed)
-        return time.perf_counter() - t0
+    def chain_for(recall):
+        def chain(n):
+            t0 = time.perf_counter()
+            seed = jnp.float32(0)
+            for _ in range(n):
+                seed = topk_seeded(Q0, V, seed, k, recall)
+            np.asarray(seed)
+            return time.perf_counter() - t0
+        return chain
 
-    dt = _marginal(chain)
-    return {"queries_per_sec": B / dt, "N": N, "B": B, "k": k}
+    dt = _marginal(chain_for(1.0))
+    dt_approx = _marginal(chain_for(0.95))
+    return {"queries_per_sec": B / dt,
+            "queries_per_sec_recall95": B / dt_approx,
+            "N": N, "B": B, "k": k}
 
 
 def main():

@@ -36,9 +36,15 @@ def normalize_l2(x: np.ndarray) -> np.ndarray:
     return x
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _chunk_topk(queries, chunk, base, best_d, best_i, k: int):
-    """Merge one database chunk into the running (best_d, best_i) top-k."""
+@functools.partial(jax.jit, static_argnames=("k", "recall_target"))
+def _chunk_topk(queries, chunk, base, best_d, best_i, k: int,
+                recall_target: float = 1.0):
+    """Merge one database chunk into the running (best_d, best_i) top-k.
+
+    recall_target < 1.0 switches the per-chunk selection to the TPU-native
+    jax.lax.approx_max_k PartialReduce (about 2x faster at this stage's
+    shapes); 1.0 keeps FAISS-exact top-k.
+    """
     scores = jax.lax.dot_general(
         queries, chunk,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -46,7 +52,11 @@ def _chunk_topk(queries, chunk, base, best_d, best_i, k: int):
         preferred_element_type=jnp.float32)              # (B, C)
     C = chunk.shape[0]
     kk = min(k, C)
-    d, i = jax.lax.top_k(scores, kk)
+    if recall_target < 1.0:
+        d, i = jax.lax.approx_max_k(scores, kk, recall_target=recall_target,
+                                    aggregate_to_topk=True)
+    else:
+        d, i = jax.lax.top_k(scores, kk)
     i = i + base
     if kk < k:  # pad so concat shapes line up
         pad_d = jnp.full((queries.shape[0], k - kk), -jnp.inf, jnp.float32)
@@ -61,12 +71,20 @@ def _chunk_topk(queries, chunk, base, best_d, best_i, k: int):
 
 
 class FlatIPIndex:
-    """Exact inner-product top-k over L2-normalized vectors."""
+    """Exact inner-product top-k over L2-normalized vectors.
 
-    def __init__(self, vectors: np.ndarray, chunk_rows: int = 65536):
+    recall_target (default 1.0) trades exactness for ~2x search speed via
+    approx_max_k; the jaccard search path rescoring is exact either way, so
+    sub-1.0 targets only risk dropping candidates at the very selection
+    boundary (the reference's FAISS path is exact — keep 1.0 for parity).
+    """
+
+    def __init__(self, vectors: np.ndarray, chunk_rows: int = 65536,
+                 recall_target: float = 1.0):
         """vectors: (n, d) float32, already normalized."""
         self.vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         self.chunk_rows = chunk_rows
+        self.recall_target = float(recall_target)
         self._device_chunks = None
 
     @property
@@ -95,7 +113,8 @@ class FlatIPIndex:
         best_i = jnp.full((B, k_eff), -1, jnp.int32)
         for base, chunk in self._chunks():
             best_d, best_i = _chunk_topk(queries, chunk, base,
-                                         best_d, best_i, k_eff)
+                                         best_d, best_i, k_eff,
+                                         recall_target=self.recall_target)
         D = np.array(best_d)
         I = np.array(best_i)
         D[I < 0] = 0.0

@@ -102,14 +102,17 @@ def rescore(D_all: np.ndarray, I_all: np.ndarray, query_norms: np.ndarray,
 
 
 def search_index(index_folder: str, query_file: str, j: float,
-                 verbose: bool = True):
+                 verbose: bool = True, recall_target: float = 1.0):
     """Full search pipeline over a db folder with a built faiss.index
-    (reference search_index, jaccard.py:63-224)."""
+    (reference search_index, jaccard.py:63-224). recall_target < 1.0 opts
+    into the ~2x-faster approximate per-chunk top-k (no reference
+    counterpart; rescoring stays exact)."""
     db = DbFolder(index_folder)
     d = db.dimension
     sample_names, hash_sets = parse_query_hashes_file(query_file)
     queries = project_queries(hash_sets, d)
     index = FlatIPIndex.load(os.path.join(index_folder, "faiss.index"))
+    index.recall_target = recall_target
     D_all, I_all, query_norms = adaptive_search(index, queries, j, verbose)
     names, norms = db.names_and_norms()
     return rescore(D_all, I_all, query_norms, names, norms, j, verbose)

@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
     p_search.add_argument("-j", type=float, default=0.1,
                           help="Retrieve all datasets with higher Jaccard index")
     p_search.add_argument("-t", "--threads", type=int, default=1)
+    p_search.add_argument("--recall_target", type=float, default=1.0,
+                          help="< 1.0 uses the ~2x-faster approximate TPU "
+                               "top-k for candidate selection (final Jaccard "
+                               "rescoring stays exact); 1.0 = FAISS-exact")
     parser.add_argument("-v", "--version", action="store_true")
     return parser
 
@@ -50,7 +54,8 @@ def main(argv=None) -> int:
         folder = args.index_folder
         if not folder.endswith("/"):
             folder += "/"
-        search_index(folder, args.query_file, args.j)
+        search_index(folder, args.query_file, args.j,
+                     recall_target=args.recall_target)
     return 0
 
 

@@ -33,6 +33,22 @@ def test_flat_index_matches_bruteforce():
         assert np.all(np.diff(D[qi]) <= 1e-6)
 
 
+def test_flat_index_recall_target_mode():
+    """recall_target < 1.0 (approx_max_k path) still returns well-formed,
+    high-recall results; exact on CPU where approx_max_k reduces to sort."""
+    rng = np.random.default_rng(22)
+    V = normalize_l2(rng.normal(size=(500, 64)).astype(np.float32))
+    Q = normalize_l2(rng.normal(size=(7, 64)).astype(np.float32))
+    exact = FlatIPIndex(V, chunk_rows=128)
+    approx = FlatIPIndex(V, chunk_rows=128, recall_target=0.95)
+    De, Ie = exact.search(Q, 10)
+    Da, Ia = approx.search(Q, 10)
+    for qi in range(7):
+        assert np.all(np.diff(Da[qi]) <= 1e-6)
+        overlap = len(set(Ie[qi].tolist()) & set(Ia[qi].tolist()))
+        assert overlap >= 9  # >= 90% recall at these sizes
+
+
 def test_flat_index_k_exceeds_ntotal():
     rng = np.random.default_rng(22)
     V = normalize_l2(rng.normal(size=(5, 16)).astype(np.float32))
