@@ -2,18 +2,76 @@
 
 The reference shells out to ``unzip``/``gunzip`` and hand-scans the JSON for
 ``"ksize"``/``"mins"`` (src/project_everything.cpp:73-151). We do the whole
-thing in-process with zipfile + gzip + json — no subprocesses, no temp files —
-and take the union of ``mins`` over every signature record with the requested
-ksize (the reference ingests only ksize==31, src/project_everything.cpp:116).
+thing in-process — no subprocesses, no temp files — and take the union of
+``mins`` over every signature record with the requested ksize (the reference
+ingests only ksize==31, src/project_everything.cpp:116).
+
+Two paths, result-equal (tested on every toy accession):
+- native/sigscan.cpp via ctypes — zip central-directory reader + zlib
+  inflate + sequential "ksize"/"mins" scan, the ingest hot path;
+- zipfile + gzip + json — pure-python fallback when the native library is
+  unavailable or reports a structural surprise (zip64, unusual layout).
 """
 
 from __future__ import annotations
 
+import ctypes
 import gzip
 import io
 import json
 import os
+import subprocess
+import threading
 import zipfile
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libmvs_sigscan.so")
+_lib = None
+_lib_failed = False
+_lock = threading.Lock()
+
+
+def _load_native():
+    global _lib, _lib_failed
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        try:
+            if not os.path.exists(_LIB_PATH):
+                subprocess.run(["make", "-s", "-C", _NATIVE_DIR],
+                               check=True, capture_output=True, timeout=120)
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.sigscan_read.argtypes = [
+                ctypes.c_char_p, ctypes.c_int,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64))]
+            lib.sigscan_read.restype = ctypes.c_int64
+            lib.sigscan_free.argtypes = [ctypes.POINTER(ctypes.c_uint64)]
+            _lib = lib
+        except Exception:
+            _lib_failed = True
+        return _lib
+
+
+def _read_sig_zip_native(path: str, ksize: int):
+    """-> set[int] or None (fall back) on any native-side error."""
+    lib = _load_native()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_uint64)()
+    n = lib.sigscan_read(path.encode(), ksize, ctypes.byref(out))
+    if n < 0:
+        return None
+    try:
+        if n == 0:
+            return set()
+        arr = np.ctypeslib.as_array(out, shape=(n,)).copy()
+    finally:
+        lib.sigscan_free(out)
+    return set(int(h) for h in np.unique(arr))
 
 
 def accession_name(path: str) -> str:
@@ -31,6 +89,14 @@ def accession_name(path: str) -> str:
 
 def read_sig_zip(path: str, ksize: int = 31) -> set[int]:
     """Extract the union of FracMinHash 'mins' at the given ksize."""
+    native = _read_sig_zip_native(path, ksize)
+    if native is not None:
+        return native
+    return _read_sig_zip_python(path, ksize)
+
+
+def _read_sig_zip_python(path: str, ksize: int = 31) -> set[int]:
+    """Pure-python fallback (zipfile + gzip + json)."""
     hashes: set[int] = set()
     with zipfile.ZipFile(path) as zf:
         for member in zf.namelist():

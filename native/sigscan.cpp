@@ -1,0 +1,198 @@
+// Native sourmash .sig.zip scanner for the ingest hot path.
+//
+// Reference behavior (clean-room, from /root/reference/src/project_everything.cpp:73-151):
+// extract every *.sig.gz member of the zip, gunzip it, and scan the JSON text
+// sequentially for "ksize":K records, collecting the following "mins" array
+// when K matches (sourmash serializes ksize before mins in each signature
+// object). The reference does this with unzip/gunzip shellouts + a hand-rolled
+// scan; here it is fully in-process: a minimal ZIP central-directory reader,
+// zlib raw-inflate for deflated members, zlib gzip-inflate for the .sig.gz
+// payloads, and the same sequential scan.
+//
+// C ABI (ctypes): sigscan_read(path, ksize, &out) -> count (>=0) or -errcode;
+// caller frees with sigscan_free. Any structural surprise returns an error so
+// the Python caller can fall back to the zipfile/gzip/json path.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+struct Buf {
+    const uint8_t* p;
+    size_t n;
+};
+
+uint16_t rd16(const uint8_t* p) { return (uint16_t)(p[0] | (p[1] << 8)); }
+uint32_t rd32(const uint8_t* p) {
+    return (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
+           ((uint32_t)p[3] << 24);
+}
+
+bool inflate_buf(const uint8_t* src, size_t src_n, int window_bits,
+                 std::vector<uint8_t>& out, size_t size_hint) {
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, window_bits) != Z_OK) return false;
+    out.clear();
+    out.resize(size_hint ? size_hint : (src_n * 4 + 1024));
+    zs.next_in = const_cast<Bytef*>(src);
+    zs.avail_in = (uInt)src_n;
+    size_t written = 0;
+    int rc = Z_OK;
+    while (rc != Z_STREAM_END) {
+        if (written == out.size()) out.resize(out.size() * 2);
+        zs.next_out = out.data() + written;
+        zs.avail_out = (uInt)(out.size() - written);
+        rc = inflate(&zs, Z_NO_FLUSH);
+        written = out.size() - zs.avail_out;
+        if (rc != Z_OK && rc != Z_STREAM_END) {
+            inflateEnd(&zs);
+            return false;
+        }
+        if (rc == Z_OK && zs.avail_in == 0 && zs.avail_out != 0) {
+            inflateEnd(&zs);
+            return false;  // truncated stream
+        }
+    }
+    inflateEnd(&zs);
+    out.resize(written);
+    return true;
+}
+
+// Sequential scan of signature JSON: every "ksize": K, and if K == want the
+// next "mins":[...] array (before any subsequent "ksize").
+void scan_json(const uint8_t* text, size_t n, int want,
+               std::vector<uint64_t>& out) {
+    const char* s = reinterpret_cast<const char*>(text);
+    size_t i = 0;
+    auto find = [&](const char* needle, size_t from) -> size_t {
+        size_t len = std::strlen(needle);
+        if (len > n) return std::string::npos;
+        const void* hit = memmem(s + from, n - from, needle, len);
+        if (!hit) return std::string::npos;
+        return (size_t)((const char*)hit - s);
+    };
+    while (true) {
+        size_t k = find("\"ksize\"", i);
+        if (k == std::string::npos) break;
+        size_t j = k + 7;
+        while (j < n && (s[j] == ':' || s[j] == ' ')) j++;
+        long ks = 0;
+        while (j < n && s[j] >= '0' && s[j] <= '9') ks = ks * 10 + (s[j++] - '0');
+        size_t next_k = find("\"ksize\"", j);
+        i = (next_k == std::string::npos) ? n : next_k;
+        if (ks != want) {
+            if (next_k == std::string::npos) break;
+            continue;
+        }
+        size_t m = find("\"mins\"", j);
+        if (m == std::string::npos || (next_k != std::string::npos && m > next_k))
+            continue;  // this signature has no mins before the next one
+        size_t p = m + 6;
+        while (p < n && s[p] != '[') p++;
+        p++;
+        while (p < n && s[p] != ']') {
+            while (p < n && (s[p] == ',' || s[p] == ' ' || s[p] == '\n')) p++;
+            if (p < n && (s[p] < '0' || s[p] > '9')) break;
+            uint64_t v = 0;
+            while (p < n && s[p] >= '0' && s[p] <= '9')
+                v = v * 10 + (uint64_t)(s[p++] - '0');
+            out.push_back(v);
+        }
+        if (next_k == std::string::npos) break;
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns number of hashes (duplicates possible across members; caller
+// dedups), or a negative error code. *out is malloc'd.
+int64_t sigscan_read(const char* path, int ksize, uint64_t** out) {
+    *out = nullptr;
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return -1;
+    std::fseek(f, 0, SEEK_END);
+    long fsz = std::ftell(f);
+    if (fsz <= 0) { std::fclose(f); return -2; }
+    std::vector<uint8_t> file((size_t)fsz);
+    std::fseek(f, 0, SEEK_SET);
+    if (std::fread(file.data(), 1, (size_t)fsz, f) != (size_t)fsz) {
+        std::fclose(f);
+        return -3;
+    }
+    std::fclose(f);
+
+    // End-of-central-directory: scan back over at most 64KiB comment
+    const uint8_t* d = file.data();
+    size_t n = file.size();
+    if (n < 22) return -4;
+    size_t eocd = std::string::npos;
+    size_t lo = n >= (size_t)(22 + 65535) ? n - 22 - 65535 : 0;
+    for (size_t i = n - 22 + 1; i-- > lo;) {
+        if (rd32(d + i) == 0x06054b50) { eocd = i; break; }
+    }
+    if (eocd == std::string::npos) return -5;
+    uint16_t n_entries = rd16(d + eocd + 10);
+    uint32_t cd_off = rd32(d + eocd + 16);
+    if (cd_off == 0xFFFFFFFF || n_entries == 0xFFFF) return -6;  // zip64: fall back
+
+    std::vector<uint64_t> hashes;
+    std::vector<uint8_t> raw, text;
+    size_t pos = cd_off;
+    for (uint16_t e = 0; e < n_entries; e++) {
+        if (pos + 46 > n || rd32(d + pos) != 0x02014b50) return -7;
+        uint16_t method = rd16(d + pos + 10);
+        uint32_t csize = rd32(d + pos + 20);
+        uint32_t usize = rd32(d + pos + 24);
+        uint16_t name_len = rd16(d + pos + 28);
+        uint16_t extra_len = rd16(d + pos + 30);
+        uint16_t comment_len = rd16(d + pos + 32);
+        uint32_t lho = rd32(d + pos + 42);
+        std::string name((const char*)(d + pos + 46), name_len);
+        pos += 46 + (size_t)name_len + extra_len + comment_len;
+        if (name.size() < 7 || name.compare(name.size() - 7, 7, ".sig.gz") != 0)
+            continue;
+        if (csize == 0xFFFFFFFF || usize == 0xFFFFFFFF) return -6;
+        if ((size_t)lho + 30 > n || rd32(d + lho) != 0x04034b50) return -8;
+        size_t data_off = (size_t)lho + 30 + rd16(d + lho + 26) + rd16(d + lho + 28);
+        if (data_off + csize > n) return -9;
+
+        const uint8_t* gz;
+        size_t gz_n;
+        if (method == 0) {
+            gz = d + data_off;
+            gz_n = csize;
+        } else if (method == 8) {
+            if (!inflate_buf(d + data_off, csize, -MAX_WBITS, raw, usize))
+                return -10;
+            gz = raw.data();
+            gz_n = raw.size();
+        } else {
+            return -11;
+        }
+        // gzip payload: ISIZE (mod 2^32) in the trailer is the size hint
+        size_t hint = gz_n >= 4 ? rd32(gz + gz_n - 4) : 0;
+        if (!inflate_buf(gz, gz_n, 16 + MAX_WBITS, text, hint)) return -12;
+        scan_json(text.data(), text.size(), ksize, hashes);
+    }
+
+    uint64_t* res = (uint64_t*)std::malloc(sizeof(uint64_t) *
+                                           (hashes.empty() ? 1 : hashes.size()));
+    if (!res) return -13;
+    std::memcpy(res, hashes.data(), sizeof(uint64_t) * hashes.size());
+    *out = res;
+    return (int64_t)hashes.size();
+}
+
+void sigscan_free(uint64_t* p) { std::free(p); }
+
+}  // extern "C"

@@ -31,6 +31,24 @@ def test_sigzip_matches_reference_hashes(toy_sig_dir, ref_hashes):
         assert ours == theirs, f"hash set mismatch for {name}"
 
 
+def test_sigzip_native_equals_python_all_toys(toy_sig_dir):
+    """The C++ scanner (native/sigscan.cpp) must return the same hash set as
+    the zipfile/gzip/json path on EVERY toy accession (and at a non-default
+    ksize)."""
+    if sigzip._load_native() is None:
+        pytest.skip("native sigscan unavailable")
+    files = list(sigzip.iter_signature_files(str(toy_sig_dir)))
+    for path in files:
+        got = sigzip._read_sig_zip_native(path, 31)
+        assert got is not None, f"native scan refused {path}"
+        assert got == sigzip._read_sig_zip_python(path, 31), path
+    # other ksizes present in the fixtures
+    assert (sigzip._read_sig_zip_native(files[0], 15)
+            == sigzip._read_sig_zip_python(files[0], 15) != set())
+    # absent ksize -> empty
+    assert sigzip._read_sig_zip_native(files[0], 21) == set()
+
+
 @pytest.mark.parametrize("db,dtype,d", [
     ("toy_db_2048", "int32", 2048),
     ("toy_db_2048_i16", "int16", 2048),
