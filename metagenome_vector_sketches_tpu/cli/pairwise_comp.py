@@ -48,7 +48,9 @@ def tile_from_memory(max_memory_gb: float, dimension: int) -> int:
     # dominant terms: ~9 int32 partial tiles of tile^2 + 6 int8 limb blocks
     import math
     tile = int(math.sqrt(max(1.0, budget / 48.0)))
-    tile = max(256, min(8192, 1 << (tile.bit_length() - 1)))
+    # cap at 2048: larger extraction tiles recompute needlessly coarse hot
+    # regions and the counts sweep runs at a fixed 512 pallas block anyway
+    tile = max(256, min(2048, 1 << (tile.bit_length() - 1)))
     return tile
 
 

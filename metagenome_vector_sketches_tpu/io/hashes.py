@@ -14,10 +14,8 @@ def write_hashes_file(path: str, named_sets) -> None:
     them, so ordering is not load-bearing)."""
     with open(path, "w") as f:
         for name, hashes in named_sets:
-            f.write(name + ":")
-            for h in sorted(int(x) for x in hashes):
-                f.write(" " + str(h))
-            f.write("\n")
+            body = " ".join(map(str, sorted(int(x) for x in hashes)))
+            f.write(f"{name}: {body}\n" if body else f"{name}:\n")
 
 
 def parse_hashes_file(path: str) -> list[tuple[str, np.ndarray]]:

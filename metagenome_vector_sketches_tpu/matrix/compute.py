@@ -161,15 +161,22 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
     coords = np.array([(r, c) for r in range(rt0, rt1) for c in range(nt)],
                       dtype=np.int32)
     counts = None
-    if tile % 128 == 0 and d % 128 == 0:
-        # Pallas fast path (TPU): one kernel over the whole tile grid
+    PALLAS_BLOCK = 512  # fastest VMEM-safe sweep block on v5e at d=2048
+    if tile % PALLAS_BLOCK == 0 and d % 128 == 0:
+        # Pallas fast path (TPU): one kernel over the whole grid at the
+        # speed-of-light block size, sub-block counts aggregated up to the
+        # (coarser) extraction tile
         from ..ops import pallas_pairwise as pp
         if pp.available():
             try:
-                counts = np.asarray(pp.pallas_sweep_counts(
-                    planes, thr_j, row_t0=rt0, row_t1=rt1, block=tile)).reshape(-1)
+                m = tile // PALLAS_BLOCK
+                c_sub = np.asarray(pp.pallas_sweep_counts(
+                    planes, thr_j, row_t0=rt0 * m, row_t1=rt1 * m,
+                    block=PALLAS_BLOCK))                  # (R*m, nt*m)
+                counts = c_sub.reshape(rt1 - rt0, m, nt, m).sum(axis=(1, 3)) \
+                    .reshape(-1)
             except Exception:
-                counts = None  # e.g. VMEM overflow at large tiles -> XLA path
+                counts = None  # e.g. VMEM overflow -> XLA path
     if counts is None:
         counts = np.asarray(pw.sweep_counts(planes, thr_j, jnp.asarray(coords), tile))
     hot = np.flatnonzero(counts > 0)
