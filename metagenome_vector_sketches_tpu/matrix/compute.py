@@ -53,16 +53,16 @@ def scan_max_abs(db: DbFolder, chunk: int = 8192) -> int:
     return m
 
 
-def _finalize(idx_np, pab_np, r_tile, c_tile, tile, L, d, norms_sq,
+def _finalize(idx_np, dots, r_tile, c_tile, tile, d, norms_sq,
               exact_filter, row_lo, row_hi, n_total):
-    """Exact host finalization of one tile's candidates -> (rows, cols, dots)."""
+    """Exact host finalization of one tile's candidates -> (rows, cols, dots).
+    `dots` are the exact int64 dot products (device-recombined)."""
     r = r_tile * tile + idx_np // tile
     c = c_tile * tile + idx_np % tile
     keep_range = (r >= row_lo) & (r < row_hi) & (c < n_total)
-    r, c, pab_np = r[keep_range], c[keep_range], pab_np[keep_range]
+    r, c, dots = r[keep_range], c[keep_range], dots[keep_range]
     if len(r) == 0:
         return None
-    dots = pw.recombine_exact(pab_np, L)
     thr = 0.05 * (norms_sq[r] + norms_sq[c])
     keep = exact_filter(dots, thr, d)
     return r[keep], c[keep], dots[keep]
@@ -193,17 +193,17 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
     parts = []
     for cap, ks in buckets.items():
         bcoords = jnp.asarray(coords[ks])
-        idx_b, counts_b, pab_b = pw.extract_batch(planes, thr_j, bcoords,
-                                                  tile, cap)
+        idx_b, counts_b, hi_b, lo_b = pw.extract_batch(planes, thr_j, bcoords,
+                                                       tile, cap)
         idx_b = np.asarray(idx_b)
         counts_b = np.asarray(counts_b)
-        pab_b = np.asarray(pab_b)
+        dots_b = pw.join_dot64(np.asarray(hi_b), np.asarray(lo_b))
         for t, k in enumerate(ks):
             r, c = int(coords[k][0]), int(coords[k][1])
             n = int(counts_b[t])
             assert n == int(counts[k])
-            out = _finalize(idx_b[t, :n], pab_b[t, :n],
-                            r, c, tile, L, d, norms_sq, exact_filter,
+            out = _finalize(idx_b[t, :n], dots_b[t, :n],
+                            r, c, tile, d, norms_sq, exact_filter,
                             begin_row, end_row, total)
             if out is not None:
                 parts.append(out)

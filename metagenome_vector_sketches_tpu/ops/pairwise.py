@@ -224,10 +224,41 @@ def tile_extract(planes, thr, r, c, tile: int, cap: int):
     return idx, count
 
 
+def _dot64_from_partials(partials, L: int):
+    """Exact int64 dots as (hi, lo) int32 pairs from per-(a,b) int32 partial
+    limb dots: dot = sum_ab 2^(7(a+b)) p_ab, accumulated in emulated-64-bit
+    (TPU has no int64 lanes). Halves the candidate D2H volume vs shipping
+    the L*L partials to the host."""
+    acc_hi = jnp.zeros_like(partials[0], dtype=jnp.uint32)
+    acc_lo = jnp.zeros_like(partials[0], dtype=jnp.uint32)
+    k = 0
+    for a in range(L):
+        for b in range(L):
+            p = partials[k]
+            k += 1
+            s = 7 * (a + b)
+            lo = p.astype(jnp.uint32)
+            hi = (p >> 31).astype(jnp.uint32)        # sign extension
+            if s:
+                hi = (hi << s) | (lo >> (32 - s))
+                lo = lo << s
+            new_lo = acc_lo + lo
+            carry = (new_lo < acc_lo).astype(jnp.uint32)
+            acc_hi = acc_hi + hi + carry
+            acc_lo = new_lo
+    return acc_hi.astype(jnp.int32), acc_lo.astype(jnp.int32)
+
+
+def join_dot64(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """Host: (hi, lo) int32 pairs -> exact int64 dots."""
+    return ((hi.astype(np.int64) << 32)
+            | (lo.astype(np.int64) & 0xFFFFFFFF))
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "cap"))
 def extract_batch(planes, thr, coords, tile: int, cap: int):
-    """Candidate extraction + exact partial dots for a BATCH of hot tiles in
-    one program (lax.scan over tiles): one dispatch and one host read replace
+    """Candidate extraction + exact dots for a BATCH of hot tiles in one
+    program (lax.scan over tiles): one dispatch and one host read replace
     per-tile calls. Tiles should be bucketed so cap ~ their true counts.
 
     Args:
@@ -237,7 +268,8 @@ def extract_batch(planes, thr, coords, tile: int, cap: int):
       cap: static per-tile candidate capacity.
 
     Returns (idx (K, cap) int32 flattened in-tile coords (-1 pad),
-             counts (K,) int32, pab (K, cap, L*L) int32 exact partial dots).
+             counts (K,) int32, dot_hi/dot_lo (K, cap) int32 — the exact
+             int64 dots as emulated-64-bit pairs; :func:`join_dot64` on host).
     """
     P, npad, d = planes.shape
     L = limbs_from_planes(P)
@@ -257,15 +289,16 @@ def extract_batch(planes, thr, coords, tile: int, cap: int):
         safe = jnp.maximum(idx, 0)
         gi = jnp.take(vi[:L], safe // tile, axis=1)
         gj = jnp.take(vj[:L], safe % tile, axis=1)
-        pab = []
+        partials = []
         for a in range(L):
             for b in range(L):
-                pab.append(jnp.sum(gi[a].astype(jnp.int32) * gj[b].astype(jnp.int32),
-                                   axis=-1))
-        return carry, (idx, count, jnp.stack(pab, axis=-1))
+                partials.append(jnp.sum(gi[a].astype(jnp.int32)
+                                        * gj[b].astype(jnp.int32), axis=-1))
+        dot_hi, dot_lo = _dot64_from_partials(partials, L)
+        return carry, (idx, count, dot_hi, dot_lo)
 
-    _, (idx, counts, pab) = jax.lax.scan(one, None, coords)
-    return idx, counts, pab
+    _, (idx, counts, dot_hi, dot_lo) = jax.lax.scan(one, None, coords)
+    return idx, counts, dot_hi, dot_lo
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))

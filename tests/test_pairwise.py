@@ -91,6 +91,32 @@ def test_approx_dot_karatsuba_exact():
                                    atol=max(1.0, np.abs(want).max() * 1e-6))
 
 
+def test_extract_batch_dot64_exact():
+    """The device-side emulated-64-bit recombination must be exact for
+    large positive AND negative dots (int16-scale magnitudes, L=3)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(14)
+    d, tile = 128, 16
+    for max_abs in [1500, 32767]:
+        L = pw.pick_limbs(max_abs)
+        v = rng.integers(-max_abs, max_abs + 1, size=(2 * tile, d)).astype(np.int32)
+        v[0] = max_abs          # force extreme positive dot
+        v[1] = -max_abs         # and extreme negative
+        v[tile] = max_abs
+        planes = pw.decompose_planes(jnp.asarray(v), L)
+        thr = np.full(2 * tile, -1e30, dtype=np.float32)  # everything passes
+        coords = jnp.asarray(np.array([[0, 1]], dtype=np.int32))
+        idx, counts, hi, lo = pw.extract_batch(planes, jnp.asarray(thr),
+                                               coords, tile, cap=tile * tile)
+        assert int(np.asarray(counts)[0]) == tile * tile
+        dots = pw.join_dot64(np.asarray(hi), np.asarray(lo))[0]
+        idx_np = np.asarray(idx)[0]
+        want = (v[:tile].astype(np.int64) @ v[tile:].astype(np.int64).T).reshape(-1)
+        got = np.zeros_like(want)
+        got[idx_np] = dots
+        np.testing.assert_array_equal(got, want)
+
+
 def test_tile_candidates_exact_dots():
     rng = np.random.default_rng(12)
     import jax.numpy as jnp
