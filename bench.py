@@ -103,13 +103,17 @@ def bench_pairwise(N=8192, d=2048, tile=2048, max_abs=1500, reps=10):
     return pairs / per_sweep, extras
 
 
-def _marginal(run_chain, reps=8):
-    """Marginal per-iteration time of a data-dependent chain ending in one
-    host read (excludes dispatch/transfer latency)."""
+def _marginal(run_chain, reps=8, rounds=3):
+    """Best-of-`rounds` marginal per-iteration time of a data-dependent chain
+    ending in one host read (excludes dispatch/transfer latency; the tunneled
+    chip shows strong run-to-run variance, so keep the minimum)."""
     run_chain(1)  # warm-up / compile
-    d1 = run_chain(1)
-    dn = run_chain(reps)
-    return (dn - d1) / (reps - 1)
+    best = float("inf")
+    for _ in range(rounds):
+        d1 = run_chain(1)
+        dn = run_chain(reps)
+        best = min(best, (dn - d1) / (reps - 1))
+    return best
 
 
 def bench_projection(B=64, H=4096, d=2048):
