@@ -8,12 +8,15 @@ with a two-phase device-resident sweep:
    float32 combine + retention threshold fuse into the MXU epilogue; only a
    per-tile scalar count leaves the chip (~85% of int8 peak on v5e).
 2. **Hot-tile extraction** — only tiles with survivors (sparse in practice)
-   get a second pass: mask compaction sized to the true count, then exact
-   int32 partial limb dots for the candidates.
+   get a second pass: mask recompute + on-device flat compaction, so exactly
+   4 bytes per candidate (one packed index) cross device->host.
 
-Exact finalization happens on host in float64/int64, reproducing both the
-int32 integer-division and the int16 float-division retention semantics
-(SURVEY.md §2.4), then the shard folder is written in the active format.
+Exact finalization happens on host: candidate dots are recomputed from the
+host-resident int32 vectors with float64 BLAS (integer-exact below 2^53 —
+ops.pairwise.exact_dots_host), then the float64/int64 retention and
+quantization reproduce both the int32 integer-division and the int16
+float-division semantics (SURVEY.md §2.4), and the shard folder is written
+in the active format.
 
 The --num_shards/--shard_idx job-array contract is preserved as the unit of
 checkpointing/restart. A streaming fallback covers databases whose limb
@@ -51,21 +54,6 @@ def scan_max_abs(db: DbFolder, chunk: int = 8192) -> int:
         if block.size:
             m = max(m, int(np.max(np.abs(block.astype(np.int64)))))
     return m
-
-
-def _finalize(idx_np, dots, r_tile, c_tile, tile, d, norms_sq,
-              exact_filter, row_lo, row_hi, n_total):
-    """Exact host finalization of one tile's candidates -> (rows, cols, dots).
-    `dots` are the exact int64 dot products (device-recombined)."""
-    r = r_tile * tile + idx_np // tile
-    c = c_tile * tile + idx_np % tile
-    keep_range = (r >= row_lo) & (r < row_hi) & (c < n_total)
-    r, c, dots = r[keep_range], c[keep_range], dots[keep_range]
-    if len(r) == 0:
-        return None
-    thr = 0.05 * (norms_sq[r] + norms_sq[c])
-    keep = exact_filter(dots, thr, d)
-    return r[keep], c[keep], dots[keep]
 
 
 def shard_is_complete(output_folder: str, shard_idx: int) -> bool:
@@ -117,7 +105,7 @@ def compute_pairwise_shard(db_folder: str, output_folder: str,
     if plane_bytes <= device_budget_bytes:
         rows, cols, vals = _compute_device_resident(
             db, norms_sq, total, begin_row, end_row, tile, L, d,
-            exact_filter, verbose)
+            exact_filter, verbose, max_abs)
     else:
         rows, cols, vals = _compute_streaming(
             db, norms_sq, total, begin_row, end_row, tile_rows, tile_cols,
@@ -146,14 +134,15 @@ def _concat(parts):
 
 
 def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
-                             L, d, exact_filter, verbose):
+                             L, d, exact_filter, verbose, max_abs):
     npad = ((total + tile - 1) // tile) * tile
     V = np.zeros((npad, d), dtype=np.int32)
     V[:total] = db.load_vectors().astype(np.int32)
     thr = np.full(npad, np.float32(1e30), dtype=np.float32)
     thr[:total] = norms_sq.astype(np.float32)
     planes = pw.decompose_planes(jnp.asarray(V), L)
-    del V
+    # V stays host-resident: exact candidate dots are recomputed here with
+    # float64 BLAS (pw.exact_dots_host) so only 4 bytes/candidate cross D2H
     thr_j = jnp.asarray(thr)
 
     nt = npad // tile
@@ -185,28 +174,46 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
             f"{int(counts.sum())} candidates")
 
     # bucket hot tiles by capacity so each batched extraction is sized to its
-    # tiles' true counts; one program + one host read per bucket
+    # tiles' true counts; one program + ONE padding-free host read per bucket
+    # (tile batch and output capacity are pow2/coarsely rounded so the jit
+    # cache hits across buckets and shards)
     buckets: dict[int, list[int]] = {}
     for k in hot:
         buckets.setdefault(max(256, _next_pow2(int(counts[k]))), []).append(k)
 
     parts = []
     for cap, ks in buckets.items():
-        bcoords = jnp.asarray(coords[ks])
-        idx_b, counts_b, hi_b, lo_b = pw.extract_batch(planes, thr_j, bcoords,
-                                                       tile, cap)
-        idx_b = np.asarray(idx_b)
+        K_pad = _next_pow2(len(ks))
+        bcoords = np.zeros((K_pad, 3), dtype=np.int32)
+        bcoords[:len(ks), :2] = coords[ks]
+        bcoords[:len(ks), 2] = 1
+        total_b = int(counts[ks].sum())
+        out_cap = ((total_b + 16383) // 16384) * 16384
+        packed, counts_b = pw.sweep_compact(
+            planes, thr_j, jnp.asarray(bcoords), tile, cap, out_cap)
+        packed = np.asarray(packed)[:total_b]          # 4 B/candidate D2H
         counts_b = np.asarray(counts_b)
-        dots_b = pw.join_dot64(np.asarray(hi_b), np.asarray(lo_b))
+        bounds = np.zeros(len(ks) + 1, dtype=np.int64)
+        np.cumsum(counts_b[:len(ks)], out=bounds[1:])
+        # global coordinates of every candidate in this bucket
+        t_of = packed // (tile * tile)
+        local = packed % (tile * tile)
+        rt = coords[ks][t_of, 0]
+        ct = coords[ks][t_of, 1]
+        r_glob = rt * tile + local // tile
+        c_glob = ct * tile + local % tile
+        keep_range = ((r_glob >= begin_row) & (r_glob < end_row)
+                      & (c_glob < total))
+        r_glob, c_glob = r_glob[keep_range], c_glob[keep_range]
         for t, k in enumerate(ks):
-            r, c = int(coords[k][0]), int(coords[k][1])
-            n = int(counts_b[t])
-            assert n == int(counts[k])
-            out = _finalize(idx_b[t, :n], dots_b[t, :n],
-                            r, c, tile, d, norms_sq, exact_filter,
-                            begin_row, end_row, total)
-            if out is not None:
-                parts.append(out)
+            assert int(counts_b[t]) == int(counts[k])
+        if len(r_glob) == 0:
+            continue
+        dots = pw.exact_dots_host(V, r_glob, c_glob, max_abs)
+        thr_exact = 0.05 * (norms_sq[r_glob] + norms_sq[c_glob])
+        keep = exact_filter(dots, thr_exact, d)
+        if keep.any():
+            parts.append((r_glob[keep], c_glob[keep], dots[keep]))
     return _concat(parts)
 
 

@@ -301,6 +301,76 @@ def extract_batch(planes, thr, coords, tile: int, cap: int):
     return idx, counts, dot_hi, dot_lo
 
 
+@functools.partial(jax.jit, static_argnames=("tile", "cap", "out_cap"))
+def sweep_compact(planes, thr, coords, tile: int, cap: int, out_cap: int):
+    """Batched candidate extraction with device-side flat compaction: the
+    candidates of all K tiles leave the device as ONE exactly-sized int32
+    index array — 4 bytes per candidate, the engine's entire per-candidate
+    D2H budget (exact dots are recomputed on host from the resident int32
+    vectors with float64 BLAS, which is exact for every representable db:
+    |dot| <= d * max^2 < 2^53).
+
+    Args:
+      coords: (K, 3) int32 — (row_tile, col_tile, valid); invalid rows are
+        compile-cache padding and contribute nothing.
+      cap: static per-tile capacity (must hold every tile's true count).
+      out_cap: static flat output capacity (>= sum of true counts; round up
+        coarsely so compile caching works across buckets).
+
+    Returns:
+      packed (out_cap,) int32 — t * tile^2 + in-tile idx, row-major per tile
+        in coords order, -1 padding at the tail;
+      counts (K,) int32 — true per-tile counts (0 for invalid rows).
+    """
+    P, npad, d = planes.shape
+    K = coords.shape[0]
+    assert K * tile * tile <= 2**31 - 1, "packed index would overflow int32"
+
+    def one(carry, rc):
+        r, c, valid = rc[0], rc[1], rc[2]
+        vi = jax.lax.dynamic_slice(planes, (0, r * tile, 0), (P, tile, d))
+        vj = jax.lax.dynamic_slice(planes, (0, c * tile, 0), (P, tile, d))
+        thr_i = jax.lax.dynamic_slice(thr, (r * tile,), (tile,))
+        thr_j = jax.lax.dynamic_slice(thr, (c * tile,), (tile,))
+        approx = approx_dot_f32(vi, vj)
+        passes = (approx / np.float32(d) >
+                  0.05 * (thr_i[:, None] + thr_j[None, :]) * SLACK_REL
+                  - SLACK_ABS) & (valid > 0)
+        flat = passes.reshape(-1)
+        count = jnp.sum(flat.astype(jnp.int32))
+        idx = jnp.nonzero(flat, size=cap, fill_value=-1)[0].astype(jnp.int32)
+        return carry, (idx, count)
+
+    _, (idx, counts) = jax.lax.scan(one, None, coords)
+    # flat compaction: valid slots in (tile-order, in-tile-order)
+    t_ids = jnp.arange(K, dtype=jnp.int32)[:, None]
+    packed = jnp.where(idx >= 0, t_ids * (tile * tile) + idx, -1).reshape(-1)
+    pos = jnp.nonzero(packed >= 0, size=out_cap, fill_value=-1)[0]
+    packed = jnp.where(pos >= 0, packed[jnp.maximum(pos, 0)], -1)
+    return packed, counts
+
+
+def exact_dots_host(V: np.ndarray, rows: np.ndarray, cols: np.ndarray,
+                    max_abs: int, chunk: int = 1 << 16) -> np.ndarray:
+    """Exact int64 dot products of V[rows] . V[cols] on host.
+
+    float64 accumulation is exact while every partial sum stays an integer
+    below 2^53 (d * max_abs^2 — true for any real sketch db, components are
+    bounded by hash-set sizes); int64 accumulation covers the rest. Chunked
+    to bound the gathered-copy working set."""
+    d = V.shape[1]
+    f64_ok = d * (max_abs ** 2) < (1 << 53)
+    assert f64_ok or d * (max_abs ** 2) < (1 << 62), "dot would overflow int64"
+    out = np.empty(len(rows), dtype=np.int64)
+    dt = np.float64 if f64_ok else np.int64
+    for s in range(0, len(rows), chunk):
+        e = min(s + chunk, len(rows))
+        gi = V[rows[s:e]].astype(dt)
+        gj = V[cols[s:e]].astype(dt)
+        out[s:e] = np.einsum("kd,kd->k", gi, gj).astype(np.int64)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("tile",))
 def tile_exact_pab(planes, r, c, idx, tile: int):
     """Exact (K, L*L) int32 partial limb dots for flattened coords of one
