@@ -103,18 +103,27 @@ class FlatIPIndex:
                 for s in range(0, n, self.chunk_rows)]
         return self._device_chunks
 
-    def search(self, queries: np.ndarray, k: int):
-        """-> (D (B,k) float32, I (B,k) int32); missing slots are (0, -1)
-        like FAISS when k > ntotal."""
-        queries = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
-        B = queries.shape[0]
+    def search_device(self, queries_dev, k: int):
+        """Device-resident search: jnp (B, d) float32 normalized queries ->
+        (D, I) device arrays at k_eff = min(k, ntotal). The building block
+        for host `search` and for adaptive flows that keep results on device
+        to minimize device->host traffic."""
+        B = queries_dev.shape[0]
         k_eff = min(k, max(1, self.ntotal))
         best_d = jnp.full((B, k_eff), -jnp.inf, jnp.float32)
         best_i = jnp.full((B, k_eff), -1, jnp.int32)
         for base, chunk in self._chunks():
-            best_d, best_i = _chunk_topk(queries, chunk, base,
+            best_d, best_i = _chunk_topk(queries_dev, chunk, base,
                                          best_d, best_i, k_eff,
                                          recall_target=self.recall_target)
+        return best_d, best_i
+
+    def search(self, queries: np.ndarray, k: int):
+        """-> (D (B,k) float32, I (B,k) int32); missing slots are (0, -1)
+        like FAISS when k > ntotal."""
+        queries = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
+        k_eff = min(k, max(1, self.ntotal))
+        best_d, best_i = self.search_device(queries, k)
         D = np.array(best_d)
         I = np.array(best_i)
         D[I < 0] = 0.0

@@ -11,9 +11,12 @@ ip*|q||n| / (|n|^2 + |q|^2 - ip*|q||n|), filtered > j, sorted descending.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
+import jax
+import jax.numpy as jnp
 
 from ..io.dbfolder import DbFolder
 from ..io.hashes import parse_query_hashes_file
@@ -21,6 +24,36 @@ from .flat_index import FlatIPIndex, normalize_l2
 
 INITIAL_NB_SEARCHES = 50
 MAX_LEVELS = 20  # 50 * 3^19 hard cap (jaccard.py:129)
+
+
+@jax.jit
+def _level_stats(D, min_ip):
+    """Per-query expansion signals of one level — the ONLY per-level host
+    read for continuing queries: (any score above min_ip, k-th score)."""
+    return jnp.any(D > min_ip, axis=1), D[:, -1]
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact_hits(D, I, qn, nn_all, j, cap: int):
+    """Conservative device-side hit filter + compaction for queries at their
+    FINAL expansion level: keep (row, idx, ip) where the float32 Jaccard
+    estimate clears j with slack (the host refilters exactly in float64; the
+    slack only prevents false negatives). Returns flat arrays of length cap
+    (-1 padding) + the true count (retry with larger cap if count > cap)."""
+    B, k = D.shape
+    nn = nn_all[jnp.maximum(I, 0)]
+    qn_b = qn[:, None]
+    ipqn = D * qn_b * nn
+    jac = ipqn / jnp.maximum(nn * nn + qn_b * qn_b - ipqn, 1e-30)
+    keep = (I >= 0) & (jac > j * np.float32(1.0 - 1e-3) - np.float32(1e-6))
+    flat = keep.reshape(-1)
+    count = jnp.sum(flat.astype(jnp.int32))
+    pos = jnp.nonzero(flat, size=cap, fill_value=-1)[0]
+    safe = jnp.maximum(pos, 0)
+    out_q = jnp.where(pos >= 0, (safe // k).astype(jnp.int32), -1)
+    out_i = jnp.where(pos >= 0, I.reshape(-1)[safe], -1)
+    out_ip = jnp.where(pos >= 0, D.reshape(-1)[safe], np.float32(0))
+    return out_q, out_i, out_ip, count
 
 
 def project_queries(hash_sets, dimension: int) -> np.ndarray:
@@ -32,17 +65,57 @@ def project_queries(hash_sets, dimension: int) -> np.ndarray:
 
 
 def adaptive_search(index: FlatIPIndex, queries_f64: np.ndarray, j: float,
-                    verbose: bool = True):
-    """-> (D_all, I_all, query_norms): expanded search state, reference
-    semantics (jaccard.py:120-174)."""
+                    verbose: bool = True, db_norms=None):
+    """Reference expansion semantics (jaccard.py:120-174), device-state
+    execution: per level only (any-above, k-th-score) scalars per query come
+    to host; each query's FINAL-level results are filtered + compacted on
+    device (conservative float32 Jaccard estimate) so device->host traffic
+    is ~the true hit count, not B x nb.
+
+    -> (hits [(query_idx, db_idx, ip_f32)...] in (query, rank) order,
+        query_norms (B,) float32).
+    """
     queries = queries_f64.astype(np.float32)
     query_norms = np.linalg.norm(queries, axis=1)
     queries = normalize_l2(queries)
-    min_ip = 2 * j / (1 + j)
+    min_ip = np.float32(2 * j / (1 + j))
+    if db_norms is None:
+        # squared-norm recovery from the normalized index rows is not
+        # possible; callers should pass vector_norms.txt values. Fallback:
+        # keep every I>=0 candidate (filter happens exactly on host anyway).
+        nn_all = None
+    else:
+        nn_all = jnp.asarray(np.asarray(db_norms, dtype=np.float32))
+    qn_dev = jnp.asarray(query_norms.astype(np.float32))
 
-    remaining = [np.arange(len(queries))] + [[] for _ in range(MAX_LEVELS - 1)]
-    D_all = np.zeros((len(queries), INITIAL_NB_SEARCHES), dtype=np.float32)
-    I_all = np.full((len(queries), INITIAL_NB_SEARCHES), -1, dtype=np.int32)
+    remaining = [list(range(len(queries)))] + [[] for _ in range(MAX_LEVELS - 1)]
+    hits: list[tuple[int, int, float]] = []
+
+    def collect(D_dev, I_dev, qidx):
+        """Device-compact final hits for the rows of qidx."""
+        if nn_all is None:
+            D = np.asarray(D_dev)
+            I = np.asarray(I_dev)
+            for row, q in enumerate(qidx):
+                for rank in range(I.shape[1]):
+                    if I[row, rank] >= 0:
+                        hits.append((int(q), int(I[row, rank]),
+                                     float(D[row, rank])))
+            return
+        cap = 4096
+        while True:
+            out_q, out_i, out_ip, count = _compact_hits(
+                D_dev, I_dev, qn_dev[np.asarray(qidx)], nn_all,
+                np.float32(j), cap)
+            count = int(count)
+            if count <= cap:
+                break
+            cap = 1 << (count - 1).bit_length()
+        out_q = np.asarray(out_q[:count])
+        out_i = np.asarray(out_i[:count])
+        out_ip = np.asarray(out_ip[:count])
+        for row, idx, ip in zip(out_q, out_i, out_ip):
+            hits.append((int(qidx[row]), int(idx), float(ip)))
 
     for level in range(MAX_LEVELS):
         if len(remaining[level]) == 0:
@@ -51,42 +124,48 @@ def adaptive_search(index: FlatIPIndex, queries_f64: np.ndarray, j: float,
         nb = INITIAL_NB_SEARCHES * 3 ** level
         if verbose:
             print(f"Searching {nb} : ", qidx)
-        if D_all.shape[1] < nb:
-            D_new = np.zeros((D_all.shape[0], nb), dtype=np.float32)
-            I_new = np.full((I_all.shape[0], nb), -1, dtype=np.int32)
-            D_new[:, :D_all.shape[1]] = D_all
-            I_new[:, :I_all.shape[1]] = I_all
-            D_all, I_all = D_new, I_new
-        D, I = index.search(queries[qidx], nb)
-        D_all[qidx, :] = D
-        I_all[qidx, :] = I
+        q_dev = jnp.asarray(queries[qidx])
+        D_dev, I_dev = index.search_device(q_dev, nb)
+        any_above, kth = (np.asarray(a) for a in _level_stats(D_dev, min_ip))
+        stopped_rows = []
         for row, q in enumerate(qidx):
-            if np.any(D[row] > min_ip) and D[row, -1] > min_ip:
+            deeper = bool(any_above[row]) and kth[row] > min_ip \
+                and nb < index.ntotal  # a full-db result cannot expand
+            if deeper:
                 # estimate how much deeper to go (jaccard.py:162-167)
-                if D[row, -1] - 0.05 > min_ip and level <= MAX_LEVELS - 3:
-                    remaining[level + 2].append(q)
+                if kth[row] - 0.05 > min_ip and level <= MAX_LEVELS - 3:
+                    remaining[level + 2].append(int(q))
                 elif level <= MAX_LEVELS - 2:
-                    remaining[level + 1].append(q)
-    return D_all, I_all, query_norms
+                    remaining[level + 1].append(int(q))
+                else:
+                    stopped_rows.append(row)
+            else:
+                stopped_rows.append(row)
+        if stopped_rows:
+            rows = np.asarray(stopped_rows)
+            collect(jnp.asarray(D_dev)[rows], jnp.asarray(I_dev)[rows],
+                    qidx[rows])
+    return hits, query_norms
 
 
-def rescore(D_all: np.ndarray, I_all: np.ndarray, query_norms: np.ndarray,
-            names: list[str], norms: np.ndarray, j: float,
-            verbose: bool = True):
-    """Exact-form Jaccard rescoring + filter + sort (jaccard.py:197-224).
-    Returns [(query_idx, neighbor_id, jaccard), ...]."""
+def rescore(hits, query_norms: np.ndarray, names: list[str],
+            norms: np.ndarray, j: float, verbose: bool = True):
+    """Exact-form float64 Jaccard rescoring + filter + sort
+    (jaccard.py:197-224). hits: [(query_idx, db_idx, ip), ...] in
+    (query, rank) order. Returns [(query_idx, neighbor_id, jaccard), ...]."""
+    by_query: dict[int, list] = {}
+    for q, idx, ip in hits:
+        by_query.setdefault(q, []).append((idx, ip))
     out = []
-    for i in range(len(I_all)):
+    for i in range(len(query_norms)):
         qn = float(query_norms[i])
         if qn == 0:
             continue
         results = []
-        for rank, idx in enumerate(I_all[i]):
-            if idx == -1:
-                continue
+        for idx, ip in by_query.get(i, ()):
             nid = names[idx]
             nn = float(norms[idx])
-            ip = float(D_all[i, rank])
+            ip = float(ip)
             jac = ip * qn * nn / (nn ** 2 + qn ** 2 - ip * qn * nn)
             if jac > j:
                 results.append((nid, jac, ip, nn, qn))
@@ -113,6 +192,7 @@ def search_index(index_folder: str, query_file: str, j: float,
     queries = project_queries(hash_sets, d)
     index = FlatIPIndex.load(os.path.join(index_folder, "faiss.index"))
     index.recall_target = recall_target
-    D_all, I_all, query_norms = adaptive_search(index, queries, j, verbose)
     names, norms = db.names_and_norms()
-    return rescore(D_all, I_all, query_norms, names, norms, j, verbose)
+    hits, query_norms = adaptive_search(index, queries, j, verbose,
+                                        db_norms=norms)
+    return rescore(hits, query_norms, names, norms, j, verbose)
