@@ -173,13 +173,14 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
         log(f"sweep: {len(coords)} tiles, {len(hot)} hot, "
             f"{int(counts.sum())} candidates")
 
-    # bucket hot tiles by capacity so each batched extraction is sized to its
-    # tiles' true counts; one program + ONE padding-free host read per bucket
-    # (tile batch and output capacity are pow2/coarsely rounded so the jit
-    # cache hits across buckets and shards)
+    # bucket hot tiles by capacity; with device-side compaction the cap only
+    # sizes a transient HBM buffer, so quantize it to TWO values (4096, or
+    # pow2 of the max count for the rare dense tiles) — fewer distinct
+    # program shapes = fewer (remote, tens-of-seconds) TPU compiles
     buckets: dict[int, list[int]] = {}
     for k in hot:
-        buckets.setdefault(max(256, _next_pow2(int(counts[k]))), []).append(k)
+        cap = 4096 if counts[k] <= 4096 else _next_pow2(int(counts[k]))
+        buckets.setdefault(cap, []).append(k)
 
     parts = []
     for cap, ks in buckets.items():

@@ -301,30 +301,20 @@ def extract_batch(planes, thr, coords, tile: int, cap: int):
     return idx, counts, dot_hi, dot_lo
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "cap", "out_cap"))
-def sweep_compact(planes, thr, coords, tile: int, cap: int, out_cap: int):
-    """Batched candidate extraction with device-side flat compaction: the
-    candidates of all K tiles leave the device as ONE exactly-sized int32
-    index array — 4 bytes per candidate, the engine's entire per-candidate
-    D2H budget (exact dots are recomputed on host from the resident int32
-    vectors with float64 BLAS, which is exact for every representable db:
-    |dot| <= d * max^2 < 2^53).
+@functools.partial(jax.jit, static_argnames=("tile", "cap"))
+def sweep_candidates(planes, thr, coords, tile: int, cap: int):
+    """Batched candidate extraction: per-tile compacted in-tile indices, all
+    device-resident (the heavy program — compile key is (K, cap, tile) only).
 
     Args:
       coords: (K, 3) int32 — (row_tile, col_tile, valid); invalid rows are
         compile-cache padding and contribute nothing.
       cap: static per-tile capacity (must hold every tile's true count).
-      out_cap: static flat output capacity (>= sum of true counts; round up
-        coarsely so compile caching works across buckets).
 
-    Returns:
-      packed (out_cap,) int32 — t * tile^2 + in-tile idx, row-major per tile
-        in coords order, -1 padding at the tail;
-      counts (K,) int32 — true per-tile counts (0 for invalid rows).
+    Returns device arrays (idx (K, cap) int32 with -1 padding,
+    counts (K,) int32).
     """
     P, npad, d = planes.shape
-    K = coords.shape[0]
-    assert K * tile * tile <= 2**31 - 1, "packed index would overflow int32"
 
     def one(carry, rc):
         r, c, valid = rc[0], rc[1], rc[2]
@@ -342,12 +332,32 @@ def sweep_compact(planes, thr, coords, tile: int, cap: int, out_cap: int):
         return carry, (idx, count)
 
     _, (idx, counts) = jax.lax.scan(one, None, coords)
-    # flat compaction: valid slots in (tile-order, in-tile-order)
+    return idx, counts
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "out_cap"))
+def compact_indices(idx, tile: int, out_cap: int):
+    """(K, cap) per-tile indices -> ONE flat exactly-sized packed array
+    (t * tile^2 + in-tile idx, row-major per tile, -1 tail padding). The
+    small second program — only it re-compiles when the output size changes."""
+    K = idx.shape[0]
+    assert K * tile * tile <= 2**31 - 1, "packed index would overflow int32"
     t_ids = jnp.arange(K, dtype=jnp.int32)[:, None]
     packed = jnp.where(idx >= 0, t_ids * (tile * tile) + idx, -1).reshape(-1)
     pos = jnp.nonzero(packed >= 0, size=out_cap, fill_value=-1)[0]
-    packed = jnp.where(pos >= 0, packed[jnp.maximum(pos, 0)], -1)
-    return packed, counts
+    return jnp.where(pos >= 0, packed[jnp.maximum(pos, 0)], -1)
+
+
+def sweep_compact(planes, thr, coords, tile: int, cap: int, out_cap: int):
+    """sweep_candidates + compact_indices: the candidates of all K tiles
+    leave the device as ONE exactly-sized int32 index array — 4 bytes per
+    candidate, the engine's entire per-candidate D2H budget (exact dots are
+    recomputed on host from the resident int32 vectors with float64 BLAS,
+    which is exact for every representable db: |dot| <= d * max^2 < 2^53).
+
+    Returns (packed (out_cap,) int32 device array, counts (K,) int32)."""
+    idx, counts = sweep_candidates(planes, thr, coords, tile, cap)
+    return compact_indices(idx, tile, out_cap), counts
 
 
 def exact_dots_host(V: np.ndarray, rows: np.ndarray, cols: np.ndarray,
