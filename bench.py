@@ -100,6 +100,28 @@ def bench_pairwise(N=8192, d=2048, tile=2048, max_abs=1500, reps=10):
 
     pairs = float(N) * N
     extras["sweep_ms"] = round(per_sweep * 1e3, 3)
+
+    # secondary: the int16-dtype sweep (L=3 -> 6 plane matmuls)
+    try:
+        N16 = N // 2
+        V16 = rng.integers(-32768, 32768, size=(N16, d)).astype(np.int32)
+        n16 = (np.einsum("ij,ij->i", V16.astype(np.float64),
+                         V16.astype(np.float64)) / d).astype(np.float32)
+        L16 = pw.pick_limbs(32767)
+        p16 = pw.decompose_planes(jnp.asarray(V16), L16)
+        p16.block_until_ready()
+        t16 = jnp.asarray(n16)
+        nt16 = N16 // tile
+        c16 = jnp.asarray(np.array([(r, c) for r in range(nt16)
+                                    for c in range(nt16)], dtype=np.int32))
+        s16, _, _ = measure(
+            lambda acc: sweep_seeded(p16, t16, c16, acc, tile=tile),
+            (nt16 * nt16,))
+        extras["i16_sweep_ms"] = round(s16 * 1e3, 3)
+        extras["i16_pairs_per_sec"] = round(float(N16) * N16 / s16, 1)
+    except Exception as e:  # pragma: no cover
+        extras["i16_error"] = str(e)[:120]
+
     return pairs / per_sweep, extras
 
 

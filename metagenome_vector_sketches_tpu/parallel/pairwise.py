@@ -20,35 +20,38 @@ from jax import shard_map
 from .mesh import DATA_AXIS
 
 
-def sharded_pairwise_counts(mesh, v_planes, thr, d: int):
+def sharded_pairwise_counts(mesh, v_limbs, thr, d: int):
     """One full sharded sweep: per-row survivor counts of the retention
     threshold (the all-reduce'd statistic used for capacity planning and the
     multi-chip validation step).
 
     Args:
       mesh: 1-D Mesh over axis 'data'.
-      v_planes: (P, N, d) int8 Karatsuba planes (ops.pairwise.decompose_planes)
-        — row-sharded on axis 1 (N divisible by mesh size).
+      v_limbs: (L, N, d) int8 balanced limbs (ops.pairwise.decompose_limbs)
+        — row-sharded on axis 1 (N divisible by mesh size). Limbs, not
+        planes: the Karatsuba sum planes are rebuilt locally AFTER the
+        gather, so the ICI all_gather moves L/P = 2/3 of the bytes.
       thr: (N,) float32 squared norms — row-sharded.
       d: dimension.
 
     Returns:
       (N,) int32 per-row survivor counts, row-sharded.
     """
-    from ..ops.pairwise import approx_dot_f32
+    from ..ops.pairwise import approx_dot_f32, karatsuba_planes
 
     def step(v_local, thr_local):
-        # gather the full column side over ICI
+        # gather the full column side over ICI (limbs only), extend locally
         v_all = jax.lax.all_gather(v_local, DATA_AXIS, axis=1, tiled=True)
         thr_all = jax.lax.all_gather(thr_local, DATA_AXIS, axis=0, tiled=True)
-        approx = approx_dot_f32(v_local, v_all)
+        approx = approx_dot_f32(karatsuba_planes(v_local),
+                                karatsuba_planes(v_all))
         passes = approx / np.float32(d) > 0.05 * (thr_local[:, None] + thr_all[None, :])
         return jnp.sum(passes.astype(jnp.int32), axis=1)
 
     fn = shard_map(step, mesh=mesh,
                    in_specs=(P(None, DATA_AXIS, None), P(DATA_AXIS)),
                    out_specs=P(DATA_AXIS))
-    return jax.jit(fn)(v_planes, thr)
+    return jax.jit(fn)(v_limbs, thr)
 
 
 def distributed_topk(mesh, queries, v_norm, k: int):

@@ -63,13 +63,16 @@ def make_pipeline_step(mesh, d: int, L: int, k: int):
         # exact squared norms as the |set| estimate
         norms_sq = jnp.sum((vecs.astype(jnp.float32) / np.float32(np.sqrt(d))) ** 2,
                            axis=1)
-        # balanced base-128 planes (limbs + Karatsuba sums) + weighted sweep
-        from ..ops.pairwise import approx_dot_f32, decompose_planes
-        planes = decompose_planes.__wrapped__(vecs, L)           # (P, b, d)
+        # balanced base-128 limbs; gather limbs over ICI (2/3 the bytes of
+        # planes), extend to Karatsuba planes locally, weighted sweep
+        from ..ops.pairwise import (approx_dot_f32, decompose_limbs,
+                                    karatsuba_planes)
+        limbs = decompose_limbs.__wrapped__(vecs, L)             # (L, b, d)
 
-        v_all = jax.lax.all_gather(planes, DATA_AXIS, axis=1, tiled=True)
+        v_all = jax.lax.all_gather(limbs, DATA_AXIS, axis=1, tiled=True)
         thr_all = jax.lax.all_gather(norms_sq, DATA_AXIS, axis=0, tiled=True)
-        approx = approx_dot_f32(planes, v_all)
+        approx = approx_dot_f32(karatsuba_planes(limbs),
+                                karatsuba_planes(v_all))
         passes = approx / np.float32(d) > 0.05 * (norms_sq[:, None] + thr_all[None, :])
         survivors = jnp.sum(passes.astype(jnp.int32), axis=1)       # (b,) local
 

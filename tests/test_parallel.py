@@ -25,7 +25,7 @@ def test_sharded_pairwise_counts_matches_oracle(mesh8):
     V = rng.integers(-300, 300, size=(N, d)).astype(np.int32)
     norms_sq = np.einsum("ij,ij->i", V.astype(np.float64), V.astype(np.float64))
     L = pw.pick_limbs(300)
-    limbs = np.asarray(pw.decompose_planes(jnp.asarray(V), L))
+    limbs = np.asarray(pw.decompose_limbs(jnp.asarray(V), L))
     limbs_sh = jax.device_put(jnp.asarray(limbs),
                               jax.sharding.NamedSharding(
                                   mesh8, jax.sharding.PartitionSpec(None, "data", None)))
