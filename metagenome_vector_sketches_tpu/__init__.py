@@ -21,28 +21,3 @@ RolandFaure/metagenome_vector_sketches (reference layout documented in SURVEY.md
 """
 
 __version__ = "0.1.0"
-
-
-def _enable_persistent_compile_cache() -> None:
-    """Persist XLA compilations across processes (off with
-    MVS_TPU_NO_COMPILE_CACHE=1). The CLIs run as independent array-job
-    processes — without this every shard job would re-pay the (remote, tens
-    of seconds) TPU compiles for the same program shapes."""
-    import os
-    if os.environ.get("MVS_TPU_NO_COMPILE_CACHE"):
-        return
-    try:
-        import jax
-        if jax.config.jax_compilation_cache_dir is None:
-            cache = os.environ.get(
-                "JAX_COMPILATION_CACHE_DIR",
-                os.path.join(os.path.expanduser("~"), ".cache",
-                             "mvs_tpu_xla_cache"))
-            os.makedirs(cache, exist_ok=True)
-            jax.config.update("jax_compilation_cache_dir", cache)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
-
-_enable_persistent_compile_cache()

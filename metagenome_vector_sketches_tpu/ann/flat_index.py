@@ -22,6 +22,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..utils import compilecache
+compilecache.ensure()
+
 MAGIC = b"MVSFLATIP\x00"
 VERSION = 1
 

@@ -44,6 +44,14 @@ def _next_pow2(x: int) -> int:
     return p
 
 
+def _max_tiles_per_batch(tile: int) -> int:
+    """Largest pow2 tile count per extraction batch such that the packed
+    candidate index t*tile^2 + local stays within int32 (ops.pairwise
+    compact_indices asserts this bound)."""
+    k = _next_pow2((2**31 - 1) // (tile * tile) + 1) // 2
+    return max(1, k)
+
+
 def scan_max_abs(db: DbFolder, chunk: int = 8192) -> int:
     """One streaming pass over vectors.bin for the global max |component|
     (fixes the limb count statically for the whole run)."""
@@ -182,39 +190,40 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
         cap = 4096 if counts[k] <= 4096 else _next_pow2(int(counts[k]))
         buckets.setdefault(cap, []).append(k)
 
+    max_K = _max_tiles_per_batch(tile)
     parts = []
     for cap, ks in buckets.items():
-        K_pad = _next_pow2(len(ks))
-        bcoords = np.zeros((K_pad, 3), dtype=np.int32)
-        bcoords[:len(ks), :2] = coords[ks]
-        bcoords[:len(ks), 2] = 1
-        total_b = int(counts[ks].sum())
-        out_cap = ((total_b + 16383) // 16384) * 16384
-        packed, counts_b = pw.sweep_compact(
-            planes, thr_j, jnp.asarray(bcoords), tile, cap, out_cap)
-        packed = np.asarray(packed)[:total_b]          # 4 B/candidate D2H
-        counts_b = np.asarray(counts_b)
-        bounds = np.zeros(len(ks) + 1, dtype=np.int64)
-        np.cumsum(counts_b[:len(ks)], out=bounds[1:])
-        # global coordinates of every candidate in this bucket
-        t_of = packed // (tile * tile)
-        local = packed % (tile * tile)
-        rt = coords[ks][t_of, 0]
-        ct = coords[ks][t_of, 1]
-        r_glob = rt * tile + local // tile
-        c_glob = ct * tile + local % tile
-        keep_range = ((r_glob >= begin_row) & (r_glob < end_row)
-                      & (c_glob < total))
-        r_glob, c_glob = r_glob[keep_range], c_glob[keep_range]
-        for t, k in enumerate(ks):
-            assert int(counts_b[t]) == int(counts[k])
-        if len(r_glob) == 0:
-            continue
-        dots = pw.exact_dots_host(V, r_glob, c_glob, max_abs)
-        thr_exact = 0.05 * (norms_sq[r_glob] + norms_sq[c_glob])
-        keep = exact_filter(dots, thr_exact, d)
-        if keep.any():
-            parts.append((r_glob[keep], c_glob[keep], dots[keep]))
+        for s in range(0, len(ks), max_K):
+            chunk_ks = ks[s:s + max_K]
+            K_pad = _next_pow2(len(chunk_ks))
+            bcoords = np.zeros((K_pad, 3), dtype=np.int32)
+            bcoords[:len(chunk_ks), :2] = coords[chunk_ks]
+            bcoords[:len(chunk_ks), 2] = 1
+            total_b = int(counts[chunk_ks].sum())
+            out_cap = ((total_b + 16383) // 16384) * 16384
+            packed, counts_b = pw.sweep_compact(
+                planes, thr_j, jnp.asarray(bcoords), tile, cap, out_cap)
+            packed = np.asarray(packed)[:total_b]      # 4 B/candidate D2H
+            counts_b = np.asarray(counts_b)
+            for t, k in enumerate(chunk_ks):
+                assert int(counts_b[t]) == int(counts[k])
+            # global coordinates of every candidate in this chunk
+            t_of = packed // (tile * tile)
+            local = packed % (tile * tile)
+            rt = coords[chunk_ks][t_of, 0]
+            ct = coords[chunk_ks][t_of, 1]
+            r_glob = rt * tile + local // tile
+            c_glob = ct * tile + local % tile
+            keep_range = ((r_glob >= begin_row) & (r_glob < end_row)
+                          & (c_glob < total))
+            r_glob, c_glob = r_glob[keep_range], c_glob[keep_range]
+            if len(r_glob) == 0:
+                continue
+            dots = pw.exact_dots_host(V, r_glob, c_glob, max_abs)
+            thr_exact = 0.05 * (norms_sq[r_glob] + norms_sq[c_glob])
+            keep = exact_filter(dots, thr_exact, d)
+            if keep.any():
+                parts.append((r_glob[keep], c_glob[keep], dots[keep]))
     return _concat(parts)
 
 

@@ -41,6 +41,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..utils import compilecache
+compilecache.ensure()
+
 
 def _balanced_top(v: int, L: int) -> int:
     """Top digit of the balanced base-128 decomposition of python int v."""
@@ -205,25 +208,6 @@ def sweep_counts_impl(planes, thr, tile_coords, tile: int):
 sweep_counts = jax.jit(sweep_counts_impl, static_argnames=("tile",))
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "cap"))
-def tile_extract(planes, thr, r, c, tile: int, cap: int):
-    """Candidate extraction for ONE hot tile out of the device-resident
-    database: recompute its mask and compact coordinates (row-major order).
-    Returns (idx (cap,) int32 with -1 padding, count)."""
-    P, Npad, d = planes.shape
-    vi = jax.lax.dynamic_slice(planes, (0, r * tile, 0), (P, tile, d))
-    vj = jax.lax.dynamic_slice(planes, (0, c * tile, 0), (P, tile, d))
-    thr_i = jax.lax.dynamic_slice(thr, (r * tile,), (tile,))
-    thr_j = jax.lax.dynamic_slice(thr, (c * tile,), (tile,))
-    approx = approx_dot_f32(vi, vj)
-    passes = approx / np.float32(d) > \
-        0.05 * (thr_i[:, None] + thr_j[None, :]) * SLACK_REL - SLACK_ABS
-    flat = passes.reshape(-1)
-    count = jnp.sum(flat.astype(jnp.int32))
-    idx = jnp.nonzero(flat, size=cap, fill_value=-1)[0].astype(jnp.int32)
-    return idx, count
-
-
 def _dot64_from_partials(partials, L: int):
     """Exact int64 dots as (hi, lo) int32 pairs from per-(a,b) int32 partial
     limb dots: dot = sum_ab 2^(7(a+b)) p_ab, accumulated in emulated-64-bit
@@ -236,10 +220,13 @@ def _dot64_from_partials(partials, L: int):
         for b in range(L):
             p = partials[k]
             k += 1
-            s = 7 * (a + b)
+            s = 7 * (a + b)                           # up to 42 at L=4
             lo = p.astype(jnp.uint32)
             hi = (p >> 31).astype(jnp.uint32)        # sign extension
-            if s:
+            if s >= 32:                               # 64-bit pair << s
+                hi = lo << (s - 32) if s > 32 else lo
+                lo = jnp.zeros_like(lo)
+            elif s:
                 hi = (hi << s) | (lo >> (32 - s))
                 lo = lo << s
             new_lo = acc_lo + lo
@@ -379,17 +366,6 @@ def exact_dots_host(V: np.ndarray, rows: np.ndarray, cols: np.ndarray,
         gj = V[cols[s:e]].astype(dt)
         out[s:e] = np.einsum("kd,kd->k", gi, gj).astype(np.int64)
     return out
-
-
-@functools.partial(jax.jit, static_argnames=("tile",))
-def tile_exact_pab(planes, r, c, idx, tile: int):
-    """Exact (K, L*L) int32 partial limb dots for flattened coords of one
-    tile of the device-resident database."""
-    P, Npad, d = planes.shape
-    L = limbs_from_planes(P)
-    vi = jax.lax.dynamic_slice(planes, (0, r * tile, 0), (P, tile, d))
-    vj = jax.lax.dynamic_slice(planes, (0, c * tile, 0), (P, tile, d))
-    return exact_pab_at(vi[:L], vj[:L], idx, tile)
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))

@@ -30,6 +30,9 @@ import jax.numpy as jnp
 
 from .splitmix import splitmix64_np, splitmix64_u32, split_u64
 
+from ..utils import compilecache
+compilecache.ensure()
+
 _U64 = np.uint64
 
 

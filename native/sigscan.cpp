@@ -67,14 +67,20 @@ bool inflate_buf(const uint8_t* src, size_t src_n, int window_bits,
 }
 
 // Sequential scan of signature JSON: every "ksize": K, and if K == want the
-// next "mins":[...] array (before any subsequent "ksize").
-void scan_json(const uint8_t* text, size_t n, int want,
+// next "mins":[...] array (before any subsequent "ksize"). Returns false on
+// any structural surprise (unexpected character in the array, non-numeric
+// ksize) so the caller falls back to the full-JSON python path instead of
+// silently returning a truncated hash set.
+bool scan_json(const uint8_t* text, size_t n, int want,
                std::vector<uint64_t>& out) {
     const char* s = reinterpret_cast<const char*>(text);
     size_t i = 0;
+    auto is_ws = [](char c) {
+        return c == ' ' || c == '\t' || c == '\n' || c == '\r';
+    };
     auto find = [&](const char* needle, size_t from) -> size_t {
         size_t len = std::strlen(needle);
-        if (len > n) return std::string::npos;
+        if (from >= n || len > n - from) return std::string::npos;
         const void* hit = memmem(s + from, n - from, needle, len);
         if (!hit) return std::string::npos;
         return (size_t)((const char*)hit - s);
@@ -83,7 +89,8 @@ void scan_json(const uint8_t* text, size_t n, int want,
         size_t k = find("\"ksize\"", i);
         if (k == std::string::npos) break;
         size_t j = k + 7;
-        while (j < n && (s[j] == ':' || s[j] == ' ')) j++;
+        while (j < n && (s[j] == ':' || is_ws(s[j]))) j++;
+        if (j >= n || s[j] < '0' || s[j] > '9') return false;
         long ks = 0;
         while (j < n && s[j] >= '0' && s[j] <= '9') ks = ks * 10 + (s[j++] - '0');
         size_t next_k = find("\"ksize\"", j);
@@ -96,11 +103,14 @@ void scan_json(const uint8_t* text, size_t n, int want,
         if (m == std::string::npos || (next_k != std::string::npos && m > next_k))
             continue;  // this signature has no mins before the next one
         size_t p = m + 6;
-        while (p < n && s[p] != '[') p++;
+        while (p < n && (s[p] == ':' || is_ws(s[p]))) p++;
+        if (p >= n || s[p] != '[') return false;
         p++;
-        while (p < n && s[p] != ']') {
-            while (p < n && (s[p] == ',' || s[p] == ' ' || s[p] == '\n')) p++;
-            if (p < n && (s[p] < '0' || s[p] > '9')) break;
+        while (true) {
+            while (p < n && (s[p] == ',' || is_ws(s[p]))) p++;
+            if (p >= n) return false;              // unterminated array
+            if (s[p] == ']') break;
+            if (s[p] < '0' || s[p] > '9') return false;  // unexpected token
             uint64_t v = 0;
             while (p < n && s[p] >= '0' && s[p] <= '9')
                 v = v * 10 + (uint64_t)(s[p++] - '0');
@@ -108,6 +118,7 @@ void scan_json(const uint8_t* text, size_t n, int want,
         }
         if (next_k == std::string::npos) break;
     }
+    return true;
 }
 
 }  // namespace
@@ -182,7 +193,7 @@ int64_t sigscan_read(const char* path, int ksize, uint64_t** out) {
         // gzip payload: ISIZE (mod 2^32) in the trailer is the size hint
         size_t hint = gz_n >= 4 ? rd32(gz + gz_n - 4) : 0;
         if (!inflate_buf(gz, gz_n, 16 + MAX_WBITS, text, hint)) return -12;
-        scan_json(text.data(), text.size(), ksize, hashes);
+        if (!scan_json(text.data(), text.size(), ksize, hashes)) return -14;
     }
 
     uint64_t* res = (uint64_t*)std::malloc(sizeof(uint64_t) *

@@ -91,6 +91,33 @@ def test_approx_dot_karatsuba_exact():
                                    atol=max(1.0, np.abs(want).max() * 1e-6))
 
 
+def test_max_tiles_per_batch_respects_int32():
+    """Packed candidate indices must stay within int32 for every extraction
+    batch the engine can build (regression: tile=2048 with many hot tiles)."""
+    from metagenome_vector_sketches_tpu.matrix.compute import _max_tiles_per_batch
+    for tile in [256, 512, 1024, 2048, 4096, 8192]:
+        k = _max_tiles_per_batch(tile)
+        assert k >= 1
+        assert k * tile * tile <= 2**31 - 1
+
+
+def test_dot64_large_L_shifts():
+    """_dot64_from_partials must stay exact at L=4 (shift amounts >= 32)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(15)
+    L, K, d = 4, 64, 16
+    li = rng.integers(-64, 64, size=(L, K, d)).astype(np.int64)
+    lj = rng.integers(-64, 64, size=(L, K, d)).astype(np.int64)
+    partials = [jnp.asarray((li[a] * lj[b]).sum(axis=-1).astype(np.int32))
+                for a in range(L) for b in range(L)]
+    hi, lo = pw._dot64_from_partials(partials, L)
+    got = pw.join_dot64(np.asarray(hi), np.asarray(lo))
+    vi = sum(li[k] * (1 << (7 * k)) for k in range(L))
+    vj = sum(lj[k] * (1 << (7 * k)) for k in range(L))
+    want = np.einsum("kd,kd->k", vi, vj)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_extract_batch_dot64_exact():
     """The device-side emulated-64-bit recombination must be exact for
     large positive AND negative dots (int16-scale magnitudes, L=3)."""
