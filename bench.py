@@ -215,9 +215,16 @@ def main():
     baseline_pps = base["pairwise_d2048"]["pairs_per_sec"]
     baseline_proj = base["projection_d2048"]["hashes_per_sec"]
 
-    pps, pair_extras = bench_pairwise()
-    proj = bench_projection()
-    topk = bench_topk()
+    import jax
+    if jax.default_backend() == "cpu":
+        # keep the fallback benchmark finite on a CPU-only host
+        pps, pair_extras = bench_pairwise(N=2048, tile=1024, reps=3)
+        proj = bench_projection(B=8, H=1024)
+        topk = bench_topk(N=8192, B=32)
+    else:
+        pps, pair_extras = bench_pairwise()
+        proj = bench_projection()
+        topk = bench_topk()
 
     import jax
     result = {
