@@ -49,6 +49,32 @@ def test_sigzip_native_equals_python_all_toys(toy_sig_dir):
     assert sigzip._read_sig_zip_native(files[0], 21) == set()
 
 
+def test_sigzip_native_stored_and_whitespace(tmp_path):
+    """The C++ scanner must handle STORED zip members and JSON with \\r\\n /
+    tab whitespace (and agree with the python path on both)."""
+    import gzip
+    import json
+    import zipfile
+    if sigzip._load_native() is None:
+        pytest.skip("native sigscan unavailable")
+    sig = [{"class": "sourmash_signature",
+            "signatures": [{"num": 0, "ksize": 31, "seed": 42,
+                            "mins": [12345678901234567890, 42, 7]}]}]
+    pretty = json.dumps(sig, indent=1).replace("\n", "\r\n").replace(" ", "\t")
+    for method, text in [(zipfile.ZIP_STORED, json.dumps(sig)),
+                         (zipfile.ZIP_DEFLATED, pretty)]:
+        path = str(tmp_path / f"ACC{method}.x.sig.zip")
+        with zipfile.ZipFile(path, "w", compression=method) as zf:
+            zf.writestr("signatures/a.sig.gz", gzip.compress(text.encode()))
+        want = {12345678901234567890, 42, 7}
+        assert sigzip._read_sig_zip_python(path, 31) == want
+        got = sigzip._read_sig_zip_native(path, 31)
+        # a structural refusal (None -> python fallback) is acceptable;
+        # a WRONG answer is not
+        assert got is None or got == want
+        assert sigzip.read_sig_zip(path, 31) == want
+
+
 @pytest.mark.parametrize("db,dtype,d", [
     ("toy_db_2048", "int32", 2048),
     ("toy_db_2048_i16", "int16", 2048),
