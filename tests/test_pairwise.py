@@ -91,6 +91,19 @@ def test_approx_dot_karatsuba_exact():
                                    atol=max(1.0, np.abs(want).max() * 1e-6))
 
 
+def test_extraction_chunking_matches_oracle(tmp_path, ref_toy_dir, monkeypatch):
+    """Force tiny extraction batches so the K-chunk loop runs many times;
+    decoded triples must still equal the oracle exactly."""
+    from metagenome_vector_sketches_tpu.matrix import compute as mc
+    monkeypatch.setattr(mc, "_max_tiles_per_batch", lambda tile: 2)
+    db = DbFolder(str(ref_toy_dir / "toy_db_256"))
+    out = str(tmp_path / "matrix")
+    compute_pairwise_shard(str(ref_toy_dir / "toy_db_256"), out,
+                           tile_rows=16, tile_cols=16, verbose=False)
+    got = _decoded_triples(out, db.num_vectors)
+    assert got == _oracle_triples(db)
+
+
 def test_max_tiles_per_batch_respects_int32():
     """Packed candidate indices must stay within int32 for every extraction
     batch the engine can build (regression: tile=2048 with many hot tiles)."""
