@@ -46,3 +46,17 @@ def test_device_projection_matches_host():
 
 def test_empty_set_projects_to_zero():
     assert np.all(project_host(np.array([], dtype=np.uint64), 128) == 0)
+
+
+def test_device_projection_edges():
+    """Device path at a non-64-multiple d (tail trim), SWAR chunk-edge set
+    sizes (14/15/16 hashes), and an empty set in the batch."""
+    rng = np.random.default_rng(9)
+    d = 200
+    sets = [rng.integers(0, 1 << 64, size=n, dtype=np.uint64)
+            for n in [14, 15, 16, 31, 2]]
+    sets.append(np.array([], dtype=np.uint64))
+    got = project_device_many([list(map(int, s)) for s in sets], d)
+    for i, s in enumerate(sets):
+        np.testing.assert_array_equal(got[i], project_host(s, d), err_msg=f"set {i}")
+    assert np.all(got[-1] == 0)
