@@ -205,17 +205,53 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
         log(f"sweep: {len(coords)} tiles, {len(hot)} hot, "
             f"{int(counts.sum())} candidates")
 
-    # bucket hot tiles by capacity; with device-side compaction the cap only
-    # sizes a transient HBM buffer, so quantize it to TWO values (4096, or
-    # pow2 of the max count for the rare dense tiles) — fewer distinct
-    # program shapes = fewer (remote, tens-of-seconds) TPU compiles
+    # Split hot tiles by density: above 1/32 survivors a packed BITMAP
+    # (tile^2/8 bytes, density-independent) is a cheaper host read than
+    # 4-byte indices. Sparse tiles bucket by capacity; with device-side
+    # compaction the cap only sizes a transient HBM buffer, so quantize it
+    # to TWO values (4096, or pow2 of the max count for bigger tiles) —
+    # fewer distinct program shapes = fewer (remote) TPU compiles.
+    dense_cut = (tile * tile) // 32
+    use_dense = (tile * tile) % 32 == 0 and dense_cut > 0
+    dense = [k for k in hot if use_dense and counts[k] > dense_cut]
     buckets: dict[int, list[int]] = {}
     for k in hot:
+        if use_dense and counts[k] > dense_cut:
+            continue
         cap = 4096 if counts[k] <= 4096 else _next_pow2(int(counts[k]))
         buckets.setdefault(cap, []).append(k)
 
     max_K = _max_tiles_per_batch(tile)
     parts = []
+
+    def finalize_globals(r_glob, c_glob):
+        keep_range = ((r_glob >= begin_row) & (r_glob < end_row)
+                      & (c_glob < total))
+        r_glob, c_glob = r_glob[keep_range], c_glob[keep_range]
+        if len(r_glob) == 0:
+            return
+        dots = pw.exact_dots_host(V, r_glob, c_glob, max_abs)
+        thr_exact = 0.05 * (norms_sq[r_glob] + norms_sq[c_glob])
+        keep = exact_filter(dots, thr_exact, d)
+        if keep.any():
+            parts.append((r_glob[keep], c_glob[keep], dots[keep]))
+
+    # dense tiles: bitmap extraction, chunked for bounded HBM + stable shapes
+    DENSE_CHUNK = 64
+    for s in range(0, len(dense), DENSE_CHUNK):
+        chunk_ks = dense[s:s + DENSE_CHUNK]
+        K_pad = _next_pow2(len(chunk_ks))
+        bcoords = np.zeros((K_pad, 3), dtype=np.int32)
+        bcoords[:len(chunk_ks), :2] = coords[chunk_ks]
+        bcoords[:len(chunk_ks), 2] = 1
+        words = np.asarray(pw.sweep_mask_bits(planes, thr_j,
+                                              jnp.asarray(bcoords), tile))
+        for t, k in enumerate(chunk_ks):
+            bits = np.unpackbits(words[t].view(np.uint8), bitorder="little")
+            local = np.flatnonzero(bits)
+            assert len(local) == int(counts[k])
+            r, c = int(coords[k][0]), int(coords[k][1])
+            finalize_globals(r * tile + local // tile, c * tile + local % tile)
     for cap, ks in buckets.items():
         for s in range(0, len(ks), max_K):
             chunk_ks = ks[s:s + max_K]
@@ -236,18 +272,7 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
             local = packed % (tile * tile)
             rt = coords[chunk_ks][t_of, 0]
             ct = coords[chunk_ks][t_of, 1]
-            r_glob = rt * tile + local // tile
-            c_glob = ct * tile + local % tile
-            keep_range = ((r_glob >= begin_row) & (r_glob < end_row)
-                          & (c_glob < total))
-            r_glob, c_glob = r_glob[keep_range], c_glob[keep_range]
-            if len(r_glob) == 0:
-                continue
-            dots = pw.exact_dots_host(V, r_glob, c_glob, max_abs)
-            thr_exact = 0.05 * (norms_sq[r_glob] + norms_sq[c_glob])
-            keep = exact_filter(dots, thr_exact, d)
-            if keep.any():
-                parts.append((r_glob[keep], c_glob[keep], dots[keep]))
+            finalize_globals(rt * tile + local // tile, ct * tile + local % tile)
     return _concat(parts)
 
 

@@ -335,6 +335,41 @@ def compact_indices(idx, tile: int, out_cap: int):
     return jnp.where(pos >= 0, packed[jnp.maximum(pos, 0)], -1)
 
 
+@functools.partial(jax.jit, static_argnames=("tile",))
+def sweep_mask_bits(planes, thr, coords, tile: int):
+    """Batched candidate extraction as BITMAPS: one packed uint32 word per
+    32 tile slots (tile^2/8 bytes per tile D2H, independent of density) —
+    cheaper than 4-byte indices whenever more than 1/32 of a tile survives
+    (dense regions: clusters of near-identical accessions).
+
+    Args:
+      coords: (K, 3) int32 (row_tile, col_tile, valid).
+
+    Returns (K, tile*tile//32) uint32; bit n of word w (little) is flat slot
+    32*w + n in row-major (ti, tj) order — np.unpackbits(bitorder='little')
+    on the byte view restores the flat mask.
+    """
+    P, npad, d = planes.shape
+    lane = jnp.arange(32, dtype=jnp.uint32)
+
+    def one(carry, rc):
+        r, c, valid = rc[0], rc[1], rc[2]
+        vi = jax.lax.dynamic_slice(planes, (0, r * tile, 0), (P, tile, d))
+        vj = jax.lax.dynamic_slice(planes, (0, c * tile, 0), (P, tile, d))
+        thr_i = jax.lax.dynamic_slice(thr, (r * tile,), (tile,))
+        thr_j = jax.lax.dynamic_slice(thr, (c * tile,), (tile,))
+        approx = approx_dot_f32(vi, vj)
+        passes = (approx / np.float32(d) >
+                  0.05 * (thr_i[:, None] + thr_j[None, :]) * SLACK_REL
+                  - SLACK_ABS) & (valid > 0)
+        grouped = passes.reshape(-1, 32).astype(jnp.uint32)
+        words = jnp.sum(grouped << lane, axis=1).astype(jnp.uint32)
+        return carry, words
+
+    _, words = jax.lax.scan(one, None, coords)
+    return words
+
+
 def sweep_compact(planes, thr, coords, tile: int, cap: int, out_cap: int):
     """sweep_candidates + compact_indices: the candidates of all K tiles
     leave the device as ONE exactly-sized int32 index array — 4 bytes per
