@@ -226,7 +226,6 @@ def main():
         proj = bench_projection()
         topk = bench_topk()
 
-    import jax
     result = {
         "metric": "pairwise_sims_per_sec_per_chip_d2048",
         "value": round(pps, 1),

@@ -91,8 +91,12 @@ def adaptive_search(index: FlatIPIndex, queries_f64: np.ndarray, j: float,
     remaining = [list(range(len(queries)))] + [[] for _ in range(MAX_LEVELS - 1)]
     hits: list[tuple[int, int, float]] = []
 
+    def _pow2(x: int) -> int:
+        return 1 << max(0, (x - 1)).bit_length()
+
     def collect(D_dev, I_dev, qidx):
-        """Device-compact final hits for the rows of qidx."""
+        """Device-compact final hits for the rows of qidx (rows padded to a
+        power of two with -inf scores so program shapes stay stable)."""
         if nn_all is None:
             D = np.asarray(D_dev)
             I = np.asarray(I_dev)
@@ -102,10 +106,19 @@ def adaptive_search(index: FlatIPIndex, queries_f64: np.ndarray, j: float,
                         hits.append((int(q), int(I[row, rank]),
                                      float(D[row, rank])))
             return
+        R, k = D_dev.shape
+        R_pad = _pow2(R)
+        if R_pad != R:
+            D_dev = jnp.concatenate(
+                [D_dev, jnp.full((R_pad - R, k), -jnp.inf, jnp.float32)])
+            I_dev = jnp.concatenate(
+                [I_dev, jnp.full((R_pad - R, k), -1, jnp.int32)])
+        qn_rows = np.ones(R_pad, dtype=np.float32)
+        qn_rows[:R] = query_norms[np.asarray(qidx)].astype(np.float32)
         cap = 4096
         while True:
             out_q, out_i, out_ip, count = _compact_hits(
-                D_dev, I_dev, qn_dev[np.asarray(qidx)], nn_all,
+                D_dev, I_dev, jnp.asarray(qn_rows), nn_all,
                 np.float32(j), cap)
             count = int(count)
             if count <= cap:
@@ -124,9 +137,15 @@ def adaptive_search(index: FlatIPIndex, queries_f64: np.ndarray, j: float,
         nb = INITIAL_NB_SEARCHES * 3 ** level
         if verbose:
             print(f"Searching {nb} : ", qidx)
-        q_dev = jnp.asarray(queries[qidx])
-        D_dev, I_dev = index.search_device(q_dev, nb)
-        any_above, kth = (np.asarray(a) for a in _level_stats(D_dev, min_ip))
+        # pad the level batch to a power of two: data-dependent batch sizes
+        # would otherwise compile a fresh program per distinct size
+        B = len(qidx)
+        B_pad = _pow2(B)
+        qbatch = np.zeros((B_pad, queries.shape[1]), dtype=np.float32)
+        qbatch[:B] = queries[qidx]
+        D_dev, I_dev = index.search_device(jnp.asarray(qbatch), nb)
+        any_above, kth = (np.asarray(a)[:B]
+                          for a in _level_stats(D_dev, min_ip))
         stopped_rows = []
         for row, q in enumerate(qidx):
             deeper = bool(any_above[row]) and kth[row] > min_ip \
@@ -143,8 +162,7 @@ def adaptive_search(index: FlatIPIndex, queries_f64: np.ndarray, j: float,
                 stopped_rows.append(row)
         if stopped_rows:
             rows = np.asarray(stopped_rows)
-            collect(jnp.asarray(D_dev)[rows], jnp.asarray(I_dev)[rows],
-                    qidx[rows])
+            collect(D_dev[rows], I_dev[rows], qidx[rows])
     return hits, query_norms
 
 

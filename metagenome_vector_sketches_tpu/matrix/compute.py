@@ -153,7 +153,10 @@ def clear_device_cache() -> None:
 
 def _stage_database(db, norms_sq, total, tile, L, d):
     vec_path = os.path.join(db.path, "vectors.bin")
-    key = (os.path.abspath(vec_path), os.path.getmtime(vec_path),
+    norm_path = os.path.join(db.path, "vector_norms.txt")
+    key = (os.path.abspath(vec_path),
+           os.path.getmtime(vec_path), os.path.getsize(vec_path),
+           os.path.getmtime(norm_path), os.path.getsize(norm_path),
            total, tile, L, d)
     if _RESIDENT.get("key") == key:
         return _RESIDENT["value"]
@@ -213,13 +216,14 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
     # fewer distinct program shapes = fewer (remote) TPU compiles.
     dense_cut = (tile * tile) // 32
     use_dense = (tile * tile) % 32 == 0 and dense_cut > 0
-    dense = [k for k in hot if use_dense and counts[k] > dense_cut]
+    dense: list[int] = []
     buckets: dict[int, list[int]] = {}
     for k in hot:
         if use_dense and counts[k] > dense_cut:
-            continue
-        cap = 4096 if counts[k] <= 4096 else _next_pow2(int(counts[k]))
-        buckets.setdefault(cap, []).append(k)
+            dense.append(k)
+        else:
+            cap = 4096 if counts[k] <= 4096 else _next_pow2(int(counts[k]))
+            buckets.setdefault(cap, []).append(k)
 
     max_K = _max_tiles_per_batch(tile)
     parts = []
@@ -247,14 +251,25 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
         words = np.asarray(pw.sweep_mask_bits(planes, thr_j,
                                               jnp.asarray(bcoords), tile))
         for t, k in enumerate(chunk_ks):
+            # the bitmap is its own ground truth — phase-1 counts (possibly
+            # from the Pallas kernel) only routed this tile here
             bits = np.unpackbits(words[t].view(np.uint8), bitorder="little")
             local = np.flatnonzero(bits)
-            assert len(local) == int(counts[k])
             r, c = int(coords[k][0]), int(coords[k][1])
             finalize_globals(r * tile + local // tile, c * tile + local % tile)
-    for cap, ks in buckets.items():
-        for s in range(0, len(ks), max_K):
-            chunk_ks = ks[s:s + max_K]
+
+    # sparse tiles: flat-compacted indices. Phase-1 counts size the buffers;
+    # the XLA recount (counts_b) is authoritative — tiles whose recount
+    # exceeds the bucket cap are retried at a bigger cap, and a chunk whose
+    # recount total exceeds the compaction capacity is re-read (both can
+    # only happen if the Pallas and XLA float32 threshold decisions disagree
+    # on a borderline pair; never observed, but a crash would kill the job).
+    def run_sparse(cap, ks):
+        retry: list[int] = []
+        # also bound the (K, cap) idx buffer to ~512 MB of HBM
+        chunk_max = max(1, min(max_K, (512 << 20) // (cap * 4)))
+        for s in range(0, len(ks), chunk_max):
+            chunk_ks = ks[s:s + chunk_max]
             K_pad = _next_pow2(len(chunk_ks))
             bcoords = np.zeros((K_pad, 3), dtype=np.int32)
             bcoords[:len(chunk_ks), :2] = coords[chunk_ks]
@@ -263,16 +278,33 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
             out_cap = ((total_b + 16383) // 16384) * 16384
             packed, counts_b = pw.sweep_compact(
                 planes, thr_j, jnp.asarray(bcoords), tile, cap, out_cap)
-            packed = np.asarray(packed)[:total_b]      # 4 B/candidate D2H
-            counts_b = np.asarray(counts_b)
-            for t, k in enumerate(chunk_ks):
-                assert int(counts_b[t]) == int(counts[k])
+            counts_b = np.asarray(counts_b)[:len(chunk_ks)]
+            over = counts_b > cap
+            if over.any():
+                retry.extend(int(chunk_ks[t]) for t in np.flatnonzero(over))
+            # the flat buffer holds min(count, cap) entries per tile
+            needed = int(np.minimum(counts_b, cap).sum())
+            if needed > out_cap:
+                out_cap = ((needed + 16383) // 16384) * 16384
+                packed, _ = pw.sweep_compact(
+                    planes, thr_j, jnp.asarray(bcoords), tile, cap, out_cap)
+            packed = np.asarray(packed)                # 4 B/candidate D2H
+            packed = packed[packed >= 0]
             # global coordinates of every candidate in this chunk
             t_of = packed // (tile * tile)
             local = packed % (tile * tile)
+            if over.any():
+                keep = ~over[t_of]                     # retried tiles drop out
+                t_of, local = t_of[keep], local[keep]
             rt = coords[chunk_ks][t_of, 0]
             ct = coords[chunk_ks][t_of, 1]
             finalize_globals(rt * tile + local // tile, ct * tile + local % tile)
+        return retry
+
+    for cap, ks in buckets.items():
+        retry = run_sparse(cap, ks)
+        if retry:
+            run_sparse(_next_pow2(tile * tile), retry)
     return _concat(parts)
 
 
