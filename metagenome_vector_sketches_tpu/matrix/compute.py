@@ -185,8 +185,12 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
     coords = np.array([(r, c) for r in range(rt0, rt1) for c in range(nt)],
                       dtype=np.int32)
     counts = None
-    PALLAS_BLOCK = 512  # fastest VMEM-safe sweep block on v5e at d=2048
-    if tile % PALLAS_BLOCK == 0 and d % 128 == 0:
+    # fastest VMEM-safe sweep block on v5e at d=2048: operand blocks are
+    # 2 * P * block * d int8, so P=3 (int32 dbs) fits at 512 and P=6 (int16)
+    # at 256; larger plane counts fall back to the XLA scan
+    P = planes.shape[0]
+    PALLAS_BLOCK = 512 if P <= 3 else 256 if P <= 6 else 0
+    if PALLAS_BLOCK and tile % PALLAS_BLOCK == 0 and d % 128 == 0:
         # Pallas fast path (TPU): one kernel over the whole grid at the
         # speed-of-light block size, sub-block counts aggregated up to the
         # (coarser) extraction tile
