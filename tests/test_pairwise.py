@@ -91,6 +91,20 @@ def test_approx_dot_karatsuba_exact():
                                    atol=max(1.0, np.abs(want).max() * 1e-6))
 
 
+@pytest.mark.parametrize("n", [1, 2])
+def test_tiny_db_self_pairs(tmp_path, n):
+    """Degenerate databases: every row keeps its self pair at q=255."""
+    rng = np.random.default_rng(n)
+    V = rng.integers(-100, 100, size=(n, 64)).astype(np.int32)
+    DbFolder.write(str(tmp_path / "db"), [f"A{i}" for i in range(n)], V, 64)
+    compute_pairwise_shard(str(tmp_path / "db"), str(tmp_path / "mat"),
+                           verbose=False)
+    got = _decoded_triples(str(tmp_path / "mat"), n)
+    db = DbFolder(str(tmp_path / "db"))
+    assert got == _oracle_triples(db)
+    assert all(q == 255 for (r, c, q) in got if r == c)
+
+
 def test_extraction_chunking_matches_oracle(tmp_path, ref_toy_dir, monkeypatch):
     """Force tiny extraction batches so the K-chunk loop runs many times;
     decoded triples must still equal the oracle exactly."""
