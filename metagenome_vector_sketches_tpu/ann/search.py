@@ -86,7 +86,6 @@ def adaptive_search(index: FlatIPIndex, queries_f64: np.ndarray, j: float,
         nn_all = None
     else:
         nn_all = jnp.asarray(np.asarray(db_norms, dtype=np.float32))
-    qn_dev = jnp.asarray(query_norms.astype(np.float32))
 
     remaining = [list(range(len(queries)))] + [[] for _ in range(MAX_LEVELS - 1)]
     hits: list[tuple[int, int, float]] = []

@@ -23,10 +23,11 @@ diagonal weights (:func:`plane_weights`) — with zero per-tile elementwise
 work (which also keeps the Pallas kernel Mosaic-compatible). See
 :func:`approx_dot_f32`.
 
-On device we also build a float32 approximation of the combined dot and apply
-the reference's retention threshold with conservative slack, compact the
-candidate coordinates with a fixed-capacity nonzero, and gather the partial
-dots. The exact (int64) recombination, the exact threshold (integer division
+On device the float32 approximation of the combined dot is thresholded with
+conservative slack and the surviving coordinates are compacted (flat indices
+for sparse tiles, packed bitmaps for dense ones) — the only bytes that cross
+device->host. Exact dots are recomputed on host from the resident int32
+vectors (:func:`exact_dots_host`); the exact threshold (integer division
 semantics for the int32 path, float division for the int16 path —
 pairwise_comp_optimized.cpp:139-141 vs pairwise_comp_optimized_16bits.cpp:218)
 and the Jaccard quantization all happen on host in float64, bit-equal to the
@@ -208,84 +209,6 @@ def sweep_counts_impl(planes, thr, tile_coords, tile: int):
 sweep_counts = jax.jit(sweep_counts_impl, static_argnames=("tile",))
 
 
-def _dot64_from_partials(partials, L: int):
-    """Exact int64 dots as (hi, lo) int32 pairs from per-(a,b) int32 partial
-    limb dots: dot = sum_ab 2^(7(a+b)) p_ab, accumulated in emulated-64-bit
-    (TPU has no int64 lanes). Halves the candidate D2H volume vs shipping
-    the L*L partials to the host."""
-    acc_hi = jnp.zeros_like(partials[0], dtype=jnp.uint32)
-    acc_lo = jnp.zeros_like(partials[0], dtype=jnp.uint32)
-    k = 0
-    for a in range(L):
-        for b in range(L):
-            p = partials[k]
-            k += 1
-            s = 7 * (a + b)                           # up to 42 at L=4
-            lo = p.astype(jnp.uint32)
-            hi = (p >> 31).astype(jnp.uint32)        # sign extension
-            if s >= 32:                               # 64-bit pair << s
-                hi = lo << (s - 32) if s > 32 else lo
-                lo = jnp.zeros_like(lo)
-            elif s:
-                hi = (hi << s) | (lo >> (32 - s))
-                lo = lo << s
-            new_lo = acc_lo + lo
-            carry = (new_lo < acc_lo).astype(jnp.uint32)
-            acc_hi = acc_hi + hi + carry
-            acc_lo = new_lo
-    return acc_hi.astype(jnp.int32), acc_lo.astype(jnp.int32)
-
-
-def join_dot64(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
-    """Host: (hi, lo) int32 pairs -> exact int64 dots."""
-    return ((hi.astype(np.int64) << 32)
-            | (lo.astype(np.int64) & 0xFFFFFFFF))
-
-
-@functools.partial(jax.jit, static_argnames=("tile", "cap"))
-def extract_batch(planes, thr, coords, tile: int, cap: int):
-    """Candidate extraction + exact dots for a BATCH of hot tiles in one
-    program (lax.scan over tiles): one dispatch and one host read replace
-    per-tile calls. Tiles should be bucketed so cap ~ their true counts.
-
-    Args:
-      planes: (P, Npad, d) int8 Karatsuba planes of the device-resident
-        database (the first L planes are the limbs); thr (Npad,) f32.
-      coords: (K, 2) int32 (row_tile, col_tile) pairs.
-      cap: static per-tile candidate capacity.
-
-    Returns (idx (K, cap) int32 flattened in-tile coords (-1 pad),
-             counts (K,) int32, dot_hi/dot_lo (K, cap) int32 — the exact
-             int64 dots as emulated-64-bit pairs; :func:`join_dot64` on host).
-    """
-    P, npad, d = planes.shape
-    L = limbs_from_planes(P)
-
-    def one(carry, rc):
-        r, c = rc[0], rc[1]
-        vi = jax.lax.dynamic_slice(planes, (0, r * tile, 0), (P, tile, d))
-        vj = jax.lax.dynamic_slice(planes, (0, c * tile, 0), (P, tile, d))
-        thr_i = jax.lax.dynamic_slice(thr, (r * tile,), (tile,))
-        thr_j = jax.lax.dynamic_slice(thr, (c * tile,), (tile,))
-        approx = approx_dot_f32(vi, vj)
-        passes = approx / np.float32(d) > \
-            0.05 * (thr_i[:, None] + thr_j[None, :]) * SLACK_REL - SLACK_ABS
-        flat = passes.reshape(-1)
-        count = jnp.sum(flat.astype(jnp.int32))
-        idx = jnp.nonzero(flat, size=cap, fill_value=-1)[0].astype(jnp.int32)
-        safe = jnp.maximum(idx, 0)
-        gi = jnp.take(vi[:L], safe // tile, axis=1)
-        gj = jnp.take(vj[:L], safe % tile, axis=1)
-        partials = []
-        for a in range(L):
-            for b in range(L):
-                partials.append(jnp.sum(gi[a].astype(jnp.int32)
-                                        * gj[b].astype(jnp.int32), axis=-1))
-        dot_hi, dot_lo = _dot64_from_partials(partials, L)
-        return carry, (idx, count, dot_hi, dot_lo)
-
-    _, (idx, counts, dot_hi, dot_lo) = jax.lax.scan(one, None, coords)
-    return idx, counts, dot_hi, dot_lo
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "cap"))
@@ -383,14 +306,16 @@ def sweep_compact(planes, thr, coords, tile: int, cap: int, out_cap: int):
 
 
 def exact_dots_host(V: np.ndarray, rows: np.ndarray, cols: np.ndarray,
-                    max_abs: int, chunk: int = 1 << 16) -> np.ndarray:
+                    max_abs: int, chunk: int | None = None) -> np.ndarray:
     """Exact int64 dot products of V[rows] . V[cols] on host.
 
     float64 accumulation is exact while every partial sum stays an integer
     below 2^53 (d * max_abs^2 — true for any real sketch db, components are
     bounded by hash-set sizes); int64 accumulation covers the rest. Chunked
-    to bound the gathered-copy working set."""
+    so the two gathered float64 copies stay near 256 MB regardless of d."""
     d = V.shape[1]
+    if chunk is None:
+        chunk = max(1024, (256 << 20) // (16 * d))
     f64_ok = d * (max_abs ** 2) < (1 << 53)
     assert f64_ok or d * (max_abs ** 2) < (1 << 62), "dot would overflow int64"
     out = np.empty(len(rows), dtype=np.int64)

@@ -35,8 +35,13 @@ uint32_t rd32(const uint8_t* p) {
            ((uint32_t)p[3] << 24);
 }
 
+constexpr size_t kMaxInflate = size_t(1) << 30;  // 1 GiB sanity bound
+
 bool inflate_buf(const uint8_t* src, size_t src_n, int window_bits,
                  std::vector<uint8_t>& out, size_t size_hint) {
+    // the hint comes from the (untrusted) gzip ISIZE trailer — clamp it so a
+    // corrupt trailer cannot drive a multi-GiB zero-filled allocation
+    if (size_hint > kMaxInflate) size_hint = 0;
     z_stream zs;
     std::memset(&zs, 0, sizeof(zs));
     if (inflateInit2(&zs, window_bits) != Z_OK) return false;
@@ -47,7 +52,13 @@ bool inflate_buf(const uint8_t* src, size_t src_n, int window_bits,
     size_t written = 0;
     int rc = Z_OK;
     while (rc != Z_STREAM_END) {
-        if (written == out.size()) out.resize(out.size() * 2);
+        if (written == out.size()) {
+            if (out.size() >= kMaxInflate) {
+                inflateEnd(&zs);
+                return false;
+            }
+            out.resize(out.size() * 2);
+        }
         zs.next_out = out.data() + written;
         zs.avail_out = (uInt)(out.size() - written);
         rc = inflate(&zs, Z_NO_FLUSH);
@@ -85,6 +96,16 @@ bool scan_json(const uint8_t* text, size_t n, int want,
         if (!hit) return std::string::npos;
         return (size_t)((const char*)hit - s);
     };
+    // the sequential scan assumes sourmash's key order ("ksize" before its
+    // record's "mins"); a "mins" appearing before the FIRST "ksize" means a
+    // different serializer — refuse so the caller uses the full-JSON path
+    {
+        size_t m0 = find("\"mins\"", 0);
+        size_t k0 = find("\"ksize\"", 0);
+        if (m0 != std::string::npos &&
+            (k0 == std::string::npos || m0 < k0))
+            return false;
+    }
     while (true) {
         size_t k = find("\"ksize\"", i);
         if (k == std::string::npos) break;
@@ -95,12 +116,21 @@ bool scan_json(const uint8_t* text, size_t n, int want,
         while (j < n && s[j] >= '0' && s[j] <= '9') ks = ks * 10 + (s[j++] - '0');
         size_t next_k = find("\"ksize\"", j);
         i = (next_k == std::string::npos) ? n : next_k;
+        size_t m = find("\"mins\"", j);
+        bool has_mins = m != std::string::npos &&
+                        (next_k == std::string::npos || m < next_k);
+        // a record boundary between a ksize and the following mins means the
+        // mins belongs to a DIFFERENT record (mins-before-ksize ordering) —
+        // refuse rather than mis-attribute or drop it (string values
+        // containing '}' also land here; the python path handles those).
+        // This must run for EVERY record, not just matching ksizes, or a
+        // wanted record whose mins precedes its ksize is silently skipped.
+        if (has_mins && memchr(s + j, '}', m - j) != nullptr) return false;
         if (ks != want) {
             if (next_k == std::string::npos) break;
             continue;
         }
-        size_t m = find("\"mins\"", j);
-        if (m == std::string::npos || (next_k != std::string::npos && m > next_k))
+        if (!has_mins)
             continue;  // this signature has no mins before the next one
         size_t p = m + 6;
         while (p < n && (s[p] == ':' || is_ws(s[p]))) p++;
@@ -126,8 +156,10 @@ bool scan_json(const uint8_t* text, size_t n, int want,
 extern "C" {
 
 // Returns number of hashes (duplicates possible across members; caller
-// dedups), or a negative error code. *out is malloc'd.
-int64_t sigscan_read(const char* path, int ksize, uint64_t** out) {
+// dedups), or a negative error code. *out is malloc'd. No C++ exception may
+// escape the C ABI (std::bad_alloc on a corrupt size would otherwise abort
+// the host process).
+int64_t sigscan_read(const char* path, int ksize, uint64_t** out) try {
     *out = nullptr;
     FILE* f = std::fopen(path, "rb");
     if (!f) return -1;
@@ -202,6 +234,9 @@ int64_t sigscan_read(const char* path, int ksize, uint64_t** out) {
     std::memcpy(res, hashes.data(), sizeof(uint64_t) * hashes.size());
     *out = res;
     return (int64_t)hashes.size();
+} catch (...) {
+    *out = nullptr;
+    return -15;
 }
 
 void sigscan_free(uint64_t* p) { std::free(p); }

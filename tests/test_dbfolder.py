@@ -75,6 +75,42 @@ def test_sigzip_native_stored_and_whitespace(tmp_path):
         assert sigzip.read_sig_zip(path, 31) == want
 
 
+def test_sigzip_native_hostile_inputs(tmp_path):
+    """Confirmed-repro regressions: mins-before-ksize key order must not be
+    silently mis-read, and a corrupt gzip ISIZE trailer must not abort the
+    process — both must fall back (or agree with) the python path."""
+    import gzip
+    import zipfile
+    if sigzip._load_native() is None:
+        pytest.skip("native sigscan unavailable")
+    # (a) mins precedes ksize in the record
+    a = str(tmp_path / "A.x.sig.zip")
+    with zipfile.ZipFile(a, "w") as zf:
+        zf.writestr("signatures/a.sig.gz", gzip.compress(
+            b'[{"signatures":[{"mins":[1,2,3],"ksize":31}]}]'))
+    assert sigzip.read_sig_zip(a, 31) == {1, 2, 3}
+    # (b) mins of a ksize=31 record follows a minsless ksize=21 record
+    b = str(tmp_path / "B.x.sig.zip")
+    with zipfile.ZipFile(b, "w") as zf:
+        zf.writestr("signatures/b.sig.gz", gzip.compress(
+            b'[{"signatures":[{"ksize":21},{"mins":[7,8],"ksize":31}]}]'))
+    assert sigzip.read_sig_zip(b, 31) == {7, 8}
+    # (c) corrupt gzip ISIZE trailer (0xFFFFFFFF): no abort, python fallback
+    payload = bytearray(gzip.compress(
+        b'[{"signatures":[{"ksize":31,"mins":[5]}]}]'))
+    payload[-4:] = b"\xff\xff\xff\xff"
+    c = str(tmp_path / "C.x.sig.zip")
+    with zipfile.ZipFile(c, "w") as zf:
+        zf.writestr("signatures/c.sig.gz", bytes(payload))
+    # python's gzip ignores the trailer mismatch on decompress? it raises —
+    # either way the call must not crash the process
+    try:
+        got = sigzip.read_sig_zip(c, 31)
+        assert got == {5}
+    except Exception:
+        pass
+
+
 @pytest.mark.parametrize("db,dtype,d", [
     ("toy_db_2048", "int32", 2048),
     ("toy_db_2048_i16", "int16", 2048),

@@ -128,49 +128,6 @@ def test_max_tiles_per_batch_respects_int32():
         assert k * tile * tile <= 2**31 - 1
 
 
-def test_dot64_large_L_shifts():
-    """_dot64_from_partials must stay exact at L=4 (shift amounts >= 32)."""
-    import jax.numpy as jnp
-    rng = np.random.default_rng(15)
-    L, K, d = 4, 64, 16
-    li = rng.integers(-64, 64, size=(L, K, d)).astype(np.int64)
-    lj = rng.integers(-64, 64, size=(L, K, d)).astype(np.int64)
-    partials = [jnp.asarray((li[a] * lj[b]).sum(axis=-1).astype(np.int32))
-                for a in range(L) for b in range(L)]
-    hi, lo = pw._dot64_from_partials(partials, L)
-    got = pw.join_dot64(np.asarray(hi), np.asarray(lo))
-    vi = sum(li[k] * (1 << (7 * k)) for k in range(L))
-    vj = sum(lj[k] * (1 << (7 * k)) for k in range(L))
-    want = np.einsum("kd,kd->k", vi, vj)
-    np.testing.assert_array_equal(got, want)
-
-
-def test_extract_batch_dot64_exact():
-    """The device-side emulated-64-bit recombination must be exact for
-    large positive AND negative dots (int16-scale magnitudes, L=3)."""
-    import jax.numpy as jnp
-    rng = np.random.default_rng(14)
-    d, tile = 128, 16
-    for max_abs in [1500, 32767]:
-        L = pw.pick_limbs(max_abs)
-        v = rng.integers(-max_abs, max_abs + 1, size=(2 * tile, d)).astype(np.int32)
-        v[0] = max_abs          # force extreme positive dot
-        v[1] = -max_abs         # and extreme negative
-        v[tile] = max_abs
-        planes = pw.decompose_planes(jnp.asarray(v), L)
-        thr = np.full(2 * tile, -1e30, dtype=np.float32)  # everything passes
-        coords = jnp.asarray(np.array([[0, 1]], dtype=np.int32))
-        idx, counts, hi, lo = pw.extract_batch(planes, jnp.asarray(thr),
-                                               coords, tile, cap=tile * tile)
-        assert int(np.asarray(counts)[0]) == tile * tile
-        dots = pw.join_dot64(np.asarray(hi), np.asarray(lo))[0]
-        idx_np = np.asarray(idx)[0]
-        want = (v[:tile].astype(np.int64) @ v[tile:].astype(np.int64).T).reshape(-1)
-        got = np.zeros_like(want)
-        got[idx_np] = dots
-        np.testing.assert_array_equal(got, want)
-
-
 def test_tile_candidates_exact_dots():
     rng = np.random.default_rng(12)
     import jax.numpy as jnp
