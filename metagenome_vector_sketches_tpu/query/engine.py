@@ -91,8 +91,13 @@ def query_sliced(matrix_folder: str, row_queries, col_queries,
         if dec is None:
             continue
         cols, q = dec
-        lookup = dict(zip(cols.tolist(), q.tolist()))
-        vals = np.array([lookup.get(int(c), 0) for c in cols_arr], dtype=np.float64)
+        # decoded neighbor columns are ascending (delta prefix sums), so the
+        # requested columns resolve with one searchsorted instead of a
+        # python dict probe per cell
+        pos = np.searchsorted(cols, cols_arr)
+        safe = np.minimum(pos, len(cols) - 1)
+        valid = (pos < len(cols)) & (cols[safe] == cols_arr)
+        vals = np.where(valid, q[safe].astype(np.float64), 0.0)
         out[i] = (vals / MULT_CONST).astype(np.float32)
     return out
 
