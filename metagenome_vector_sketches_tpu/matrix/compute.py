@@ -117,7 +117,7 @@ def compute_pairwise_shard(db_folder: str, output_folder: str,
     else:
         rows, cols, vals = _compute_streaming(
             db, norms_sq, total, begin_row, end_row, tile_rows, tile_cols,
-            L, d, exact_filter, device_budget_bytes)
+            L, d, exact_filter, device_budget_bytes, max_abs)
 
     if verbose:
         dt = (time.perf_counter() - t0) * 1000
@@ -313,11 +313,17 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
 
 
 def _compute_streaming(db, norms_sq, total, begin_row, end_row, tile_rows,
-                       tile_cols, L, d, exact_filter, budget):
+                       tile_cols, L, d, exact_filter, budget, max_abs):
     """Column-streaming fallback for databases too large for device residency:
-    row/column limb chunks are uploaded on demand (bounded cache) and each
-    tile runs scan+extract."""
+    row/column limb chunks are uploaded on demand (bounded cache); each tile
+    runs the phase-1 scan and ships ONLY compacted candidate indices (4
+    bytes each); exact dots come from a memory-map of vectors.bin (the
+    database exceeding HBM is exactly when it should not be fully host-
+    resident either)."""
     thr_f32 = norms_sq.astype(np.float32)
+    vec_dt = np.int16 if db.dtype == "int16" else np.int32
+    Vmm = np.memmap(os.path.join(db.path, "vectors.bin"), dtype=vec_dt,
+                    mode="r", shape=(total, d))
     cache: dict[tuple[int, int], object] = {}
     cache_bytes = [0]
 
@@ -352,12 +358,10 @@ def _compute_streaming(db, norms_sq, total, begin_row, end_row, tile_rows,
                 cap = _next_pow2(count)
             if count == 0:
                 continue
-            bucket = max(256, _next_pow2(count))
-            pab = pw.exact_pab_at(vi, vj, idx[:min(bucket, cap)], tj)
             idx_np = np.asarray(idx[:count])
             r = bi + idx_np // tj
             c = bj + idx_np % tj
-            dots = pw.recombine_exact(np.asarray(pab[:count]), L)
+            dots = pw.exact_dots_host(Vmm, r, c, max_abs)
             thr = 0.05 * (norms_sq[r] + norms_sq[c])
             keep = exact_filter(dots, thr, d)
             if keep.any():
