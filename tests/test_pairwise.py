@@ -91,6 +91,22 @@ def test_approx_dot_karatsuba_exact():
                                    atol=max(1.0, np.abs(want).max() * 1e-6))
 
 
+def test_more_shards_than_rows(tmp_path):
+    """num_shards > N: shards with empty row ranges write empty-but-valid
+    folders that the reader and query stack handle."""
+    from metagenome_vector_sketches_tpu.query.engine import query
+    rng = np.random.default_rng(3)
+    V = rng.integers(-100, 100, size=(3, 64)).astype(np.int32)
+    DbFolder.write(str(tmp_path / "db"), ["A0", "A1", "A2"], V, 64)
+    for s in range(5):
+        compute_pairwise_shard(str(tmp_path / "db"), str(tmp_path / "mat"),
+                               num_shards=5, shard_idx=s, verbose=False)
+    got = _decoded_triples(str(tmp_path / "mat"), 3)
+    assert got == _oracle_triples(DbFolder(str(tmp_path / "db")))
+    res = query(str(tmp_path / "mat"), [0, 1, 2], np.ones(3), ["A0", "A1", "A2"])
+    assert [x.self_id for x in res] == ["A0", "A1", "A2"]
+
+
 @pytest.mark.parametrize("n", [1, 2])
 def test_tiny_db_self_pairs(tmp_path, n):
     """Degenerate databases: every row keeps its self pair at q=255."""
