@@ -212,25 +212,22 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
         log(f"sweep: {len(coords)} tiles, {len(hot)} hot, "
             f"{int(counts.sum())} candidates")
 
-    # Split hot tiles by density: above 1/32 survivors a packed BITMAP
-    # (tile^2/8 bytes, density-independent) is a cheaper host read than
-    # 4-byte indices. Sparse tiles bucket by capacity; with device-side
-    # compaction the cap only sizes a transient HBM buffer, so quantize it
-    # to TWO values (4096, or pow2 of the max count for bigger tiles) —
-    # fewer distinct program shapes = fewer (remote) TPU compiles.
-    dense_cut = (tile * tile) // 32
-    use_dense = (tile * tile) % 32 == 0 and dense_cut > 0
-    dense: list[int] = []
-    buckets: dict[int, list[int]] = {}
-    for k in hot:
-        if use_dense and counts[k] > dense_cut:
-            dense.append(k)
-        else:
-            cap = 4096 if counts[k] <= 4096 else _next_pow2(int(counts[k]))
-            buckets.setdefault(cap, []).append(k)
+    parts, finalize_globals = _make_finalizer(
+        V, norms_sq, begin_row, end_row, total, d, exact_filter, max_abs)
+    row_base = coords[:, 0].astype(np.int64) * tile
+    col_base = coords[:, 1].astype(np.int64) * tile
+    _extract_tiles(planes, thr_j, tile, coords, counts, row_base, col_base,
+                   finalize_globals)
+    return _concat(parts)
 
-    max_K = _max_tiles_per_batch(tile)
-    parts = []
+
+def _make_finalizer(V, norms_sq, begin_row, end_row, total, d, exact_filter,
+                    max_abs):
+    """-> (parts list, finalize(r_glob, c_glob)): exact float64/int64 host
+    finalization of candidate coordinate arrays — recompute dots from the
+    host-resident (or memory-mapped) vectors, apply the reference retention
+    semantics, append surviving (rows, cols, dots) to parts."""
+    parts: list = []
 
     def finalize_globals(r_glob, c_glob):
         keep_range = ((r_glob >= begin_row) & (r_glob < end_row)
@@ -243,6 +240,40 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
         keep = exact_filter(dots, thr_exact, d)
         if keep.any():
             parts.append((r_glob[keep], c_glob[keep], dots[keep]))
+
+    return parts, finalize_globals
+
+
+def _extract_tiles(planes, thr_j, tile, coords, counts, row_base, col_base,
+                   finalize_globals):
+    """Shared hot-tile extraction over an arbitrary tile coordinate space.
+
+    Split hot tiles by density: above 1/32 survivors a packed BITMAP
+    (tile^2/8 bytes, density-independent) is a cheaper host read than
+    4-byte indices. Sparse tiles bucket by capacity; with device-side
+    compaction the cap only sizes a transient HBM buffer, so quantize it
+    to TWO values (4096, or pow2 of the max count for bigger tiles) —
+    fewer distinct program shapes = fewer (remote) TPU compiles.
+
+    Args:
+      coords: (T, 2) int32 tile indices INTO `planes` (units of `tile`).
+      counts: (T,) phase-1 survivor counts (advisory — routes/sizes only).
+      row_base/col_base: (T,) int64 GLOBAL element bases per tile.
+      finalize_globals: callback taking (r_glob, c_glob) candidate arrays.
+    """
+    hot = np.flatnonzero(counts > 0)
+    dense_cut = (tile * tile) // 32
+    use_dense = (tile * tile) % 32 == 0 and dense_cut > 0
+    dense: list[int] = []
+    buckets: dict[int, list[int]] = {}
+    for k in hot:
+        if use_dense and counts[k] > dense_cut:
+            dense.append(k)
+        else:
+            cap = 4096 if counts[k] <= 4096 else _next_pow2(int(counts[k]))
+            buckets.setdefault(cap, []).append(k)
+
+    max_K = _max_tiles_per_batch(tile)
 
     # dense tiles: bitmap extraction, chunked for bounded HBM + stable shapes
     DENSE_CHUNK = 64
@@ -259,8 +290,8 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
             # from the Pallas kernel) only routed this tile here
             bits = np.unpackbits(words[t].view(np.uint8), bitorder="little")
             local = np.flatnonzero(bits)
-            r, c = int(coords[k][0]), int(coords[k][1])
-            finalize_globals(r * tile + local // tile, c * tile + local % tile)
+            finalize_globals(row_base[k] + local // tile,
+                             col_base[k] + local % tile)
 
     # sparse tiles: flat-compacted indices. Phase-1 counts size the buffers;
     # the XLA recount (counts_b) is authoritative — tiles whose recount
@@ -300,72 +331,65 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
             if over.any():
                 keep = ~over[t_of]                     # retried tiles drop out
                 t_of, local = t_of[keep], local[keep]
-            rt = coords[chunk_ks][t_of, 0]
-            ct = coords[chunk_ks][t_of, 1]
-            finalize_globals(rt * tile + local // tile, ct * tile + local % tile)
+            ks_arr = np.asarray(chunk_ks)
+            finalize_globals(row_base[ks_arr[t_of]] + local // tile,
+                             col_base[ks_arr[t_of]] + local % tile)
         return retry
 
     for cap, ks in buckets.items():
         retry = run_sparse(cap, ks)
         if retry:
             run_sparse(_next_pow2(tile * tile), retry)
-    return _concat(parts)
 
 
 def _compute_streaming(db, norms_sq, total, begin_row, end_row, tile_rows,
                        tile_cols, L, d, exact_filter, budget, max_abs):
-    """Column-streaming fallback for databases too large for device residency:
-    row/column limb chunks are uploaded on demand (bounded cache); each tile
-    runs the phase-1 scan and ships ONLY compacted candidate indices (4
-    bytes each); exact dots come from a memory-map of vectors.bin (the
-    database exceeding HBM is exactly when it should not be fully host-
-    resident either)."""
-    thr_f32 = norms_sq.astype(np.float32)
+    """Column-streaming fallback for databases too large for device
+    residency: one row tile plus a budget-sized WINDOW of column tiles is
+    staged as a single device tensor, then the sweep + shared hot-tile
+    extraction (_extract_tiles: bitmap/index routing, 4 bytes/candidate)
+    runs over the whole window in batched programs. Exact dots come from a
+    memory-map of vectors.bin (a database exceeding HBM should not be fully
+    host-resident either)."""
+    tile = tile_rows
     vec_dt = np.int16 if db.dtype == "int16" else np.int32
     Vmm = np.memmap(os.path.join(db.path, "vectors.bin"), dtype=vec_dt,
                     mode="r", shape=(total, d))
-    cache: dict[tuple[int, int], object] = {}
-    cache_bytes = [0]
+    thr_f32 = norms_sq.astype(np.float32)
+    P = pw.num_planes(L)
+    bytes_per_tile = P * tile * d
+    window_tiles = max(1, int(max(budget, 2 * bytes_per_tile)
+                              // bytes_per_tile) - 1)
+    parts, finalize_globals = _make_finalizer(
+        Vmm, norms_sq, begin_row, end_row, total, d, exact_filter, max_abs)
 
-    def get(start, end):
-        key = (start, end)
-        if key not in cache:
-            block = db.load_vectors(start, end).astype(np.int32)
-            planes = pw.decompose_planes(jnp.asarray(block), L)
-            if cache_bytes[0] + planes.size > budget and cache:
-                cache.clear()
-                cache_bytes[0] = 0
-            cache[key] = planes
-            cache_bytes[0] += planes.size
-        return cache[key]
+    def stage(start, end, n_rows):
+        """Load rows [start, end) padded to n_rows (thr=+inf padding)."""
+        block = np.zeros((n_rows, d), dtype=np.int32)
+        block[:end - start] = db.load_vectors(start, end).astype(np.int32)
+        thr = np.full(n_rows, np.float32(1e30), dtype=np.float32)
+        thr[:end - start] = thr_f32[start:end]
+        return pw.decompose_planes(jnp.asarray(block), L), thr
 
-    parts = []
-    for bi in range(begin_row, end_row, tile_rows):
-        ei = min(bi + tile_rows, end_row)
-        vi = get(bi, ei)
-        for bj in range(0, total, tile_cols):
-            ej = min(bj + tile_cols, total)
-            vj = get(bj, ej)
-            tj = ej - bj
-            cap = max(1024, ((ei - bi) * tj) // 64)
-            while True:
-                idx, count = pw.tile_scan(
-                    vi, vj, jnp.asarray(thr_f32[bi:ei]),
-                    jnp.asarray(thr_f32[bj:ej]), cap=cap)
-                count = int(count)
-                if count <= cap:
-                    break
-                cap = _next_pow2(count)
-            if count == 0:
-                continue
-            idx_np = np.asarray(idx[:count])
-            r = bi + idx_np // tj
-            c = bj + idx_np % tj
-            dots = pw.exact_dots_host(Vmm, r, c, max_abs)
-            thr = 0.05 * (norms_sq[r] + norms_sq[c])
-            keep = exact_filter(dots, thr, d)
-            if keep.any():
-                parts.append((r[keep], c[keep], dots[keep]))
+    for bi in range(begin_row, end_row, tile):
+        ei = min(bi + tile, end_row)
+        planes_r, thr_r = stage(bi, ei, tile)
+        for ws in range(0, total, window_tiles * tile):
+            we = min(ws + window_tiles * tile, total)
+            n_w = (we - ws + tile - 1) // tile
+            planes_w, thr_w = stage(ws, we, n_w * tile)
+            planes_cat = jnp.concatenate([planes_r, planes_w], axis=1)
+            thr_cat = jnp.asarray(np.concatenate([thr_r, thr_w]))
+            coords = np.array([(0, 1 + j) for j in range(n_w)],
+                              dtype=np.int32)
+            counts = np.asarray(pw.sweep_counts(
+                planes_cat, thr_cat, jnp.asarray(coords), tile))
+            # bases are global: the row tile (staged index 0) holds global
+            # rows bi..; staged col tile 1+j holds global columns ws+j*tile..
+            row_base = np.full(n_w, bi, dtype=np.int64)
+            col_base = ws + np.arange(n_w, dtype=np.int64) * tile
+            _extract_tiles(planes_cat, thr_cat, tile, coords, counts,
+                           row_base, col_base, finalize_globals)
     return _concat(parts)
 
 

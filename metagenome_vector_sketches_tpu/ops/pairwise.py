@@ -329,28 +329,6 @@ def exact_dots_host(V: np.ndarray, rows: np.ndarray, cols: np.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
-def tile_scan(vi_planes, vj_planes, thr_i, thr_j, cap: int):
-    """Phase-1-only sweep: fused plane matmuls + threshold -> compacted
-    candidate coords. This is the speed-of-light hot loop (the int32 partial
-    tiles never leave the MXU epilogue); exact partial dots for the (sparse)
-    candidates are computed separately with :func:`exact_pab_at` sized to the
-    true count.
-
-    Returns (idx (cap,) int32 row-major flattened coords with -1 padding,
-    count () int32 true number of passes — retry with bigger cap if > cap).
-    """
-    P, Ti, d = vi_planes.shape
-    Tj = vj_planes.shape[1]
-    approx = approx_dot_f32(vi_planes, vj_planes)
-    thr = 0.05 * (thr_i[:, None] + thr_j[None, :])
-    passes = approx / np.float32(d) > thr * SLACK_REL - SLACK_ABS
-    flat = passes.reshape(-1)
-    count = jnp.sum(flat.astype(jnp.int32))
-    idx = jnp.nonzero(flat, size=cap, fill_value=-1)[0].astype(jnp.int32)
-    return idx, count
-
-
-@functools.partial(jax.jit, static_argnames=("cap",))
 def tile_candidates(vi_planes, vj_planes, thr_i, thr_j, cap: int):
     """One (Ti x Tj) tile of the thresholded pairwise sweep.
 
