@@ -3,13 +3,15 @@
 Replaces the reference's chunked CPU loop (pairwise_comp_optimized.cpp:949-982)
 with a two-phase device-resident sweep:
 
-1. **Counts sweep** — the whole shard-row x all-columns tile grid runs as ONE
-   jitted lax.scan (ops.pairwise.sweep_counts): int8 limb matmuls whose
+1. **Counts sweep** — the whole shard-row x all-columns tile grid runs as
+   ONE program (the Pallas kernel at its VMEM-optimal block, or the
+   ops.pairwise.sweep_counts lax.scan): L(L+1)/2 int8 plane matmuls whose
    float32 combine + retention threshold fuse into the MXU epilogue; only a
-   per-tile scalar count leaves the chip (~85% of int8 peak on v5e).
-2. **Hot-tile extraction** — only tiles with survivors (sparse in practice)
-   get a second pass: mask recompute + on-device flat compaction, so exactly
-   4 bytes per candidate (one packed index) cross device->host.
+   per-tile scalar count leaves the chip (int8-matmul speed-of-light,
+   3.6-4.8e10 pairs/s at d=2048 on v5e).
+2. **Hot-tile extraction** — only tiles with survivors get a second pass:
+   mask recompute + on-device compaction into flat indices (sparse tiles,
+   4 bytes/candidate) or packed bitmaps (dense tiles, tile^2/8 bytes).
 
 Exact finalization happens on host: candidate dots are recomputed from the
 host-resident int32 vectors with float64 BLAS (integer-exact below 2^53 —
