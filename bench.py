@@ -101,9 +101,10 @@ def bench_pairwise(N=8192, d=2048, tile=2048, max_abs=1500, reps=10):
     pairs = float(N) * N
     extras["sweep_ms"] = round(per_sweep * 1e3, 3)
 
-    # secondary: the int16-dtype sweep (L=3 -> 6 plane matmuls)
+    # secondary: the int16-dtype sweep (L=3 -> 6 plane matmuls); full N so
+    # the per-sweep time is long enough for a stable marginal measurement
     try:
-        N16 = N // 2
+        N16 = N
         V16 = rng.integers(-32768, 32768, size=(N16, d)).astype(np.int32)
         n16 = (np.einsum("ij,ij->i", V16.astype(np.float64),
                          V16.astype(np.float64)) / d).astype(np.float32)
