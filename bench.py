@@ -2,9 +2,9 @@
 
 Headline: pairwise sims/sec/chip at d=2048 — the reference's flagship compute
 (blocked integer GEMM + retention threshold), run here as the real TPU
-pipeline: int8 limb matmuls on the MXU + on-device threshold + candidate
-compaction (ops.pairwise.tile_candidates), timed over a full synthetic
-all-vs-all sweep. vs_baseline compares against the reference's own hot loop
+pipeline: int8 Karatsuba plane matmuls on the MXU with the threshold fused
+into the epilogue (ops.pairwise.sweep_counts / the pallas kernel), timed
+over a full synthetic all-vs-all sweep. vs_baseline compares against the reference's own hot loop
 measured on CPU in this environment (BASELINE_MEASURED.json).
 
 Also measured (reported in "extras"): sketch projection throughput

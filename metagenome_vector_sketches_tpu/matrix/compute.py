@@ -82,8 +82,9 @@ def compute_pairwise_shard(db_folder: str, output_folder: str,
                            verbose: bool = True) -> str:
     """Compute one shard of the all-vs-all matrix and write its folder.
 
-    Returns the shard folder path. tile_rows is the tile edge of the
-    device-resident path (tile_cols kept for the streaming fallback's API).
+    Returns the shard folder path. tile_rows is the square tile edge of both
+    paths (tile_cols is accepted for backward compatibility and ignored —
+    the streaming path sizes its column window from the memory budget).
     With resume=True, an already-complete shard folder is left untouched.
     """
     if resume and shard_is_complete(output_folder, shard_idx):
@@ -107,6 +108,12 @@ def compute_pairwise_shard(db_folder: str, output_folder: str,
     max_abs = scan_max_abs(db)
     L = pw.pick_limbs(max(1, max_abs))
     exact_filter = pw.exact_filter_int16 if dtype == "int16" else pw.exact_filter_int32
+
+    if begin_row >= end_row:
+        # shard beyond the row space (num_shards > N): empty-but-valid folder
+        shard_folder = os.path.join(output_folder, f"shard_{shard_idx}")
+        writer.write_shard(shard_folder, *_empty(), norms_sq, d)
+        return shard_folder
 
     t0 = time.perf_counter()
     tile = tile_rows
@@ -360,7 +367,10 @@ def _compute_streaming(db, norms_sq, total, begin_row, end_row, tile_rows,
     thr_f32 = norms_sq.astype(np.float32)
     P = pw.num_planes(L)
     bytes_per_tile = P * tile * d
-    window_tiles = max(1, int(max(budget, 2 * bytes_per_tile)
+    # peak device memory is ~3x the window planes (concat input + output +
+    # staging temporaries inside decompose_planes), so size the window to
+    # about a third of the budget
+    window_tiles = max(1, int(max(budget // 3, 2 * bytes_per_tile)
                               // bytes_per_tile) - 1)
     parts, finalize_globals = _make_finalizer(
         Vmm, norms_sq, begin_row, end_row, total, d, exact_filter, max_abs)
@@ -373,23 +383,24 @@ def _compute_streaming(db, norms_sq, total, begin_row, end_row, tile_rows,
         thr[:end - start] = thr_f32[start:end]
         return pw.decompose_planes(jnp.asarray(block), L), thr
 
-    for bi in range(begin_row, end_row, tile):
-        ei = min(bi + tile, end_row)
-        planes_r, thr_r = stage(bi, ei, tile)
-        for ws in range(0, total, window_tiles * tile):
-            we = min(ws + window_tiles * tile, total)
-            n_w = (we - ws + tile - 1) // tile
-            planes_w, thr_w = stage(ws, we, n_w * tile)
+    # windows outer, row tiles inner: each column window is uploaded and
+    # decomposed exactly ONCE per shard (the column side dominates staging)
+    for ws in range(0, total, window_tiles * tile):
+        we = min(ws + window_tiles * tile, total)
+        n_w = (we - ws + tile - 1) // tile
+        planes_w, thr_w = stage(ws, we, n_w * tile)
+        coords = np.array([(0, 1 + j) for j in range(n_w)], dtype=np.int32)
+        # bases are global: the row tile (staged index 0) holds global rows
+        # bi..; staged col tile 1+j holds global columns ws + j*tile..
+        col_base = ws + np.arange(n_w, dtype=np.int64) * tile
+        for bi in range(begin_row, end_row, tile):
+            ei = min(bi + tile, end_row)
+            planes_r, thr_r = stage(bi, ei, tile)
             planes_cat = jnp.concatenate([planes_r, planes_w], axis=1)
             thr_cat = jnp.asarray(np.concatenate([thr_r, thr_w]))
-            coords = np.array([(0, 1 + j) for j in range(n_w)],
-                              dtype=np.int32)
             counts = np.asarray(pw.sweep_counts(
                 planes_cat, thr_cat, jnp.asarray(coords), tile))
-            # bases are global: the row tile (staged index 0) holds global
-            # rows bi..; staged col tile 1+j holds global columns ws+j*tile..
             row_base = np.full(n_w, bi, dtype=np.int64)
-            col_base = ws + np.arange(n_w, dtype=np.int64) * tile
             _extract_tiles(planes_cat, thr_cat, tile, coords, counts,
                            row_base, col_base, finalize_globals)
     return _concat(parts)

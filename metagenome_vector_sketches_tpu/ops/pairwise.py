@@ -328,78 +328,6 @@ def exact_dots_host(V: np.ndarray, rows: np.ndarray, cols: np.ndarray,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
-def tile_candidates(vi_planes, vj_planes, thr_i, thr_j, cap: int):
-    """One (Ti x Tj) tile of the thresholded pairwise sweep.
-
-    Two fused phases:
-    1. The MXU sweep — L(L+1)/2 plain int8 plane matmuls (Karatsuba) whose
-       float32 combine and threshold test fuse into the matmul epilogue, so
-       the int32 partial tiles never hit HBM (this is the speed-of-light
-       path: only the boolean mask is materialized).
-    2. Exact partial dots are recomputed ONLY for the compacted candidates by
-       gathering their rows: K*d VPU work, negligible next to the sweep.
-
-    Args:
-      vi_planes: (P, Ti, d) int8;  vj_planes: (P, Tj, d) int8 Karatsuba
-        planes (:func:`decompose_planes`; the first L planes are the limbs).
-      thr_i, thr_j: (Ti,)/(Tj,) float32 — squared norms (the |set| estimates).
-      cap: static candidate capacity for this tile.
-
-    Returns:
-      idx:   (cap,) int32 — flattened ti*Tj+tj candidate coords, -1 padding,
-             in row-major (ascending ti, then tj) order.
-      pab:   (cap, L*L) int32 — exact partial limb dots for int64 host
-             recombination.
-      count: () int32 — true number of threshold passes (may exceed cap;
-             caller must retry with a bigger cap if count > cap).
-    """
-    P, Ti, d = vi_planes.shape
-    Tj = vj_planes.shape[1]
-    # phase 1: fused sweep -> boolean mask only
-    approx = approx_dot_f32(vi_planes, vj_planes)
-    thr = 0.05 * (thr_i[:, None] + thr_j[None, :])
-    # Conservative slack: the exact float64/integer re-filter on host removes
-    # false positives; SLACK_REL/SLACK_ABS bound the float32 rounding of the
-    # combine against false negatives.
-    passes = approx / np.float32(d) > thr * SLACK_REL - SLACK_ABS
-    flat = passes.reshape(-1)
-    count = jnp.sum(flat.astype(jnp.int32))
-    idx = jnp.nonzero(flat, size=cap, fill_value=-1)[0].astype(jnp.int32)
-
-    # phase 2: exact partial dots for the candidates via row gathers
-    pab = exact_pab_at(vi_planes, vj_planes, idx, Tj)
-    return idx, pab, count
-
-
-@functools.partial(jax.jit, static_argnames=("Tj",))
-def exact_pab_at(vi_planes, vj_planes, idx, Tj: int):
-    """Exact (K, L*L) int32 partial limb dots for flattened tile coords
-    `idx` (-1 entries are computed at a safe slot and discarded by the
-    caller). Accepts Karatsuba planes (only their first L limb planes are
-    used). K*d VPU work — size this to the true candidate count, not the
-    tile, by slicing idx before calling."""
-    L = limbs_from_planes(vi_planes.shape[0])
-    safe = jnp.maximum(idx, 0)
-    rows = safe // Tj
-    cols = safe % Tj
-    gi = vi_planes[:L, rows, :]      # (L, K, d) int8
-    gj = vj_planes[:L, cols, :]
-    pab = []
-    for a in range(L):
-        for b in range(L):
-            prod = gi[a].astype(jnp.int32) * gj[b].astype(jnp.int32)
-            pab.append(jnp.sum(prod, axis=-1))
-    return jnp.stack(pab, axis=-1)    # (K, L*L) int32, exact
-
-
-def recombine_exact(pab: np.ndarray, L: int) -> np.ndarray:
-    """(n, L*L) int32 partial dots -> (n,) exact int64 dots."""
-    weights = np.array([1 << (7 * (a + b)) for a in range(L) for b in range(L)],
-                       dtype=np.int64)
-    return pab.astype(np.int64) @ weights
-
-
 def exact_filter_int32(dots: np.ndarray, thr: np.ndarray, d: int) -> np.ndarray:
     """Reference int32 retention: (dot / d) > 0.05*(ni+nj) with C++ int64
     truncating division (pairwise_comp_optimized.cpp:139-141)."""
