@@ -88,12 +88,16 @@ def _encode(fn, values: np.ndarray, *extra) -> bytes:
 
 def _decode(fn, buf, offset: int):
     lib = _load()
-    buf = bytes(buf) if not isinstance(buf, (bytes, bytearray, memoryview)) else buf
-    raw = (ctypes.c_uint8 * len(buf)).from_buffer_copy(buf)
+    # zero-copy view of the caller's buffer (bytes / memoryview / mmap /
+    # ndarray): per-row decodes against a large shard blob must not copy
+    # the whole blob per call
+    arr = buf.reshape(-1).view(np.uint8) if isinstance(buf, np.ndarray) \
+        else np.frombuffer(buf, dtype=np.uint8)
+    ptr = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     vals = ctypes.POINTER(ctypes.c_uint64)()
     n = ctypes.c_uint64()
     consumed = ctypes.c_uint64()
-    rc = fn(raw, len(buf), offset, ctypes.byref(vals), ctypes.byref(n),
+    rc = fn(ptr, len(arr), offset, ctypes.byref(vals), ctypes.byref(n),
             ctypes.byref(consumed))
     if rc != 0:
         raise ValueError("codec decode failed (truncated buffer?)")

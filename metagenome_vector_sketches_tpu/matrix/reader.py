@@ -73,7 +73,9 @@ class ShardReader:
         self._blob = None
 
     @property
-    def blob(self) -> bytes:
+    def blob(self):
+        """Memory-mapped matrix.bin (decodes are zero-copy against it, so
+        multi-GB shards never load into RAM)."""
         if self._blob is None:
             path = os.path.join(self.folder, "matrix.bin")
             # retry-open against flaky shared filesystems (the reference's
@@ -81,8 +83,10 @@ class ShardReader:
             last_err = None
             for _ in range(5):
                 try:
-                    with open(path, "rb") as f:
-                        self._blob = f.read()
+                    if os.path.getsize(path) == 0:
+                        self._blob = np.empty(0, dtype=np.uint8)
+                    else:
+                        self._blob = np.memmap(path, dtype=np.uint8, mode="r")
                     break
                 except OSError as e:
                     last_err = e
