@@ -49,6 +49,30 @@ def test_flat_index_recall_target_mode():
         assert overlap >= 9  # >= 90% recall at these sizes
 
 
+def test_adaptive_expansion_goes_deeper():
+    """A database with > 50 near-identical rows must trigger the 50*3^i
+    expansion and still return every above-threshold neighbor."""
+    from metagenome_vector_sketches_tpu.ann.search import adaptive_search, rescore
+    rng = np.random.default_rng(24)
+    d, n_close = 64, 180                   # 180 > 50 forces level >= 1
+    base = rng.normal(size=d).astype(np.float32)
+    close = base[None, :] + 0.01 * rng.normal(size=(n_close, d)).astype(np.float32)
+    far = rng.normal(size=(300, d)).astype(np.float32)
+    V = np.concatenate([close, far])
+    # norms follow the real pipeline convention: pre-normalization vector
+    # norms (queries and db share the projection, so scales are comparable)
+    norms = np.linalg.norm(V, axis=1).astype(np.float64)
+    idx = FlatIPIndex(normalize_l2(V), chunk_rows=128)
+    queries = base[None, :].astype(np.float64)
+    hits, qn = adaptive_search(idx, queries, j=0.3, verbose=False,
+                               db_norms=norms)
+    out = rescore(hits, qn, [f"A{i}" for i in range(len(V))], norms,
+                  j=0.3, verbose=False)
+    mine = {nid for (q, nid, jac) in out}
+    # every close row should be found, despite exceeding the initial k=50
+    assert len(mine) >= n_close - 2, len(mine)
+
+
 def test_flat_index_k_exceeds_ntotal():
     rng = np.random.default_rng(22)
     V = normalize_l2(rng.normal(size=(5, 16)).astype(np.float32))
