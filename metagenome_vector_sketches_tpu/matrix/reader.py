@@ -72,23 +72,33 @@ class ShardReader:
         self.index = load_shard_index(shard_folder)
         self._blob = None
 
+    # above this size matrix.bin is memory-mapped instead of snapshotted
+    # (zero-copy decodes work against either); small/typical shards keep the
+    # read() snapshot so flaky-NFS faults stay retryable OSErrors rather
+    # than page-fault SIGBUS, and a concurrent rewrite can't mutate a
+    # cached reader's view
+    MMAP_THRESHOLD = 64 << 20
+
     @property
     def blob(self):
-        """Memory-mapped matrix.bin (decodes are zero-copy against it, so
-        multi-GB shards never load into RAM)."""
         if self._blob is None:
             path = os.path.join(self.folder, "matrix.bin")
             # retry-open against flaky shared filesystems (the reference's
-            # 5 x 50 ms loop, read_pc_mat_cmp.cpp:471-476)
+            # 5 x 50 ms loop, read_pc_mat_cmp.cpp:471-476); ValueError covers
+            # np.memmap on a concurrently-truncated file
             last_err = None
             for _ in range(5):
                 try:
-                    if os.path.getsize(path) == 0:
+                    size = os.path.getsize(path)
+                    if size == 0:
                         self._blob = np.empty(0, dtype=np.uint8)
-                    else:
+                    elif size >= self.MMAP_THRESHOLD:
                         self._blob = np.memmap(path, dtype=np.uint8, mode="r")
+                    else:
+                        with open(path, "rb") as f:
+                            self._blob = f.read()
                     break
-                except OSError as e:
+                except (OSError, ValueError) as e:
                     last_err = e
                     time.sleep(0.05)
             else:

@@ -69,8 +69,10 @@ def test_adaptive_expansion_goes_deeper():
     out = rescore(hits, qn, [f"A{i}" for i in range(len(V))], norms,
                   j=0.3, verbose=False)
     mine = {nid for (q, nid, jac) in out}
-    # every close row should be found, despite exceeding the initial k=50
-    assert len(mine) >= n_close - 2, len(mine)
+    # the CLOSE rows specifically must be found (far-row false positives
+    # must not mask a recall loss), despite exceeding the initial k=50
+    close_found = sum(1 for i in range(n_close) if f"A{i}" in mine)
+    assert close_found >= n_close - 2, close_found
 
 
 def test_flat_index_k_exceeds_ntotal():
