@@ -65,7 +65,7 @@ def bench_pairwise(N=8192, d=2048, tile=2048, max_abs=1500, reps=10):
         total = int(np.asarray(acc).sum())
         return time.perf_counter() - t0, total
 
-    def measure(step, shape, rounds=3):
+    def measure(step, shape, rounds=5):
         """Best-of-`rounds` marginal sweep time (tunnel/clock jitter between
         runs is real; the minimum is the device's actual steady-state)."""
         chained(step, shape, 1)  # warm-up / compile
