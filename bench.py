@@ -66,16 +66,19 @@ def bench_pairwise(N=8192, d=2048, tile=2048, max_abs=1500, reps=10):
         return time.perf_counter() - t0, total
 
     def measure(step, shape, rounds=5):
-        """Best-of-`rounds` marginal sweep time (tunnel/clock jitter between
-        runs is real; the minimum is the device's actual steady-state)."""
+        """Median-of-`rounds` marginal sweep time. The marginal is a
+        DIFFERENCE of two walls, so taking the minimum selects rounds where
+        the 1-iteration chain hit a latency spike (it can even go negative);
+        the median is robust against spikes in either term."""
         chained(step, shape, 1)  # warm-up / compile
-        best, d1_best, total = float("inf"), float("inf"), 0
+        margins, d1s, total = [], [], 0
         for _ in range(rounds):
             d1, _ = chained(step, shape, 1)
             dn, total = chained(step, shape, reps)
-            best = min(best, (dn - d1) / (reps - 1))
-            d1_best = min(d1_best, d1)
-        return best, d1_best, total
+            margins.append((dn - d1) / (reps - 1))
+            d1s.append(d1)
+        good = [m for m in margins if m > 0] or margins
+        return float(np.median(good)), float(np.median(d1s)), total
 
     per_sweep, d1, total = measure(
         lambda acc: sweep_seeded(limbs, thr, coords, acc, tile=tile), (nt * nt,))
@@ -127,16 +130,18 @@ def bench_pairwise(N=8192, d=2048, tile=2048, max_abs=1500, reps=10):
 
 
 def _marginal(run_chain, reps=8, rounds=3):
-    """Best-of-`rounds` marginal per-iteration time of a data-dependent chain
-    ending in one host read (excludes dispatch/transfer latency; the tunneled
-    chip shows strong run-to-run variance, so keep the minimum)."""
+    """Median-of-`rounds` marginal per-iteration time of a data-dependent
+    chain ending in one host read (excludes dispatch/transfer latency; the
+    median is robust to the tunneled chip's latency spikes in either the
+    1-iteration or the n-iteration wall)."""
     run_chain(1)  # warm-up / compile
-    best = float("inf")
+    margins = []
     for _ in range(rounds):
         d1 = run_chain(1)
         dn = run_chain(reps)
-        best = min(best, (dn - d1) / (reps - 1))
-    return best
+        margins.append((dn - d1) / (reps - 1))
+    good = [m for m in margins if m > 0] or margins
+    return float(np.median(good))
 
 
 def bench_projection(B=64, H=4096, d=2048):
