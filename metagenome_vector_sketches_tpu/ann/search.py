@@ -97,13 +97,15 @@ def adaptive_search(index: FlatIPIndex, queries_f64: np.ndarray, j: float,
         """Device-compact final hits for the rows of qidx (rows padded to a
         power of two with -inf scores so program shapes stay stable)."""
         if nn_all is None:
+            # no db norms: keep every valid candidate (exact host refilter
+            # follows); vectorized collect, still (query, rank) order
             D = np.asarray(D_dev)
             I = np.asarray(I_dev)
-            for row, q in enumerate(qidx):
-                for rank in range(I.shape[1]):
-                    if I[row, rank] >= 0:
-                        hits.append((int(q), int(I[row, rank]),
-                                     float(D[row, rank])))
+            rows, ranks = np.nonzero(I >= 0)
+            qidx_arr = np.asarray(qidx)
+            hits.extend(zip(qidx_arr[rows].tolist(),
+                            I[rows, ranks].tolist(),
+                            D[rows, ranks].astype(float).tolist()))
             return
         R, k = D_dev.shape
         R_pad = _pow2(R)

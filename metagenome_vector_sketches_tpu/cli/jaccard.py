@@ -35,6 +35,18 @@ def build_parser() -> argparse.ArgumentParser:
                           help="< 1.0 uses the ~2x-faster approximate TPU "
                                "top-k for candidate selection (final Jaccard "
                                "rescoring stays exact); 1.0 = FAISS-exact")
+
+    p_test = sub.add_parser(
+        "test", help="Ground-truth validation: sample accessions, search the "
+                     "index, recompute TRUE Jaccard from the raw hash sets "
+                     "(reference jaccard.py test(), :226-325).")
+    p_test.add_argument("index_folder")
+    p_test.add_argument("hashes_file", help="all_hashes.txt the db was built from")
+    p_test.add_argument("-n", "--n_samples", type=int, default=20)
+    p_test.add_argument("-j", type=float, default=0.05)
+    p_test.add_argument("--seed", type=int, default=None)
+    p_test.add_argument("--save_plot", default=None,
+                        help="write the estimated-vs-true scatter to this path")
     parser.add_argument("-v", "--version", action="store_true")
     return parser
 
@@ -56,6 +68,11 @@ def main(argv=None) -> int:
             folder += "/"
         search_index(folder, args.query_file, args.j,
                      recall_target=args.recall_target)
+    elif args.command == "test":
+        from ..ann.validate import validate
+        validate(args.index_folder, args.hashes_file,
+                 n_samples=args.n_samples, j=args.j, seed=args.seed,
+                 plot=False, save_plot=args.save_plot)
     return 0
 
 

@@ -67,7 +67,7 @@ def main(argv=None) -> int:
                               num_shards=args.num_shards,
                               shard_idx=args.shard_idx, db_folder=args.db)
         return 0
-    db = DbFolder(args.db if args.db.endswith("/") else args.db)
+    db = DbFolder(args.db)
     tile = args.tile or tile_from_memory(args.max_memory_gb, db.dimension)
     compute_pairwise_shard(args.db, args.output_folder,
                            num_shards=args.num_shards, shard_idx=args.shard_idx,

@@ -34,8 +34,22 @@ def have_native() -> bool:
     return _HAVE_NATIVE
 
 
+_warned_fallback = False
+
+
 def _impl():
-    return _native if _HAVE_NATIVE else pyref
+    if not _HAVE_NATIVE:
+        global _warned_fallback
+        if not _warned_fallback:
+            _warned_fallback = True
+            import warnings
+            warnings.warn(
+                "native codec library unavailable (build failed or no "
+                "compiler) — falling back to the numpy reference "
+                "implementation; decodes will be slower", RuntimeWarning,
+                stacklevel=3)
+        return pyref
+    return _native
 
 
 def cv_encode(values) -> bytes:

@@ -158,26 +158,57 @@ def rice_encode(values: np.ndarray) -> bytes:
 
 
 def rice_decode(buf, offset: int = 0):
+    """Vectorized decode: value i is q_i ones, a 0 terminator, then l payload
+    bits. Terminator POSITIONS are recovered without a per-bit loop: over the
+    array of zero-bit indices, the map g[k] = index of the first zero >=
+    zeros[k] + 1 + l steps from one value's terminator to the next, and its
+    orbit from zero is filled by pointer doubling (O(n log n) numpy work)."""
     n, l, num_words = (int(x) for x in _read_u64s(buf, offset, 3))
     words = _read_u64s(buf, offset + 24, num_words)
     consumed = 24 + 8 * num_words
     if n == 0:
         return np.empty(0, dtype=np.uint64), consumed
     bits = np.unpackbits(words.view(np.uint8), bitorder="little")
-    out = np.empty(n, dtype=np.uint64)
-    pos = 0
-    for i in range(n):
-        q = 0
-        while bits[pos]:
-            q += 1
-            pos += 1
-        pos += 1  # the 0 terminator
-        rem = 0
-        for b in range(l):
-            rem |= int(bits[pos + b]) << b
-        pos += l
-        out[i] = (q << l) | rem
-    return out, consumed
+    inv = bits == 0
+    zeros = np.flatnonzero(inv).astype(np.int64)
+    if l == 0:
+        z = np.arange(n, dtype=np.int64)  # no payload: zeros ARE terminators
+    else:
+        # zc[p] = zeros at positions <= p, so the index of the first zero at
+        # position >= p is zc[p-1]; g steps terminator k to terminator k+1
+        zc = np.cumsum(inv, dtype=np.int64)
+        g = zc[np.minimum(zeros + l, len(zc) - 1)]
+        np.minimum(g, len(zeros) - 1, out=g)  # clip once: overflow slots
+        z = np.empty(n, dtype=np.int64)       # are never read, and g maps
+        z[0] = 0                              # in-range -> in-range after it
+        step = 1
+        G = g
+        while step < n:
+            take = min(step, n - step)
+            z[step:step + take] = G[z[:take]]
+            G = G[G]
+            step *= 2
+    zpos = zeros[z]                        # bit position of terminator i
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = zpos[:-1] + 1 + l
+    q = (zpos - starts).astype(np.uint64)
+    if l:
+        # gather the l payload bits after each terminator straight from the
+        # word array (same straddle math as unpack_fixed, arbitrary starts)
+        rpos = (zpos + 1).astype(np.uint64)
+        w = np.concatenate([words.astype(np.uint64),
+                            np.zeros(1, dtype=np.uint64)])
+        widx = (rpos >> _U64(6)).astype(np.int64)
+        shift = rpos & _U64(63)
+        lo = w[widx] >> shift
+        rs = (_U64(64) - shift) & _U64(63)
+        hi = np.where(shift == 0, _U64(0),
+                      w[np.minimum(widx + 1, len(w) - 1)] << rs)
+        rem = (lo | hi) & ((_U64(1) << _U64(l)) - _U64(1))
+    else:
+        rem = _U64(0)
+    return ((q << _U64(l)) | rem).astype(np.uint64), consumed
 
 
 # ---------------------------------------------------------------------------

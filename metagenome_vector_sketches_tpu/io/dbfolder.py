@@ -102,6 +102,12 @@ class DbFolder:
                 f.write(f"{name} {_format_norm(float(norm))}\n")
         data = cap_int16(vectors) if use_int16 else vectors.astype(np.int32)
         data.tofile(os.path.join(path, "vectors.bin"))
+        # extension to the reference's file-config pattern: the global max
+        # |component|, persisted so the pairwise engine's limb-count pick
+        # needs no extra vectors.bin pass per shard job
+        max_abs = int(np.max(np.abs(data.astype(np.int64)))) if data.size else 0
+        with open(os.path.join(path, "max_component.txt"), "w") as f:
+            f.write(f"{max_abs}\n")
         return DbFolder(path)
 
     # -- reading ------------------------------------------------------------
@@ -117,6 +123,20 @@ class DbFolder:
             return "int32"
         with open(p) as f:
             return f.read().strip() or "int32"
+
+    def max_component(self) -> int | None:
+        """Persisted global max |component| (max_component.txt), or None for
+        foreign dbs built by the reference binaries (callers scan instead).
+        Ignored if stale (older than vectors.bin)."""
+        p = os.path.join(self.path, "max_component.txt")
+        vec = os.path.join(self.path, "vectors.bin")
+        try:
+            if os.path.getmtime(p) < os.path.getmtime(vec):
+                return None
+            with open(p) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return None
 
     def names_and_norms(self) -> tuple[list[str], np.ndarray]:
         """Parse vector_norms.txt. Norms are returned as float64 exactly as

@@ -95,6 +95,23 @@ def read_sig_zip(path: str, ksize: int = 31) -> set[int]:
     return _read_sig_zip_python(path, ksize)
 
 
+def _iter_json_documents(text: bytes):
+    """Yield every top-level JSON document in text. A .sig.gz with
+    CONCATENATED gzip members decompresses to back-to-back documents; the
+    reference's `gunzip -c` + hand-scan reads them all
+    (src/project_everything.cpp:73-151), so both of our paths must too."""
+    dec = json.JSONDecoder()
+    s = text.decode()
+    pos = 0
+    while True:
+        while pos < len(s) and s[pos] in " \t\r\n":
+            pos += 1
+        if pos >= len(s):
+            return
+        doc, pos = dec.raw_decode(s, pos)
+        yield doc
+
+
 def _read_sig_zip_python(path: str, ksize: int = 31) -> set[int]:
     """Pure-python fallback (zipfile + gzip + json)."""
     hashes: set[int] = set()
@@ -104,13 +121,13 @@ def _read_sig_zip_python(path: str, ksize: int = 31) -> set[int]:
                 continue
             raw = zf.read(member)
             text = gzip.decompress(raw)
-            records = json.loads(text)
-            if isinstance(records, dict):
-                records = [records]
-            for rec in records:
-                for sig in rec.get("signatures", []):
-                    if sig.get("ksize") == ksize:
-                        hashes.update(int(h) for h in sig.get("mins", []))
+            for records in _iter_json_documents(text):
+                if isinstance(records, dict):
+                    records = [records]
+                for rec in records:
+                    for sig in rec.get("signatures", []):
+                        if sig.get("ksize") == ksize:
+                            hashes.update(int(h) for h in sig.get("mins", []))
     return hashes
 
 

@@ -55,8 +55,14 @@ def _max_tiles_per_batch(tile: int) -> int:
 
 
 def scan_max_abs(db: DbFolder, chunk: int = 8192) -> int:
-    """One streaming pass over vectors.bin for the global max |component|
-    (fixes the limb count statically for the whole run)."""
+    """Global max |component| (fixes the limb count statically for the whole
+    run). Dbs built by this framework persist it at sketch time in
+    max_component.txt (the dimension.txt/dtype.txt file-config pattern,
+    project_everything.cpp:306-320), so a multi-shard job array does zero
+    extra vectors.bin passes; foreign dbs fall back to one streaming scan."""
+    cached = db.max_component()
+    if cached is not None:
+        return cached
     n = db.total_vectors_from_bin()
     m = 0
     for s in range(0, n, chunk):
@@ -160,20 +166,24 @@ def clear_device_cache() -> None:
     _RESIDENT.clear()
 
 
-def _stage_database(db, norms_sq, total, tile, L, d):
+def _stage_database(db, norms_sq, total, tile, L, d, max_abs):
     vec_path = os.path.join(db.path, "vectors.bin")
     norm_path = os.path.join(db.path, "vector_norms.txt")
     key = (os.path.abspath(vec_path),
            os.path.getmtime(vec_path), os.path.getsize(vec_path),
            os.path.getmtime(norm_path), os.path.getsize(norm_path),
-           total, tile, L, d)
+           total, tile, L, d, max_abs)
     if _RESIDENT.get("key") == key:
         return _RESIDENT["value"]
     npad = ((total + tile - 1) // tile) * tile
     V = np.zeros((npad, d), dtype=np.int32)
     V[:total] = db.load_vectors().astype(np.int32)
     thr = np.full(npad, np.float32(1e30), dtype=np.float32)
-    thr[:total] = norms_sq.astype(np.float32)
+    # widen the sweep threshold when the certified float32 combine error of
+    # this (L, max_abs, d) exceeds the fixed SLACK_ABS (extreme int16-range
+    # components) — guarantees no false-negative pair vs the exact re-filter
+    margin = pw.extra_threshold_margin(L, max_abs, d)
+    thr[:total] = (norms_sq - margin).astype(np.float32)
     planes = pw.decompose_planes(jnp.asarray(V), L)
     value = (V, planes, jnp.asarray(thr))
     _RESIDENT.clear()
@@ -187,7 +197,8 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
     npad = ((total + tile - 1) // tile) * tile
     # V stays host-resident: exact candidate dots are recomputed here with
     # float64 BLAS (pw.exact_dots_host) so only 4 bytes/candidate cross D2H
-    V, planes, thr_j = _stage_database(db, norms_sq, total, tile, L, d)
+    V, planes, thr_j = _stage_database(db, norms_sq, total, tile, L, d,
+                                       max_abs)
 
     nt = npad // tile
     rt0, rt1 = begin_row // tile, (end_row - 1) // tile + 1
@@ -364,7 +375,8 @@ def _compute_streaming(db, norms_sq, total, begin_row, end_row, tile_rows,
     vec_dt = np.int16 if db.dtype == "int16" else np.int32
     Vmm = np.memmap(os.path.join(db.path, "vectors.bin"), dtype=vec_dt,
                     mode="r", shape=(total, d))
-    thr_f32 = norms_sq.astype(np.float32)
+    margin = pw.extra_threshold_margin(L, max_abs, d)
+    thr_f32 = (norms_sq - margin).astype(np.float32)
     P = pw.num_planes(L)
     bytes_per_tile = P * tile * d
     # peak device memory is ~3x the window planes (concat input + output +

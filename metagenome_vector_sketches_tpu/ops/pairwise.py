@@ -145,8 +145,10 @@ def approx_dot_f32(vi_planes, vj_planes):
 
     float32 rounding: each plane product is bounded by d*128^2, so converting
     the int32 partials to float32 loses at most ~1 ulp each before the
-    weighted accumulation — the same error envelope as the naive L^2 combine,
-    covered by the sweep's threshold slack (SLACK_REL/SLACK_ABS).
+    weighted accumulation. Because balanced digits cancel, the sum of
+    |weighted terms| can exceed |dot|, so the certified error bound is
+    :func:`required_slack_abs` (a function of L, max_abs, d) — the engine
+    widens the sweep threshold when that bound exceeds the fixed SLACK_ABS.
     """
     P = vi_planes.shape[0]
     weights = plane_weights(limbs_from_planes(P))
@@ -166,9 +168,52 @@ def approx_dot_f32(vi_planes, vj_planes):
 # removes false positives, so the slack only needs to bound the float32
 # rounding of approx_dot_f32 against false NEGATIVES (relative term covers
 # ulp(dot)-scale error on large dots, absolute term the weighted-combine
-# noise floor on small ones).
+# noise floor on small ones). SLACK_ABS covers every realistic sketch db
+# (required_slack_abs < 16 for max_abs up to ~4000 at d=2048); the engine
+# certifies this per run and widens the threshold itself when the bound is
+# larger (extreme int16-range components), so no pair is silently dropped.
 SLACK_REL = np.float32(1.0 - 1e-5)
 SLACK_ABS = np.float32(16.0)
+
+
+def plane_value_bounds(L: int, max_abs: int) -> list[int]:
+    """Per-plane max |value| bound for a database whose components are
+    bounded by max_abs: low limbs hit +-64 regardless, the TOP limb is
+    bounded by the balanced decomposition of +-max_abs, and each sum plane
+    by the sum of its two limb bounds."""
+    if L == 1:
+        return [min(max_abs, 128)]
+    top = max(abs(_balanced_top(-max_abs, L)), abs(_balanced_top(max_abs, L)))
+    m = [64] * (L - 1) + [top]
+    return m + [m[a] + m[b] for a in range(L) for b in range(a + 1, L)]
+
+
+def required_slack_abs(L: int, max_abs: int, d: int) -> float:
+    """Certified bound on |approx_dot_f32 - exact dot| / d.
+
+    Each plane partial P_p is an exact int32 whose float32 conversion loses
+    <= eps32 * |P_p| <= eps32 * d * m_p^2; the P-term weighted accumulation
+    adds <= (P-1) * eps32 * sum_p |w_p| * d * m_p^2 (the running sum is
+    bounded by the total absolute mass, which under balanced-digit
+    cancellation can exceed |dot| — the reason this bound, not ulp(dot),
+    is the honest slack). One extra factor of margin on top."""
+    L = int(L)
+    w = np.abs(plane_weights(L)).astype(np.float64)
+    m = np.asarray(plane_value_bounds(L, max_abs), dtype=np.float64)
+    P = num_planes(L)
+    eps = 2.0 ** -24
+    total_mass = float(np.sum(w * m * m))  # per unit of d
+    return (P + 1) * eps * total_mass
+
+
+def extra_threshold_margin(L: int, max_abs: int, d: int) -> float:
+    """How much each squared-norm entry must be LOWERED before the sweep so
+    the effective absolute slack covers required_slack_abs: the sweep
+    compares approx/d > 0.05*(ti+tj)*REL - SLACK_ABS, so subtracting e from
+    both ti and tj adds 0.1*e of absolute slack. Returns e (0 for every
+    realistic db)."""
+    need = required_slack_abs(L, max_abs, d)
+    return max(0.0, (need - float(SLACK_ABS)) * 10.0)
 
 
 def sweep_counts_impl(planes, thr, tile_coords, tile: int):

@@ -91,6 +91,9 @@ def query_sliced(matrix_folder: str, row_queries, col_queries,
         if dec is None:
             continue
         cols, q = dec
+        if len(cols) == 0:
+            continue  # a written row always retains its self pair, but the
+            # searchsorted guard below would index [-1] on an empty decode
         # decoded neighbor columns are ascending (delta prefix sums), so the
         # requested columns resolve with one searchsorted instead of a
         # python dict probe per cell

@@ -50,27 +50,40 @@ bool inflate_buf(const uint8_t* src, size_t src_n, int window_bits,
     zs.next_in = const_cast<Bytef*>(src);
     zs.avail_in = (uInt)src_n;
     size_t written = 0;
-    int rc = Z_OK;
-    while (rc != Z_STREAM_END) {
-        if (written == out.size()) {
-            if (out.size() >= kMaxInflate) {
+    for (;;) {
+        int rc = Z_OK;
+        while (rc != Z_STREAM_END) {
+            if (written == out.size()) {
+                if (out.size() >= kMaxInflate) {
+                    inflateEnd(&zs);
+                    return false;
+                }
+                out.resize(out.size() * 2);
+            }
+            zs.next_out = out.data() + written;
+            zs.avail_out = (uInt)(out.size() - written);
+            rc = inflate(&zs, Z_NO_FLUSH);
+            written = out.size() - zs.avail_out;
+            if (rc != Z_OK && rc != Z_STREAM_END) {
                 inflateEnd(&zs);
                 return false;
             }
-            out.resize(out.size() * 2);
+            if (rc == Z_OK && zs.avail_in == 0 && zs.avail_out != 0) {
+                inflateEnd(&zs);
+                return false;  // truncated stream
+            }
         }
-        zs.next_out = out.data() + written;
-        zs.avail_out = (uInt)(out.size() - written);
-        rc = inflate(&zs, Z_NO_FLUSH);
-        written = out.size() - zs.avail_out;
-        if (rc != Z_OK && rc != Z_STREAM_END) {
-            inflateEnd(&zs);
-            return false;
+        // gzip allows concatenated members (gzip.decompress reads them all);
+        // continue with the next member instead of silently dropping it.
+        // Raw/zlib streams (zip entries) legitimately end mid-buffer.
+        if (window_bits >= 16 && zs.avail_in > 0) {
+            if (inflateReset(&zs) != Z_OK) {
+                inflateEnd(&zs);
+                return false;
+            }
+            continue;
         }
-        if (rc == Z_OK && zs.avail_in == 0 && zs.avail_out != 0) {
-            inflateEnd(&zs);
-            return false;  // truncated stream
-        }
+        break;
     }
     inflateEnd(&zs);
     out.resize(written);
