@@ -30,6 +30,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="Skip the shard if its folder is already complete "
                         "(extension; the shard is the checkpoint unit)")
+    p.add_argument("--mesh_devices", type=int, default=0,
+                   help="Run the engine mesh-parallel over this many local "
+                        "devices (0 = all local devices, 1 = single device; "
+                        "extension — one shard then uses every chip)")
     p.add_argument("--strategy", type=int, default=0, choices=[0, 1],
                    help="0 = projected-sketch estimates (default); 1 = exact "
                         "MinHash set Jaccard from --hashes (the reference's "
@@ -69,9 +73,17 @@ def main(argv=None) -> int:
         return 0
     db = DbFolder(args.db)
     tile = args.tile or tile_from_memory(args.max_memory_gb, db.dimension)
+    mesh = None
+    if args.mesh_devices != 1:
+        import jax
+        from ..parallel.mesh import make_mesh
+        n = args.mesh_devices or len(jax.local_devices())
+        if n > 1:
+            mesh = make_mesh(n)
     compute_pairwise_shard(args.db, args.output_folder,
                            num_shards=args.num_shards, shard_idx=args.shard_idx,
-                           tile_rows=tile, tile_cols=tile, resume=args.resume)
+                           tile_rows=tile, tile_cols=tile, resume=args.resume,
+                           mesh=mesh)
     return 0
 
 

@@ -23,6 +23,12 @@ in the active format.
 The --num_shards/--shard_idx job-array contract is preserved as the unit of
 checkpointing/restart. A streaming fallback covers databases whose limb
 decomposition exceeds the device memory budget.
+
+With a mesh (parallel.engine.MeshSweepOps) BOTH phases run tile-data-parallel
+over all devices — planes replicated, tile coordinates sharded under
+shard_map — so a single shard folder is produced by the whole chip
+complement, not one chip (the round-1 gap: extraction/finalize/writing were
+single-device).
 """
 
 from __future__ import annotations
@@ -85,18 +91,29 @@ def compute_pairwise_shard(db_folder: str, output_folder: str,
                            tile_rows: int = 1024, tile_cols: int = 1024,
                            device_budget_bytes: int = 8 << 30,
                            resume: bool = False,
-                           verbose: bool = True) -> str:
+                           verbose: bool = True,
+                           mesh=None) -> str:
     """Compute one shard of the all-vs-all matrix and write its folder.
 
     Returns the shard folder path. tile_rows is the square tile edge of both
     paths (tile_cols is accepted for backward compatibility and ignored —
     the streaming path sizes its column window from the memory budget).
     With resume=True, an already-complete shard folder is left untouched.
+
+    With mesh (a jax.sharding.Mesh over >1 devices), the WHOLE engine —
+    counts sweep, hot-tile extraction, sparse compaction — runs
+    tile-data-parallel over the mesh (parallel.engine.MeshSweepOps): planes
+    replicated, tile coordinates sharded, so one shard folder is produced by
+    every chip instead of one. Host finalize + writing stay per-process.
     """
     if resume and shard_is_complete(output_folder, shard_idx):
         if verbose:
             log(f"Shard {shard_idx} already complete, skipping (resume)")
         return os.path.join(output_folder, f"shard_{shard_idx}")
+    ops = None
+    if mesh is not None and int(mesh.devices.size) > 1:
+        from ..parallel.engine import MeshSweepOps
+        ops = MeshSweepOps(mesh)
     db = DbFolder(db_folder)
     d = db.dimension
     dtype = db.dtype
@@ -128,11 +145,11 @@ def compute_pairwise_shard(db_folder: str, output_folder: str,
     if plane_bytes <= device_budget_bytes:
         rows, cols, vals = _compute_device_resident(
             db, norms_sq, total, begin_row, end_row, tile, L, d,
-            exact_filter, verbose, max_abs)
+            exact_filter, verbose, max_abs, ops)
     else:
         rows, cols, vals = _compute_streaming(
             db, norms_sq, total, begin_row, end_row, tile_rows, tile_cols,
-            L, d, exact_filter, device_budget_bytes, max_abs)
+            L, d, exact_filter, device_budget_bytes, max_abs, ops)
 
     if verbose:
         dt = (time.perf_counter() - t0) * 1000
@@ -166,13 +183,13 @@ def clear_device_cache() -> None:
     _RESIDENT.clear()
 
 
-def _stage_database(db, norms_sq, total, tile, L, d, max_abs):
+def _stage_database(db, norms_sq, total, tile, L, d, max_abs, ops=None):
     vec_path = os.path.join(db.path, "vectors.bin")
     norm_path = os.path.join(db.path, "vector_norms.txt")
     key = (os.path.abspath(vec_path),
            os.path.getmtime(vec_path), os.path.getsize(vec_path),
            os.path.getmtime(norm_path), os.path.getsize(norm_path),
-           total, tile, L, d, max_abs)
+           total, tile, L, d, max_abs, None if ops is None else ops.mesh)
     if _RESIDENT.get("key") == key:
         return _RESIDENT["value"]
     npad = ((total + tile - 1) // tile) * tile
@@ -185,7 +202,10 @@ def _stage_database(db, norms_sq, total, tile, L, d, max_abs):
     margin = pw.extra_threshold_margin(L, max_abs, d)
     thr[:total] = (norms_sq - margin).astype(np.float32)
     planes = pw.decompose_planes(jnp.asarray(V), L)
-    value = (V, planes, jnp.asarray(thr))
+    thr_dev = jnp.asarray(thr)
+    if ops is not None:
+        planes, thr_dev = ops.replicate(planes, thr_dev)
+    value = (V, planes, thr_dev)
     _RESIDENT.clear()
     _RESIDENT["key"] = key
     _RESIDENT["value"] = value
@@ -193,24 +213,27 @@ def _stage_database(db, norms_sq, total, tile, L, d, max_abs):
 
 
 def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
-                             L, d, exact_filter, verbose, max_abs):
+                             L, d, exact_filter, verbose, max_abs, ops=None):
     npad = ((total + tile - 1) // tile) * tile
     # V stays host-resident: exact candidate dots are recomputed here with
     # float64 BLAS (pw.exact_dots_host) so only 4 bytes/candidate cross D2H
     V, planes, thr_j = _stage_database(db, norms_sq, total, tile, L, d,
-                                       max_abs)
+                                       max_abs, ops)
 
     nt = npad // tile
     rt0, rt1 = begin_row // tile, (end_row - 1) // tile + 1
     coords = np.array([(r, c) for r in range(rt0, rt1) for c in range(nt)],
                       dtype=np.int32)
     counts = None
+    if ops is not None:
+        # mesh path: every device sweeps its own slice of the tile grid
+        counts = ops.sweep_counts(planes, thr_j, coords, tile)
     # fastest VMEM-safe sweep block on v5e at d=2048: operand blocks are
     # 2 * P * block * d int8, so P=3 (int32 dbs) fits at 512 and P=6 (int16)
     # at 256; larger plane counts fall back to the XLA scan
     P = planes.shape[0]
     PALLAS_BLOCK = 512 if P <= 3 else 256 if P <= 6 else 0
-    if PALLAS_BLOCK and tile % PALLAS_BLOCK == 0 and d % 128 == 0:
+    if counts is None and PALLAS_BLOCK and tile % PALLAS_BLOCK == 0 and d % 128 == 0:
         # Pallas fast path (TPU): one kernel over the whole grid at the
         # speed-of-light block size, sub-block counts aggregated up to the
         # (coarser) extraction tile
@@ -237,7 +260,7 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
     row_base = coords[:, 0].astype(np.int64) * tile
     col_base = coords[:, 1].astype(np.int64) * tile
     _extract_tiles(planes, thr_j, tile, coords, counts, row_base, col_base,
-                   finalize_globals)
+                   finalize_globals, ops)
     return _concat(parts)
 
 
@@ -265,7 +288,7 @@ def _make_finalizer(V, norms_sq, begin_row, end_row, total, d, exact_filter,
 
 
 def _extract_tiles(planes, thr_j, tile, coords, counts, row_base, col_base,
-                   finalize_globals):
+                   finalize_globals, ops=None):
     """Shared hot-tile extraction over an arbitrary tile coordinate space.
 
     Split hot tiles by density: above 1/32 survivors a packed BITMAP
@@ -280,6 +303,8 @@ def _extract_tiles(planes, thr_j, tile, coords, counts, row_base, col_base,
       counts: (T,) phase-1 survivor counts (advisory — routes/sizes only).
       row_base/col_base: (T,) int64 GLOBAL element bases per tile.
       finalize_globals: callback taking (r_glob, c_glob) candidate arrays.
+      ops: parallel.engine.MeshSweepOps to run the extraction programs
+        mesh-sharded over the tile axis (None = single device).
     """
     hot = np.flatnonzero(counts > 0)
     dense_cut = (tile * tile) // 32
@@ -293,18 +318,31 @@ def _extract_tiles(planes, thr_j, tile, coords, counts, row_base, col_base,
             cap = 4096 if counts[k] <= 4096 else _next_pow2(int(counts[k]))
             buckets.setdefault(cap, []).append(k)
 
-    max_K = _max_tiles_per_batch(tile)
+    scale = ops.max_tiles_scale() if ops is not None else 1
+    max_K = _max_tiles_per_batch(tile) * scale
+
+    def mask_bits(bcoords):
+        if ops is not None:
+            return ops.sweep_mask_bits(planes, thr_j, bcoords, tile)
+        return np.asarray(pw.sweep_mask_bits(planes, thr_j,
+                                             jnp.asarray(bcoords), tile))
+
+    def compact(bcoords, cap, out_cap):
+        if ops is not None:
+            return ops.sweep_compact(planes, thr_j, bcoords, tile, cap,
+                                     out_cap)
+        return pw.sweep_compact(planes, thr_j, jnp.asarray(bcoords), tile,
+                                cap, out_cap)
 
     # dense tiles: bitmap extraction, chunked for bounded HBM + stable shapes
-    DENSE_CHUNK = 64
+    DENSE_CHUNK = 64 * scale
     for s in range(0, len(dense), DENSE_CHUNK):
         chunk_ks = dense[s:s + DENSE_CHUNK]
         K_pad = _next_pow2(len(chunk_ks))
         bcoords = np.zeros((K_pad, 3), dtype=np.int32)
         bcoords[:len(chunk_ks), :2] = coords[chunk_ks]
         bcoords[:len(chunk_ks), 2] = 1
-        words = np.asarray(pw.sweep_mask_bits(planes, thr_j,
-                                              jnp.asarray(bcoords), tile))
+        words = mask_bits(bcoords)
         for t, k in enumerate(chunk_ks):
             # the bitmap is its own ground truth — phase-1 counts (possibly
             # from the Pallas kernel) only routed this tile here
@@ -321,8 +359,8 @@ def _extract_tiles(planes, thr_j, tile, coords, counts, row_base, col_base,
     # on a borderline pair; never observed, but a crash would kill the job).
     def run_sparse(cap, ks):
         retry: list[int] = []
-        # also bound the (K, cap) idx buffer to ~512 MB of HBM
-        chunk_max = max(1, min(max_K, (512 << 20) // (cap * 4)))
+        # also bound the (K, cap) idx buffer to ~512 MB of HBM (per device)
+        chunk_max = max(1, min(max_K, ((512 << 20) // (cap * 4)) * scale))
         for s in range(0, len(ks), chunk_max):
             chunk_ks = ks[s:s + chunk_max]
             K_pad = _next_pow2(len(chunk_ks))
@@ -331,8 +369,7 @@ def _extract_tiles(planes, thr_j, tile, coords, counts, row_base, col_base,
             bcoords[:len(chunk_ks), 2] = 1
             total_b = int(counts[chunk_ks].sum())
             out_cap = ((total_b + 16383) // 16384) * 16384
-            packed, counts_b = pw.sweep_compact(
-                planes, thr_j, jnp.asarray(bcoords), tile, cap, out_cap)
+            packed, counts_b = compact(bcoords, cap, out_cap)
             counts_b = np.asarray(counts_b)[:len(chunk_ks)]
             over = counts_b > cap
             if over.any():
@@ -341,8 +378,7 @@ def _extract_tiles(planes, thr_j, tile, coords, counts, row_base, col_base,
             needed = int(np.minimum(counts_b, cap).sum())
             if needed > out_cap:
                 out_cap = ((needed + 16383) // 16384) * 16384
-                packed, _ = pw.sweep_compact(
-                    planes, thr_j, jnp.asarray(bcoords), tile, cap, out_cap)
+                packed, _ = compact(bcoords, cap, out_cap)
             packed = np.asarray(packed)                # 4 B/candidate D2H
             packed = packed[packed >= 0]
             # global coordinates of every candidate in this chunk
@@ -363,7 +399,8 @@ def _extract_tiles(planes, thr_j, tile, coords, counts, row_base, col_base,
 
 
 def _compute_streaming(db, norms_sq, total, begin_row, end_row, tile_rows,
-                       tile_cols, L, d, exact_filter, budget, max_abs):
+                       tile_cols, L, d, exact_filter, budget, max_abs,
+                       ops=None):
     """Column-streaming fallback for databases too large for device
     residency: one row tile plus a budget-sized WINDOW of column tiles is
     staged as a single device tensor, then the sweep + shared hot-tile
@@ -410,11 +447,15 @@ def _compute_streaming(db, norms_sq, total, begin_row, end_row, tile_rows,
             planes_r, thr_r = stage(bi, ei, tile)
             planes_cat = jnp.concatenate([planes_r, planes_w], axis=1)
             thr_cat = jnp.asarray(np.concatenate([thr_r, thr_w]))
-            counts = np.asarray(pw.sweep_counts(
-                planes_cat, thr_cat, jnp.asarray(coords), tile))
+            if ops is not None:
+                planes_cat, thr_cat = ops.replicate(planes_cat, thr_cat)
+                counts = ops.sweep_counts(planes_cat, thr_cat, coords, tile)
+            else:
+                counts = np.asarray(pw.sweep_counts(
+                    planes_cat, thr_cat, jnp.asarray(coords), tile))
             row_base = np.full(n_w, bi, dtype=np.int64)
             _extract_tiles(planes_cat, thr_cat, tile, coords, counts,
-                           row_base, col_base, finalize_globals)
+                           row_base, col_base, finalize_globals, ops)
     return _concat(parts)
 
 

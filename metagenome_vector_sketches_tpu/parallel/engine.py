@@ -1,0 +1,128 @@
+"""Mesh-sharded pairwise-engine device ops.
+
+The reference parallelizes one matrix shard only within a CPU socket
+(OpenMP); its cross-machine story is one-shard-per-job (SURVEY.md §2.3).
+Here ONE shard's whole tile grid is data-parallel over a jax.sharding.Mesh:
+the Karatsuba planes and thresholds are replicated across the mesh, the tile
+COORDINATE axis is sharded, and each device runs the same fused
+sweep/extract programs (ops.pairwise) on its own subset of tiles under
+shard_map — no collectives in the hot loop at all, ICI is only touched by
+the one-time replication broadcast.
+
+:class:`MeshSweepOps` exposes the three device calls the engine makes
+(counts sweep, bitmap extraction, sparse compaction) with host-side results
+in the exact single-device layout, so matrix.compute's extraction, exact
+host finalize, and shard writer are device-count agnostic. With this, one
+`shard_K/` folder (pairwise_comp_optimized.cpp:938-990) is produced at
+n_devices x single-chip speed instead of leaving n-1 chips idle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS
+from ..ops import pairwise as pw
+
+
+@functools.lru_cache(maxsize=None)
+def _counts_fn(mesh, tile: int):
+    def local(planes, thr, coords):
+        return pw.sweep_counts_impl(planes, thr, coords, tile)
+
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=(P(), P(), P(DATA_AXIS, None)),
+                             out_specs=P(DATA_AXIS)))
+
+
+@functools.lru_cache(maxsize=None)
+def _mask_fn(mesh, tile: int):
+    def local(planes, thr, coords):
+        return pw.sweep_mask_bits.__wrapped__(planes, thr, coords, tile)
+
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=(P(), P(), P(DATA_AXIS, None)),
+                             out_specs=P(DATA_AXIS)))
+
+
+@functools.lru_cache(maxsize=None)
+def _compact_fn(mesh, tile: int, cap: int, out_cap: int):
+    def local(planes, thr, coords):
+        idx, counts = pw.sweep_candidates.__wrapped__(
+            planes, thr, coords, tile, cap)
+        return pw.compact_indices.__wrapped__(idx, tile, out_cap), counts
+
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=(P(), P(), P(DATA_AXIS, None)),
+                             out_specs=(P(DATA_AXIS), P(DATA_AXIS))))
+
+
+class MeshSweepOps:
+    """Mesh-parallel drop-in for the engine's device calls.
+
+    Tile-coordinate batches are padded to a device-count multiple; padding
+    rows are (0, 0[, valid=0]) so extraction padding contributes nothing
+    (the counts sweep recomputes tile (0,0) — discarded on trim).
+    """
+
+    def __init__(self, mesh):
+        self.mesh = mesh
+        self.n_devices = int(mesh.devices.size)
+
+    # -- staging ------------------------------------------------------------
+    def replicate(self, *arrays):
+        """Broadcast arrays to every mesh device (the one-time ICI cost)."""
+        rep = NamedSharding(self.mesh, P())
+        out = tuple(jax.device_put(a, rep) for a in arrays)
+        return out if len(out) > 1 else out[0]
+
+    # -- helpers ------------------------------------------------------------
+    def _pad(self, coords: np.ndarray):
+        coords = np.asarray(coords, dtype=np.int32)
+        t = coords.shape[0]
+        n = self.n_devices
+        tp = ((t + n - 1) // n) * n
+        if tp != t:
+            pad = np.zeros((tp - t,) + coords.shape[1:], coords.dtype)
+            coords = np.concatenate([coords, pad])
+        return coords, t
+
+    # -- the three engine device calls ---------------------------------------
+    def sweep_counts(self, planes, thr, coords, tile: int) -> np.ndarray:
+        cp, t = self._pad(coords)
+        out = _counts_fn(self.mesh, tile)(planes, thr, jnp.asarray(cp))
+        return np.asarray(out)[:t]
+
+    def sweep_mask_bits(self, planes, thr, bcoords, tile: int) -> np.ndarray:
+        cp, k = self._pad(bcoords)
+        out = _mask_fn(self.mesh, tile)(planes, thr, jnp.asarray(cp))
+        return np.asarray(out)[:k]
+
+    def sweep_compact(self, planes, thr, bcoords, tile: int, cap: int,
+                      out_cap: int):
+        """Single-device-layout result: (packed int64 with GLOBAL
+        t*tile^2+local encoding and -1 padding, counts (K,) int32). out_cap
+        bounds each DEVICE's compacted output (a device's share is <= the
+        global total the caller sized out_cap from)."""
+        cp, k = self._pad(bcoords)
+        k_loc = cp.shape[0] // self.n_devices
+        packed, counts = _compact_fn(self.mesh, tile, cap, out_cap)(
+            planes, thr, jnp.asarray(cp))
+        packed = np.asarray(packed).astype(np.int64) \
+            .reshape(self.n_devices, out_cap)
+        # device d compacted its local tiles 0..k_loc-1 = global d*k_loc..
+        offs = (np.arange(self.n_devices, dtype=np.int64)
+                * (k_loc * tile * tile))[:, None]
+        packed = np.where(packed >= 0, packed + offs, -1).reshape(-1)
+        return packed, np.asarray(counts)[:k]
+
+    def max_tiles_scale(self) -> int:
+        """Extraction batches may be n_devices times larger: the packed-index
+        int32 bound and the HBM buffer bound are both per device."""
+        return self.n_devices

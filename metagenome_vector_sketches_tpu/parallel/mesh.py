@@ -20,6 +20,13 @@ def make_mesh(n_devices: int | None = None, axis: str = DATA_AXIS) -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def local_mesh(axis: str = DATA_AXIS) -> Mesh:
+    """1-D mesh over THIS PROCESS's addressable devices — the engine mesh
+    for one shard job (outputs stay host-addressable so the per-process
+    finalize/writer contract holds on multi-host runs too)."""
+    return Mesh(np.array(jax.local_devices()), (axis,))
+
+
 def row_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
     """Shard the leading (row) dimension across the mesh."""
     return NamedSharding(mesh, P(axis))

@@ -56,13 +56,25 @@ def global_mesh(axis: str = "data"):
 
 
 def compute_pairwise_multihost(db_folder: str, output_folder: str,
-                               num_shards: int, **kwargs) -> list[str]:
+                               num_shards: int, use_local_mesh: bool = True,
+                               **kwargs) -> list[str]:
     """Run this host's share of the shard space (call on every host).
-    Returns the shard folders written by this host."""
+    Returns the shard folders written by this host.
+
+    With use_local_mesh (default), each shard runs mesh-parallel over THIS
+    host's chips (parallel.engine) — so a P-host, C-chip/host run gets
+    shard-level scatter over DCN (the reference's job-array model) times
+    C-way tile parallelism inside every shard."""
     from ..matrix.compute import compute_pairwise_shard
+    from .mesh import local_mesh
+    if "mesh" in kwargs:
+        mesh = kwargs.pop("mesh")
+    else:
+        mesh = local_mesh() if use_local_mesh else None
     out = []
     for shard_idx in host_shards(num_shards):
         out.append(compute_pairwise_shard(db_folder, output_folder,
                                           num_shards=num_shards,
-                                          shard_idx=shard_idx, **kwargs))
+                                          shard_idx=shard_idx, mesh=mesh,
+                                          **kwargs))
     return out

@@ -77,3 +77,124 @@ def test_distributed_projection_batch(mesh8):
     for b in range(B):
         want = project_host(sets[b, :counts[b]], d)
         np.testing.assert_array_equal(out[b], want)
+
+# ---------------------------------------------------------------------------
+# the FULL mesh-sharded engine: sweep + extraction + finalize + writer
+# ---------------------------------------------------------------------------
+
+def _build_clustered_db(tmp_path, n=96, d=128, n_clusters=3, cluster_size=9,
+                        seed=41, use_int16=False, max_mag=300):
+    """Synthetic db with dense clusters of near-identical rows (to force the
+    BITMAP extraction path) plus background rows (sparse/index path)."""
+    from metagenome_vector_sketches_tpu.io.dbfolder import DbFolder
+    rng = np.random.default_rng(seed)
+    V = rng.integers(-max_mag, max_mag + 1, size=(n, d)).astype(np.int32)
+    pos = 0
+    for c in range(n_clusters):
+        proto = rng.integers(-max_mag, max_mag + 1, size=d).astype(np.int32)
+        for k in range(cluster_size):
+            noise = rng.integers(-2, 3, size=d).astype(np.int32)
+            V[pos] = proto + noise
+            pos += 1
+    db = DbFolder.write(str(tmp_path / "db"), [f"S{i:04d}" for i in range(n)],
+                        V, d, use_int16=use_int16)
+    return db
+
+
+@pytest.mark.parametrize("use_int16", [False, True])
+def test_mesh_engine_full_shard_matches_oracle(mesh8, tmp_path, use_int16):
+    """VERDICT r1 item 1: decoded triples of a MESH-sharded
+    compute_pairwise_shard equal the float64 numpy oracle — extraction,
+    finalize and the writer all driven from the 8-device mesh path."""
+    from metagenome_vector_sketches_tpu.io.dbfolder import DbFolder
+    from metagenome_vector_sketches_tpu.matrix.compute import (
+        compute_pairwise_shard, compute_pairwise_oracle)
+    from metagenome_vector_sketches_tpu.matrix.reader import MatrixReader
+    from metagenome_vector_sketches_tpu.matrix.writer import quantize_jaccard
+    db = _build_clustered_db(tmp_path, use_int16=use_int16)
+    _, norms = db.names_and_norms()
+    ns = norms * norms
+    V = db.load_vectors().astype(np.int32)
+    n, d = V.shape
+    folder = compute_pairwise_shard(db.path, str(tmp_path / "m"),
+                                    tile_rows=16, verbose=False, mesh=mesh8)
+    dtype = "int16" if use_int16 else "int32"
+    er, ec, ev = compute_pairwise_oracle(V, ns, d, dtype)
+    eq = quantize_jaccard(ev, er, ec, ns, d)
+    rr, cc, qq = MatrixReader(str(tmp_path / "m")).decode_all_triples(n)
+    assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
+        set(zip(er.tolist(), ec.tolist(), eq.tolist()))
+    # the dense (bitmap) path must actually have been exercised
+    dense_cut = (16 * 16) // 32
+    per_tile = {}
+    for r, c in zip(er // 16, ec // 16):
+        per_tile[(int(r), int(c))] = per_tile.get((int(r), int(c)), 0) + 1
+    assert max(per_tile.values()) > dense_cut
+
+
+def test_mesh_engine_sharded_rows_match_single_device(mesh8, tmp_path):
+    """Shard scatter (--num_shards) composed with the mesh engine: each
+    shard's decoded rows equal the single-device engine's."""
+    from metagenome_vector_sketches_tpu.matrix.compute import (
+        compute_pairwise_shard)
+    from metagenome_vector_sketches_tpu.matrix.reader import MatrixReader
+    db = _build_clustered_db(tmp_path, n=40, seed=43)
+    n = db.num_vectors
+    for shard_idx in range(3):
+        compute_pairwise_shard(db.path, str(tmp_path / "mesh"),
+                               num_shards=3, shard_idx=shard_idx,
+                               tile_rows=16, verbose=False, mesh=mesh8)
+        compute_pairwise_shard(db.path, str(tmp_path / "single"),
+                               num_shards=3, shard_idx=shard_idx,
+                               tile_rows=16, verbose=False)
+    a = MatrixReader(str(tmp_path / "mesh")).decode_all_triples(n)
+    b = MatrixReader(str(tmp_path / "single")).decode_all_triples(n)
+    assert set(zip(*[x.tolist() for x in a])) == \
+        set(zip(*[x.tolist() for x in b]))
+
+
+def test_mesh_engine_streaming_path(mesh8, tmp_path):
+    """Column-streaming fallback under the mesh: a tiny device budget forces
+    the windowed path; results must still equal the oracle."""
+    from metagenome_vector_sketches_tpu.matrix.compute import (
+        compute_pairwise_shard, compute_pairwise_oracle)
+    from metagenome_vector_sketches_tpu.matrix.reader import MatrixReader
+    from metagenome_vector_sketches_tpu.matrix.writer import quantize_jaccard
+    db = _build_clustered_db(tmp_path, n=64, seed=44)
+    _, norms = db.names_and_norms()
+    ns = norms * norms
+    V = db.load_vectors().astype(np.int32)
+    n, d = V.shape
+    compute_pairwise_shard(db.path, str(tmp_path / "m"), tile_rows=16,
+                           device_budget_bytes=3 * 16 * d * 4,
+                           verbose=False, mesh=mesh8)
+    er, ec, ev = compute_pairwise_oracle(V, ns, d)
+    eq = quantize_jaccard(ev, er, ec, ns, d)
+    rr, cc, qq = MatrixReader(str(tmp_path / "m")).decode_all_triples(n)
+    assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
+        set(zip(er.tolist(), ec.tolist(), eq.tolist()))
+
+
+def test_multihost_local_mesh_engine(tmp_path, mesh8):
+    """compute_pairwise_multihost drives the mesh engine per shard by
+    default (single-process here: local mesh = all 8 virtual devices)."""
+    from metagenome_vector_sketches_tpu.parallel.multihost import (
+        compute_pairwise_multihost)
+    from metagenome_vector_sketches_tpu.matrix.compute import (
+        compute_pairwise_oracle)
+    from metagenome_vector_sketches_tpu.matrix.reader import MatrixReader
+    from metagenome_vector_sketches_tpu.matrix.writer import quantize_jaccard
+    db = _build_clustered_db(tmp_path, n=48, seed=45)
+    _, norms = db.names_and_norms()
+    ns = norms * norms
+    V = db.load_vectors().astype(np.int32)
+    n, d = V.shape
+    folders = compute_pairwise_multihost(db.path, str(tmp_path / "m"),
+                                         num_shards=2, tile_rows=16,
+                                         verbose=False)
+    assert len(folders) == 2
+    er, ec, ev = compute_pairwise_oracle(V, ns, d)
+    eq = quantize_jaccard(ev, er, ec, ns, d)
+    rr, cc, qq = MatrixReader(str(tmp_path / "m")).decode_all_triples(n)
+    assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
+        set(zip(er.tolist(), ec.tolist(), eq.tolist()))
