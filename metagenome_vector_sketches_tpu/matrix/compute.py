@@ -45,6 +45,25 @@ from ..utils.log import log
 from . import writer
 
 
+# per-shard stage timing of the LAST compute_pairwise_shard call (staging,
+# sweep, extraction, exact host finalize, shard write — the honest
+# end-to-end split the reference prints as one "Total computation time",
+# pairwise_comp_optimized.cpp:993-996). Read by bench.py's e2e block.
+LAST_STAGES: dict = {}
+
+
+def _reset_stages():
+    LAST_STAGES.clear()
+    LAST_STAGES.update(stage_ms=0.0, sweep_ms=0.0, extract_ms=0.0,
+                       finalize_ms=0.0, write_ms=0.0, candidates=0,
+                       pairs_written=0)
+
+
+def _acc(key: str, t0: float) -> None:
+    if LAST_STAGES:
+        LAST_STAGES[key] += (time.perf_counter() - t0) * 1e3
+
+
 def _next_pow2(x: int) -> int:
     p = 1
     while p < x:
@@ -138,6 +157,7 @@ def compute_pairwise_shard(db_folder: str, output_folder: str,
         writer.write_shard(shard_folder, *_empty(), norms_sq, d)
         return shard_folder
 
+    _reset_stages()
     t0 = time.perf_counter()
     tile = tile_rows
     npad = ((total + tile - 1) // tile) * tile
@@ -156,7 +176,11 @@ def compute_pairwise_shard(db_folder: str, output_folder: str,
         log(f"Total computation time: {dt:.0f} ms ({len(rows)} surviving pairs)")
 
     shard_folder = os.path.join(output_folder, f"shard_{shard_idx}")
+    tw = time.perf_counter()
     writer.write_shard(shard_folder, rows, cols, vals, norms_sq, d)
+    _acc("write_ms", tw)
+    LAST_STAGES["pairs_written"] = len(rows)
+    LAST_STAGES["total_ms"] = (time.perf_counter() - t0) * 1e3
     return shard_folder
 
 
@@ -217,14 +241,20 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
     npad = ((total + tile - 1) // tile) * tile
     # V stays host-resident: exact candidate dots are recomputed here with
     # float64 BLAS (pw.exact_dots_host) so only 4 bytes/candidate cross D2H
+    ts = time.perf_counter()
     V, planes, thr_j = _stage_database(db, norms_sq, total, tile, L, d,
                                        max_abs, ops)
+    jax_block = getattr(planes, "block_until_ready", None)
+    if jax_block:
+        jax_block()
+    _acc("stage_ms", ts)
 
     nt = npad // tile
     rt0, rt1 = begin_row // tile, (end_row - 1) // tile + 1
     coords = np.array([(r, c) for r in range(rt0, rt1) for c in range(nt)],
                       dtype=np.int32)
     counts = None
+    tsw = time.perf_counter()
     if ops is not None:
         # mesh path: every device sweeps its own slice of the tile grid
         counts = ops.sweep_counts(planes, thr_j, coords, tile)
@@ -250,6 +280,7 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
                 counts = None  # e.g. VMEM overflow -> XLA path
     if counts is None:
         counts = np.asarray(pw.sweep_counts(planes, thr_j, jnp.asarray(coords), tile))
+    _acc("sweep_ms", tsw)
     hot = np.flatnonzero(counts > 0)
     if verbose:
         log(f"sweep: {len(coords)} tiles, {len(hot)} hot, "
@@ -259,8 +290,13 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
         V, norms_sq, begin_row, end_row, total, d, exact_filter, max_abs)
     row_base = coords[:, 0].astype(np.int64) * tile
     col_base = coords[:, 1].astype(np.int64) * tile
+    te = time.perf_counter()
+    fin0 = LAST_STAGES.get("finalize_ms", 0.0)
     _extract_tiles(planes, thr_j, tile, coords, counts, row_base, col_base,
                    finalize_globals, ops)
+    _acc("extract_ms", te)
+    if LAST_STAGES:  # extraction wall minus the finalize time nested in it
+        LAST_STAGES["extract_ms"] -= LAST_STAGES["finalize_ms"] - fin0
     return _concat(parts)
 
 
@@ -273,16 +309,21 @@ def _make_finalizer(V, norms_sq, begin_row, end_row, total, d, exact_filter,
     parts: list = []
 
     def finalize_globals(r_glob, c_glob):
+        t0 = time.perf_counter()
+        if LAST_STAGES:
+            LAST_STAGES["candidates"] += len(r_glob)
         keep_range = ((r_glob >= begin_row) & (r_glob < end_row)
                       & (c_glob < total))
         r_glob, c_glob = r_glob[keep_range], c_glob[keep_range]
         if len(r_glob) == 0:
+            _acc("finalize_ms", t0)
             return
         dots = pw.exact_dots_host(V, r_glob, c_glob, max_abs)
         thr_exact = 0.05 * (norms_sq[r_glob] + norms_sq[c_glob])
         keep = exact_filter(dots, thr_exact, d)
         if keep.any():
             parts.append((r_glob[keep], c_glob[keep], dots[keep]))
+        _acc("finalize_ms", t0)
 
     return parts, finalize_globals
 
@@ -343,13 +384,21 @@ def _extract_tiles(planes, thr_j, tile, coords, counts, row_base, col_base,
         bcoords[:len(chunk_ks), :2] = coords[chunk_ks]
         bcoords[:len(chunk_ks), 2] = 1
         words = mask_bits(bcoords)
-        for t, k in enumerate(chunk_ks):
-            # the bitmap is its own ground truth — phase-1 counts (possibly
-            # from the Pallas kernel) only routed this tile here
-            bits = np.unpackbits(words[t].view(np.uint8), bitorder="little")
-            local = np.flatnonzero(bits)
-            finalize_globals(row_base[k] + local // tile,
-                             col_base[k] + local % tile)
+        # the bitmap is its own ground truth — phase-1 counts (possibly from
+        # the Pallas kernel) only routed these tiles here. One vectorized
+        # unpack + one finalize call for the whole chunk (dense regions can
+        # carry millions of candidates; a per-tile python loop was the
+        # round-1 bottleneck under heavy survivorship)
+        kc = len(chunk_ks)
+        ks_arr = np.asarray(chunk_ks)
+        sub = max(1, (256 << 20) // (tile * tile))  # bound the unpack buffer
+        for u in range(0, kc, sub):
+            ue = min(u + sub, kc)
+            bits = np.unpackbits(words[u:ue].view(np.uint8).reshape(ue - u, -1),
+                                 axis=1, bitorder="little")
+            t_of, local = np.nonzero(bits)
+            finalize_globals(row_base[ks_arr[u + t_of]] + local // tile,
+                             col_base[ks_arr[u + t_of]] + local % tile)
 
     # sparse tiles: flat-compacted indices. Phase-1 counts size the buffers;
     # the XLA recount (counts_b) is authoritative — tiles whose recount
@@ -437,13 +486,16 @@ def _compute_streaming(db, norms_sq, total, begin_row, end_row, tile_rows,
     for ws in range(0, total, window_tiles * tile):
         we = min(ws + window_tiles * tile, total)
         n_w = (we - ws + tile - 1) // tile
+        ts = time.perf_counter()
         planes_w, thr_w = stage(ws, we, n_w * tile)
+        _acc("stage_ms", ts)
         coords = np.array([(0, 1 + j) for j in range(n_w)], dtype=np.int32)
         # bases are global: the row tile (staged index 0) holds global rows
         # bi..; staged col tile 1+j holds global columns ws + j*tile..
         col_base = ws + np.arange(n_w, dtype=np.int64) * tile
         for bi in range(begin_row, end_row, tile):
             ei = min(bi + tile, end_row)
+            tsw = time.perf_counter()
             planes_r, thr_r = stage(bi, ei, tile)
             planes_cat = jnp.concatenate([planes_r, planes_w], axis=1)
             thr_cat = jnp.asarray(np.concatenate([thr_r, thr_w]))
@@ -453,9 +505,15 @@ def _compute_streaming(db, norms_sq, total, begin_row, end_row, tile_rows,
             else:
                 counts = np.asarray(pw.sweep_counts(
                     planes_cat, thr_cat, jnp.asarray(coords), tile))
+            _acc("sweep_ms", tsw)
             row_base = np.full(n_w, bi, dtype=np.int64)
+            te = time.perf_counter()
+            fin0 = LAST_STAGES.get("finalize_ms", 0.0)
             _extract_tiles(planes_cat, thr_cat, tile, coords, counts,
                            row_base, col_base, finalize_globals, ops)
+            _acc("extract_ms", te)
+            if LAST_STAGES:
+                LAST_STAGES["extract_ms"] -= LAST_STAGES["finalize_ms"] - fin0
     return _concat(parts)
 
 
