@@ -15,8 +15,12 @@ reader read_pc_mat_cmp.cpp:123-143 + load_neighbors_for_rows :251-363; this
 is also what the reference's int16 path emits, :426).
 
 Codec serialization is this framework's (FORMATS.md). The reference
-compresses these with `zstd` shellouts; we write uncompressed (its readers
-consume pre-decompressed files identically).
+compresses these with `zstd -f` shellouts and decompresses with `zstd -d`
+before every read (read_pc_mat.cpp:10-13); our writers emit uncompressed
+files (use :func:`compress_legacy_folder` to reproduce the as-left server
+state) and every reader transparently accepts `<file>.zst` via the
+in-process utils.zstdio — genuine historical artifacts are ingestible
+as found.
 """
 
 from __future__ import annotations
@@ -26,6 +30,22 @@ import os
 import numpy as np
 
 from .. import codecs
+from ..utils.zstdio import compress, read_maybe_zst
+
+
+def compress_legacy_folder(folder: str, level: int = 3) -> None:
+    """Put a legacy folder into the reference's as-left state: every
+    artifact file replaced by `<name>.zst` (the reference's `zstd -f`
+    shellout, pairwise_comp_optimized.cpp:334-338)."""
+    for name in sorted(os.listdir(folder)):
+        full = os.path.join(folder, name)
+        if name.endswith(".zst") or not os.path.isfile(full):
+            continue
+        with open(full, "rb") as f:
+            data = f.read()
+        with open(full + ".zst", "wb") as f:
+            f.write(compress(data, level))
+        os.remove(full)
 
 
 def _group(rows, cols, values):
@@ -66,22 +86,21 @@ def write_legacy_prev(folder: str, rows, cols, values, dimension: int) -> None:
 def read_legacy_prev(folder: str):
     """-> dict row -> (cols int64, values int32)."""
     index = []
-    with open(os.path.join(folder, "row_index.txt")) as f:
-        for line in f:
-            parts = line.split()
-            if len(parts) == 2:
-                index.append((int(parts[0]), int(parts[1])))
-    blob_path = os.path.join(folder, "matrix.bin")
-    size = os.path.getsize(blob_path)
+    for line in read_maybe_zst(os.path.join(folder, "row_index.txt")) \
+            .decode().splitlines():
+        parts = line.split()
+        if len(parts) == 2:
+            index.append((int(parts[0]), int(parts[1])))
+    data = read_maybe_zst(os.path.join(folder, "matrix.bin"))
+    size = len(data)
     out = {}
-    with open(blob_path, "rb") as f:
-        for k, (row, pos) in enumerate(index):
-            end = index[k + 1][1] if k + 1 < len(index) else size
-            n = (end - pos) // 8
-            f.seek(pos)
-            deltas = np.frombuffer(f.read(4 * n), dtype="<i4").astype(np.int64)
-            vals = np.frombuffer(f.read(4 * n), dtype="<i4")
-            out[row] = (np.cumsum(deltas), vals)
+    for k, (row, pos) in enumerate(index):
+        end = index[k + 1][1] if k + 1 < len(index) else size
+        n = (end - pos) // 8
+        deltas = np.frombuffer(data, dtype="<i4", count=n,
+                               offset=pos).astype(np.int64)
+        vals = np.frombuffer(data, dtype="<i4", count=n, offset=pos + 4 * n)
+        out[row] = (np.cumsum(deltas), vals)
     return out
 
 
@@ -140,14 +159,12 @@ def write_legacy_rice(folder: str, rows, cols, values, dimension: int) -> None:
 def read_legacy_rice(folder: str):
     """-> dict row -> (cols int64, values int64) (reference reader
     load_neighbors_for_rows_rice, read_pc_mat_cmp.cpp:373-514)."""
-    with open(os.path.join(folder, "row_index.bin"), "rb") as f:
-        blob = f.read()
+    blob = read_maybe_zst(os.path.join(folder, "row_index.bin"))
     rows, consumed = codecs.rice_decode(blob, 0)
     positions, _ = codecs.rice_decode(blob, consumed)
-    with open(os.path.join(folder, "neighbor_start.bin"), "rb") as f:
-        starts, _ = codecs.rice_decode(f.read(), 0)
-    with open(os.path.join(folder, "matrix.bin"), "rb") as f:
-        data = f.read()
+    starts, _ = codecs.rice_decode(
+        read_maybe_zst(os.path.join(folder, "neighbor_start.bin")), 0)
+    data = read_maybe_zst(os.path.join(folder, "matrix.bin"))
     out = {}
     for k, (row, pos) in enumerate(zip(rows.astype(np.int64),
                                        positions.astype(np.int64))):
@@ -215,15 +232,13 @@ def write_legacy_sorted(folder: str, rows, cols, dots, norms_sq,
 def read_legacy_sorted(folder: str):
     """-> dict row -> (cols int64 in jaccard-desc order, q uint16-as-int64
     quantized jaccards; dequantize J ~ q/65535)."""
-    with open(os.path.join(folder, "row_index.bin"), "rb") as f:
-        blob = f.read()
+    blob = read_maybe_zst(os.path.join(folder, "row_index.bin"))
     rows, consumed = codecs.cv_decode(blob, 0)
     pdeltas, _ = codecs.cv_decode(blob, consumed)
     positions = np.zeros(len(rows), dtype=np.int64)
     if len(rows) > 1:
         positions[1:] = np.cumsum(pdeltas.astype(np.int64))
-    with open(os.path.join(folder, "matrix.bin"), "rb") as f:
-        data = f.read()
+    data = read_maybe_zst(os.path.join(folder, "matrix.bin"))
     out = {}
     for row, pos in zip(rows.astype(np.int64), positions):
         pos = int(pos)
@@ -240,12 +255,10 @@ def read_legacy_sorted(folder: str):
 
 def read_legacy_ef(folder: str):
     """-> dict row -> (cols int64, values int64)."""
-    with open(os.path.join(folder, "row_index.bin"), "rb") as f:
-        blob = f.read()
+    blob = read_maybe_zst(os.path.join(folder, "row_index.bin"))
     rows, consumed = codecs.cv_decode(blob, 0)
     positions, _ = codecs.cv_decode(blob, consumed)
-    with open(os.path.join(folder, "matrix.bin"), "rb") as f:
-        data = f.read()
+    data = read_maybe_zst(os.path.join(folder, "matrix.bin"))
     out = {}
     for row, pos in zip(rows.astype(np.int64), positions.astype(np.int64)):
         cols, used = codecs.ef_decode(data, int(pos))
