@@ -16,8 +16,19 @@ from dataclasses import dataclass
 import numpy as np
 
 from .. import codecs
+from ..codecs import bitscompat
 
 _SHARD_RE = re.compile(r"shard_(\d+)$")
+
+
+def _decoders(fmt: str):
+    """(cv_decode, rice_decode) for a shard's codec layout: 'native' (this
+    framework's serialization, FORMATS.md) or 'bits' (the reconstructed
+    jermp/bits layout real server artifacts use — codecs.bitscompat)."""
+    if fmt == "bits":
+        return (lambda b, o=0: bitscompat.cv_decode(b, o)[:2],
+                bitscompat.rice_decode)
+    return codecs.cv_decode, codecs.rice_decode
 
 
 def discover_shards(matrix_folder: str) -> int:
@@ -43,6 +54,7 @@ class ShardIndex:
     addresses: np.ndarray     # absolute byte offsets into matrix.bin
     start_neighbor: np.ndarray  # first neighbor column per row (written order)
     row_to_pos: dict          # row id -> position in written order
+    fmt: str = "native"       # codec layout ('native' | 'bits')
 
 
 def load_shard_index(shard_folder: str) -> ShardIndex | None:
@@ -52,16 +64,34 @@ def load_shard_index(shard_folder: str) -> ShardIndex | None:
         return None
     with open(index_path, "rb") as f:
         blob = f.read()
-    rows, consumed = codecs.cv_decode(blob, 0)
-    deltas, _ = codecs.cv_decode(blob, consumed)
+    # layout autodetect: real server shards were written by jermp/bits;
+    # ours by the FORMATS.md serialization. Decide by fully parsing the
+    # index under each hypothesis — the winner must consume the exact file
+    # with the n-rows/(n-1)-deltas shape (header sniffing alone can collide
+    # on tiny width-1 blobs).
+    fmt = rows = deltas = None
+    for cand in ("native", "bits"):
+        cv_dec, _ = _decoders(cand)
+        try:
+            r, c1 = cv_dec(blob, 0)
+            d, c2 = cv_dec(blob, c1)
+        except Exception:
+            continue
+        if c1 + c2 == len(blob) and len(d) == max(0, len(r) - 1):
+            fmt, rows, deltas = cand, r, d
+            break
+    if fmt is None:
+        raise ValueError(f"unrecognized row_index.bin layout: {index_path}")
+    _, rice_dec = _decoders(fmt)
     addresses = np.zeros(len(rows), dtype=np.uint64)
     if len(rows) > 1:
         addresses[1:] = np.cumsum(deltas.astype(np.uint64))
     with open(ngh_path, "rb") as f:
-        start_neighbor, _ = codecs.rice_decode(f.read(), 0)
+        start_neighbor, _ = rice_dec(f.read(), 0)
     return ShardIndex(rows=rows.astype(np.int64), addresses=addresses,
                       start_neighbor=start_neighbor.astype(np.int64),
-                      row_to_pos={int(r): i for i, r in enumerate(rows)})
+                      row_to_pos={int(r): i for i, r in enumerate(rows)},
+                      fmt=fmt)
 
 
 class ShardReader:
@@ -114,12 +144,13 @@ class ShardReader:
         if pos is None:
             return None
         addr = int(self.index.addresses[pos])
-        q, consumed = codecs.cv_decode(self.blob, addr)
+        cv_dec, rice_dec = _decoders(self.index.fmt)
+        q, consumed = cv_dec(self.blob, addr)
         n = len(q)
         cols = np.empty(n, dtype=np.int64)
         cols[0] = self.index.start_neighbor[pos]
         if n > 1:
-            deltas, _ = codecs.rice_decode(self.blob, addr + consumed)
+            deltas, _ = rice_dec(self.blob, addr + consumed)
             cols[1:] = cols[0] + np.cumsum(deltas.astype(np.int64))
         return cols, q
 

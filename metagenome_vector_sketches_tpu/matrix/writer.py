@@ -30,12 +30,21 @@ def quantize_jaccard(values: np.ndarray, rows: np.ndarray, cols: np.ndarray,
 
 
 def write_shard(folder: str, rows: np.ndarray, cols: np.ndarray,
-                values: np.ndarray, norms_sq: np.ndarray, dimension: int) -> None:
+                values: np.ndarray, norms_sq: np.ndarray, dimension: int,
+                layout: str = "native") -> None:
     """Write one shard folder from surviving (row, col, raw int64 dot) triples.
 
     norms_sq: float64 squared norms for ALL vectors (text-parsed then squared,
     reference pairwise_comp_optimized.cpp:893-901).
+
+    layout: 'native' (FORMATS.md serialization) or 'bits' (the reconstructed
+    jermp/bits layout, codecs.bitscompat — what real reference-built readers
+    and server artifacts use). The shard reader autodetects either.
     """
+    if layout == "bits":
+        from ..codecs import bitscompat as cdc
+    else:
+        cdc = codecs
     os.makedirs(folder, exist_ok=True)
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
@@ -59,19 +68,19 @@ def write_shard(folder: str, rows: np.ndarray, cols: np.ndarray,
             row_q = q[s:e]
             positions[k] = pos
             start_neighbor[k] = row_cols[0]
-            blob = codecs.cv_encode(row_q.astype(np.uint64))
+            blob = cdc.cv_encode(row_q.astype(np.uint64))
             if len(row_cols) > 1:
                 deltas = np.diff(row_cols).astype(np.uint64)
                 assert np.all(deltas > 0), "columns must be strictly increasing"
-                blob += codecs.rice_encode(deltas)
+                blob += cdc.rice_encode(deltas)
             bin_out.write(blob)
             pos += len(blob)
 
     with open(os.path.join(folder, "row_index.bin"), "wb") as index_out:
-        index_out.write(codecs.cv_encode(unique_rows.astype(np.uint64)))
+        index_out.write(cdc.cv_encode(unique_rows.astype(np.uint64)))
         pos_deltas = np.diff(positions) if len(positions) > 1 else \
             np.empty(0, dtype=np.uint64)
-        index_out.write(codecs.cv_encode(pos_deltas.astype(np.uint64)))
+        index_out.write(cdc.cv_encode(pos_deltas.astype(np.uint64)))
 
     with open(os.path.join(folder, "neighbor_start.bin"), "wb") as ngh_out:
-        ngh_out.write(codecs.rice_encode(start_neighbor))
+        ngh_out.write(cdc.rice_encode(start_neighbor))
