@@ -89,14 +89,28 @@ class FlatIPIndex:
         self.chunk_rows = chunk_rows
         self.recall_target = float(recall_target)
         self._device_chunks = None
+        self._shape = self.vectors.shape
+
+    @classmethod
+    def from_device_chunks(cls, chunks, d: int,
+                           recall_target: float = 1.0) -> "FlatIPIndex":
+        """Build an index over ALREADY-DEVICE-RESIDENT normalized chunks
+        [(base_row, (rows, d) jnp float32), ...] — the TPU-first
+        construction path (no host copy; save() is unavailable)."""
+        self = cls(np.empty((0, d), dtype=np.float32),
+                   recall_target=recall_target)
+        self._device_chunks = list(chunks)
+        n = sum(int(c.shape[0]) for _, c in self._device_chunks)
+        self._shape = (n, d)
+        return self
 
     @property
     def ntotal(self) -> int:
-        return self.vectors.shape[0]
+        return self._shape[0]
 
     @property
     def d(self) -> int:
-        return self.vectors.shape[1]
+        return self._shape[1]
 
     def _chunks(self):
         if self._device_chunks is None:
@@ -137,6 +151,9 @@ class FlatIPIndex:
 
     # -- persistence ---------------------------------------------------------
     def save(self, path: str) -> None:
+        if self.vectors.shape[0] != self.ntotal:
+            raise ValueError("save() requires a host-resident index "
+                             "(built from vectors, not device chunks)")
         with open(path, "wb") as f:
             f.write(MAGIC)
             f.write(struct.pack("<I", VERSION))

@@ -148,3 +148,26 @@ def test_jaccard_cli(toy_index_2048, ref_toy_dir, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "Query 0:" in out and name in out
+
+
+def test_from_device_chunks_matches_host_index():
+    """TPU-first index construction (benchmarks/ann_scale.py path): an index
+    over device-resident chunks returns the same results as the host-vector
+    index; save() on it is refused."""
+    import jax.numpy as jnp
+    from metagenome_vector_sketches_tpu.ann.flat_index import (
+        FlatIPIndex, normalize_l2)
+    rng = np.random.default_rng(51)
+    N, d, B, k = 300, 32, 4, 7
+    V = normalize_l2(rng.normal(size=(N, d)).astype(np.float32))
+    Q = normalize_l2(rng.normal(size=(B, d)).astype(np.float32))
+    host = FlatIPIndex(V, chunk_rows=128)
+    chunks = [(s, jnp.asarray(V[s:s + 128])) for s in range(0, N, 128)]
+    dev = FlatIPIndex.from_device_chunks(chunks, d)
+    assert dev.ntotal == N and dev.d == d
+    D1, I1 = host.search(Q, k)
+    D2, I2 = dev.search(Q, k)
+    np.testing.assert_array_equal(I1, I2)
+    np.testing.assert_allclose(D1, D2, rtol=1e-6)
+    with pytest.raises(ValueError):
+        dev.save("/tmp/should_not_exist.index")
