@@ -111,7 +111,7 @@ def compute_pairwise_shard(db_folder: str, output_folder: str,
                            device_budget_bytes: int = 8 << 30,
                            resume: bool = False,
                            verbose: bool = True,
-                           mesh=None) -> str:
+                           mesh=None, finalize: str = "host") -> str:
     """Compute one shard of the all-vs-all matrix and write its folder.
 
     Returns the shard folder path. tile_rows is the square tile edge of both
@@ -124,7 +124,15 @@ def compute_pairwise_shard(db_folder: str, output_folder: str,
     tile-data-parallel over the mesh (parallel.engine.MeshSweepOps): planes
     replicated, tile coordinates sharded, so one shard folder is produced by
     every chip instead of one. Host finalize + writing stay per-process.
+
+    finalize: 'host' recomputes exact candidate dots with float64 BLAS from
+    the host-resident vectors (4 B/candidate D2H, O(K*d) host FLOPs);
+    'device' recomputes them on device from the resident int8 limbs
+    (O(K) host work, ~4+2L(L+1) B/candidate D2H) — pick by whether the
+    host or the device link is the scarcer resource. Both are exact; the
+    streaming fallback always finalizes from the vectors memmap.
     """
+    assert finalize in ("host", "device"), finalize
     if resume and shard_is_complete(output_folder, shard_idx):
         if verbose:
             log(f"Shard {shard_idx} already complete, skipping (resume)")
@@ -165,7 +173,7 @@ def compute_pairwise_shard(db_folder: str, output_folder: str,
     if plane_bytes <= device_budget_bytes:
         rows, cols, vals = _compute_device_resident(
             db, norms_sq, total, begin_row, end_row, tile, L, d,
-            exact_filter, verbose, max_abs, ops)
+            exact_filter, verbose, max_abs, ops, finalize)
     else:
         rows, cols, vals = _compute_streaming(
             db, norms_sq, total, begin_row, end_row, tile_rows, tile_cols,
@@ -237,7 +245,8 @@ def _stage_database(db, norms_sq, total, tile, L, d, max_abs, ops=None):
 
 
 def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
-                             L, d, exact_filter, verbose, max_abs, ops=None):
+                             L, d, exact_filter, verbose, max_abs, ops=None,
+                             finalize: str = "host"):
     npad = ((total + tile - 1) // tile) * tile
     # V stays host-resident: exact candidate dots are recomputed here with
     # float64 BLAS (pw.exact_dots_host) so only 4 bytes/candidate cross D2H
@@ -286,8 +295,10 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
         log(f"sweep: {len(coords)} tiles, {len(hot)} hot, "
             f"{int(counts.sum())} candidates")
 
+    device_ctx = (planes, L) if finalize == "device" else None
     parts, finalize_globals = _make_finalizer(
-        V, norms_sq, begin_row, end_row, total, d, exact_filter, max_abs)
+        V, norms_sq, begin_row, end_row, total, d, exact_filter, max_abs,
+        device_ctx)
     row_base = coords[:, 0].astype(np.int64) * tile
     col_base = coords[:, 1].astype(np.int64) * tile
     te = time.perf_counter()
@@ -301,11 +312,16 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
 
 
 def _make_finalizer(V, norms_sq, begin_row, end_row, total, d, exact_filter,
-                    max_abs):
-    """-> (parts list, finalize(r_glob, c_glob)): exact float64/int64 host
-    finalization of candidate coordinate arrays — recompute dots from the
-    host-resident (or memory-mapped) vectors, apply the reference retention
-    semantics, append surviving (rows, cols, dots) to parts."""
+                    max_abs, device_ctx=None):
+    """-> (parts list, finalize(r_glob, c_glob)): exact finalization of
+    candidate coordinate arrays — recompute dots, apply the reference
+    retention semantics, append surviving (rows, cols, dots) to parts.
+
+    Dots come from the host-resident (or memory-mapped) vectors in float64
+    BLAS by default; with device_ctx=(planes, L) they are recomputed ON
+    DEVICE from the resident int8 limbs (exact int32 partials, O(K) host
+    combine) — finalize='device', for hosts that are slow relative to the
+    device link."""
     parts: list = []
 
     def finalize_globals(r_glob, c_glob):
@@ -318,7 +334,11 @@ def _make_finalizer(V, norms_sq, begin_row, end_row, total, d, exact_filter,
         if len(r_glob) == 0:
             _acc("finalize_ms", t0)
             return
-        dots = pw.exact_dots_host(V, r_glob, c_glob, max_abs)
+        if device_ctx is not None:
+            planes_dev, L_dev = device_ctx
+            dots = pw.exact_dots_device(planes_dev, L_dev, r_glob, c_glob)
+        else:
+            dots = pw.exact_dots_host(V, r_glob, c_glob, max_abs)
         thr_exact = 0.05 * (norms_sq[r_glob] + norms_sq[c_glob])
         keep = exact_filter(dots, thr_exact, d)
         if keep.any():

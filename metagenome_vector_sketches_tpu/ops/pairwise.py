@@ -350,6 +350,68 @@ def sweep_compact(planes, thr, coords, tile: int, cap: int, out_cap: int):
     return compact_indices(idx, tile, out_cap), counts
 
 
+@functools.partial(jax.jit, static_argnames=("L",))
+def plane_partial_dots(planes, r_idx, c_idx, L: int):
+    """Exact per-candidate limb-pair dot partials, on device.
+
+    For candidates (r, c): D[a, b, k] = dot(limb_a(V[r_k]), limb_b(V[c_k]))
+    — int32-exact (|D| <= d * 64^2 << 2^31). The exact int64 dot is then the
+    O(L^2) host combine sum_ab 2^(7(a+b)) D_ab, so the host never touches
+    the vectors: finalize work drops from O(K*d) host FLOPs to O(K), at the
+    cost of L(L+1)/2 extra int32 per candidate of D2H.
+
+    planes: (P, Npad, d) int8 Karatsuba planes (first L are the limbs).
+    Returns (L*(L+1)//2, K) int32: diagonal terms D_aa first, then the
+    SYMMETRIZED cross terms D_ab + D_ba for a < b (|sum| <= 2^24).
+    """
+    limbs = planes[:L]
+    x = jnp.transpose(limbs[:, r_idx, :], (1, 0, 2)).astype(jnp.int8)
+    y = jnp.transpose(limbs[:, c_idx, :], (1, 0, 2)).astype(jnp.int8)
+    # batched tiny matmul on the reduction axis d: (K, L, d) x (K, L, d)
+    D = jax.lax.dot_general(
+        x, y, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)          # (K, L, L)
+    diag = jnp.stack([D[:, a, a] for a in range(L)])
+    cross = [D[:, a, b] + D[:, b, a] for a in range(L)
+             for b in range(a + 1, L)]
+    if cross:
+        return jnp.concatenate([diag, jnp.stack(cross)], axis=0)
+    return diag
+
+
+def combine_plane_partials(partials: np.ndarray, L: int) -> np.ndarray:
+    """(L(L+1)/2, K) int32 partials -> (K,) exact int64 dots:
+    dot = sum_a 2^(14a) D_aa + sum_{a<b} 2^(7(a+b)) (D_ab + D_ba)."""
+    partials = partials.astype(np.int64)
+    w = [1 << (14 * a) for a in range(L)]
+    w += [1 << (7 * (a + b)) for a in range(L) for b in range(a + 1, L)]
+    return np.asarray(w, dtype=np.int64) @ partials
+
+
+def exact_dots_device(planes, L: int, rows: np.ndarray, cols: np.ndarray,
+                      chunk: int = 65536) -> np.ndarray:
+    """Device-side exact dot recomputation for candidate coordinate arrays
+    (the TPU-first alternative to :func:`exact_dots_host` — use when the
+    host is slow/small relative to the device->host link; the host path
+    moves 4 B/candidate D2H + O(K*d) host FLOPs, this path 4+4L(L+1)/2*4
+    B/candidate and O(K) host FLOPs). Chunked at fixed pow2 sizes so the
+    jit cache stays small."""
+    K = len(rows)
+    out = np.empty(K, dtype=np.int64)
+    for s in range(0, K, chunk):
+        e = min(s + chunk, K)
+        n = e - s
+        n_pad = 1 << max(0, (n - 1)).bit_length()
+        r = np.zeros(n_pad, dtype=np.int32)
+        c = np.zeros(n_pad, dtype=np.int32)
+        r[:n] = rows[s:e]
+        c[:n] = cols[s:e]
+        parts = np.asarray(plane_partial_dots(planes, jnp.asarray(r),
+                                              jnp.asarray(c), L))
+        out[s:e] = combine_plane_partials(parts[:, :n], L)
+    return out
+
+
 def exact_dots_host(V: np.ndarray, rows: np.ndarray, cols: np.ndarray,
                     max_abs: int, chunk: int | None = None) -> np.ndarray:
     """Exact int64 dot products of V[rows] . V[cols] on host.

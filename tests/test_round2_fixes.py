@@ -133,10 +133,19 @@ def test_pyref_rice_decode_long_unary_and_speed():
     dt = time.perf_counter() - t0
     assert np.array_equal(out, big)
     # vectorized fallback: production-size row decodes must not be
-    # pathological. The old per-bit python loop needed >60s for 200k values
-    # on this class of host; the budget is generous because the CI host is a
-    # single CPU with heavy steal time.
-    assert dt < 20.0, f"pyref rice_decode too slow: {dt:.1f}s"
+    # pathological. Wall clocks on this CI host swing >10x with CPU steal,
+    # so calibrate against a same-sized numpy op measured right now: the
+    # decode is a handful of cumsum/gather-scale passes (the old per-bit
+    # python loop was >1000x a cumsum).
+    words = np.frombuffer(buf, dtype="<u8", offset=24)
+    base = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        bits = np.unpackbits(words.view(np.uint8), bitorder="little")
+        np.cumsum(bits == 0, dtype=np.int64)
+        base = min(base, time.perf_counter() - t0)
+    assert dt < max(200 * base, 5.0), \
+        f"pyref rice_decode too slow: {dt:.1f}s vs baseline {base:.3f}s"
 
 
 def test_codec_fallback_warns_once(monkeypatch):
@@ -260,3 +269,65 @@ def test_query_ava_matrix_cli_on_compressed_legacy(tmp_path, capsys):
                "--query_ids", "3", "--top", "2"])
     assert rc == 0
     assert "Query: 3" in capsys.readouterr().out
+
+
+# ---------------------------------------------------------------------------
+# device-side exact finalize
+# ---------------------------------------------------------------------------
+
+def test_exact_dots_device_matches_host():
+    import jax.numpy as jnp
+    rng = np.random.default_rng(31)
+    n, d = 100, 96
+    V = rng.integers(-1500, 1501, size=(n, d)).astype(np.int32)
+    L = pw.pick_limbs(1500)
+    planes = pw.decompose_planes(jnp.asarray(V), L)
+    r = rng.integers(0, n, size=777).astype(np.int64)
+    c = rng.integers(0, n, size=777).astype(np.int64)
+    want = pw.exact_dots_host(V, r, c, 1500)
+    got = pw.exact_dots_device(planes, L, r, c, chunk=256)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_exact_dots_device_int16_range():
+    import jax.numpy as jnp
+    rng = np.random.default_rng(32)
+    n, d = 40, 64
+    V = rng.integers(-32768, 32768, size=(n, d)).astype(np.int32)
+    L = pw.pick_limbs(32767)
+    planes = pw.decompose_planes(jnp.asarray(V), L)
+    r = np.repeat(np.arange(n), n).astype(np.int64)
+    c = np.tile(np.arange(n), n).astype(np.int64)
+    want = (V.astype(np.int64) @ V.astype(np.int64).T).reshape(-1)
+    got = pw.exact_dots_device(planes, L, r, c)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_engine_device_finalize_matches_oracle(tmp_path, use_mesh):
+    from metagenome_vector_sketches_tpu.matrix.compute import (
+        compute_pairwise_shard, compute_pairwise_oracle)
+    from metagenome_vector_sketches_tpu.matrix.reader import MatrixReader
+    from metagenome_vector_sketches_tpu.matrix.writer import quantize_jaccard
+    rng = np.random.default_rng(33)
+    n, d = 64, 128
+    V = rng.integers(-300, 301, size=(n, d)).astype(np.int32)
+    V[1] = V[0]
+    db = DbFolder.write(str(tmp_path / "db"), [f"S{i}" for i in range(n)],
+                        V, d)
+    mesh = None
+    if use_mesh:
+        import jax
+        from metagenome_vector_sketches_tpu.parallel.mesh import make_mesh
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = make_mesh(8)
+    compute_pairwise_shard(db.path, str(tmp_path / "m"), tile_rows=16,
+                           verbose=False, mesh=mesh, finalize="device")
+    _, norms = db.names_and_norms()
+    ns = norms * norms
+    er, ec, ev = compute_pairwise_oracle(V, ns, d)
+    eq = quantize_jaccard(ev, er, ec, ns, d)
+    rr, cc, qq = MatrixReader(str(tmp_path / "m")).decode_all_triples(n)
+    assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
+        set(zip(er.tolist(), ec.tolist(), eq.tolist()))
