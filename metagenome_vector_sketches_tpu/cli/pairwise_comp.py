@@ -34,11 +34,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Run the engine mesh-parallel over this many local "
                         "devices (0 = all local devices, 1 = single device; "
                         "extension — one shard then uses every chip)")
-    p.add_argument("--finalize", choices=["host", "device"], default="host",
+    p.add_argument("--finalize", choices=["auto", "host", "device"],
+                   default="auto",
                    help="Exact candidate-dot recomputation site (extension): "
                         "host = float64 BLAS from the resident vectors; "
                         "device = int32 limb partials on the chip, O(K) host "
-                        "combine — for hosts slow relative to the device link")
+                        "combine; auto = device on TPU backends")
     p.add_argument("--strategy", type=int, default=0, choices=[0, 1],
                    help="0 = projected-sketch estimates (default); 1 = exact "
                         "MinHash set Jaccard from --hashes (the reference's "
@@ -88,7 +89,9 @@ def main(argv=None) -> int:
     compute_pairwise_shard(args.db, args.output_folder,
                            num_shards=args.num_shards, shard_idx=args.shard_idx,
                            tile_rows=tile, tile_cols=tile, resume=args.resume,
-                           mesh=mesh, finalize=args.finalize)
+                           mesh=mesh,
+                           finalize=None if args.finalize == "auto"
+                           else args.finalize)
     return 0
 
 

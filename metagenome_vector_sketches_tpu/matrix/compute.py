@@ -111,7 +111,7 @@ def compute_pairwise_shard(db_folder: str, output_folder: str,
                            device_budget_bytes: int = 8 << 30,
                            resume: bool = False,
                            verbose: bool = True,
-                           mesh=None, finalize: str = "host") -> str:
+                           mesh=None, finalize: str | None = None) -> str:
     """Compute one shard of the all-vs-all matrix and write its folder.
 
     Returns the shard folder path. tile_rows is the square tile edge of both
@@ -128,10 +128,15 @@ def compute_pairwise_shard(db_folder: str, output_folder: str,
     finalize: 'host' recomputes exact candidate dots with float64 BLAS from
     the host-resident vectors (4 B/candidate D2H, O(K*d) host FLOPs);
     'device' recomputes them on device from the resident int8 limbs
-    (O(K) host work, ~4+2L(L+1) B/candidate D2H) — pick by whether the
-    host or the device link is the scarcer resource. Both are exact; the
-    streaming fallback always finalizes from the vectors memmap.
+    (O(K) host work, ~4+2L(L+1) B/candidate D2H). Both are exact. The
+    default (None) picks 'device' on the TPU backend and 'host' elsewhere
+    — measured on v5e, device finalize cut the N=65k shard finalize stage
+    from ~35 s (single-vCPU host) to ~0.5 s. The streaming fallback always
+    finalizes from the vectors memmap.
     """
+    if finalize is None:
+        import jax
+        finalize = "device" if jax.default_backend() == "tpu" else "host"
     assert finalize in ("host", "device"), finalize
     if resume and shard_is_complete(output_folder, shard_idx):
         if verbose:
@@ -420,46 +425,78 @@ def _extract_tiles(planes, thr_j, tile, coords, counts, row_base, col_base,
             finalize_globals(row_base[ks_arr[u + t_of]] + local // tile,
                              col_base[ks_arr[u + t_of]] + local % tile)
 
-    # sparse tiles: flat-compacted indices. Phase-1 counts size the buffers;
-    # the XLA recount (counts_b) is authoritative — tiles whose recount
-    # exceeds the bucket cap are retried at a bigger cap, and a chunk whose
-    # recount total exceeds the compaction capacity is re-read (both can
-    # only happen if the Pallas and XLA float32 threshold decisions disagree
-    # on a borderline pair; never observed, but a crash would kill the job).
+    # sparse tiles: flat-compacted at 32-bit-WORD granularity (the hot
+    # path — per-tile nonzero over tile^2/32 words is ~21x faster than over
+    # tile^2 bits; D2H is 8 B per nonzero word). Phase-1 counts size the
+    # buffers; the device recount is authoritative — tiles whose nonzero
+    # WORD count exceeds the bucket cap are retried at full capacity, and a
+    # chunk whose recount total exceeds the compaction capacity is re-read
+    # (both fire only if the Pallas and XLA float32 threshold decisions
+    # disagree on a borderline pair; covered by fabricated-count tests).
+    wpt = (tile * tile) // 32
+    use_words = (tile * tile) % 32 == 0
+
     def run_sparse(cap, ks):
         retry: list[int] = []
-        # also bound the (K, cap) idx buffer to ~512 MB of HBM (per device)
-        chunk_max = max(1, min(max_K, ((512 << 20) // (cap * 4)) * scale))
+        cap_w = min(cap, wpt) if use_words else cap
+        unit = 8 if use_words else 4
+        # bound the (K, cap) device buffers to ~512 MB of HBM (per device)
+        chunk_max = max(1, min(max_K, ((512 << 20) // (cap_w * unit)) * scale))
         for s in range(0, len(ks), chunk_max):
             chunk_ks = ks[s:s + chunk_max]
             K_pad = _next_pow2(len(chunk_ks))
             bcoords = np.zeros((K_pad, 3), dtype=np.int32)
             bcoords[:len(chunk_ks), :2] = coords[chunk_ks]
             bcoords[:len(chunk_ks), 2] = 1
-            total_b = int(counts[chunk_ks].sum())
+            total_b = int(counts[chunk_ks].sum())   # words <= candidates
             out_cap = ((total_b + 16383) // 16384) * 16384
-            packed, counts_b = compact(bcoords, cap, out_cap)
+            if use_words:
+                packed, wvals, _, counts_b = compact_w(bcoords, cap_w, out_cap)
+            else:
+                packed, counts_b = compact(bcoords, cap_w, out_cap)
+                wvals = None
             counts_b = np.asarray(counts_b)[:len(chunk_ks)]
-            over = counts_b > cap
+            over = counts_b > cap_w
             if over.any():
                 retry.extend(int(chunk_ks[t]) for t in np.flatnonzero(over))
             # the flat buffer holds min(count, cap) entries per tile
-            needed = int(np.minimum(counts_b, cap).sum())
+            needed = int(np.minimum(counts_b, cap_w).sum())
             if needed > out_cap:
                 out_cap = ((needed + 16383) // 16384) * 16384
-                packed, _ = compact(bcoords, cap, out_cap)
-            packed = np.asarray(packed)                # 4 B/candidate D2H
-            packed = packed[packed >= 0]
-            # global coordinates of every candidate in this chunk
-            t_of = packed // (tile * tile)
-            local = packed % (tile * tile)
-            if over.any():
-                keep = ~over[t_of]                     # retried tiles drop out
-                t_of, local = t_of[keep], local[keep]
+                if use_words:
+                    packed, wvals, _, _ = compact_w(bcoords, cap_w, out_cap)
+                else:
+                    packed, _ = compact(bcoords, cap_w, out_cap)
+            packed = np.asarray(packed)
+            valid = packed >= 0
             ks_arr = np.asarray(chunk_ks)
+            if use_words:
+                pk = packed[valid].astype(np.int64)
+                wv = np.ascontiguousarray(np.asarray(wvals)[valid])
+                t_w = pk // wpt
+                w_of = pk % wpt
+                bits = np.unpackbits(wv.view(np.uint8), bitorder="little") \
+                    .reshape(-1, 32)
+                wrow, bit = np.nonzero(bits)
+                t_of = t_w[wrow]
+                local = w_of[wrow] * 32 + bit
+            else:
+                pk = packed[valid].astype(np.int64)
+                t_of = pk // (tile * tile)
+                local = pk % (tile * tile)
+            if over.any():
+                keep = ~over[t_of]                 # retried tiles drop out
+                t_of, local = t_of[keep], local[keep]
             finalize_globals(row_base[ks_arr[t_of]] + local // tile,
                              col_base[ks_arr[t_of]] + local % tile)
         return retry
+
+    def compact_w(bcoords, cap_w, out_cap):
+        if ops is not None:
+            return ops.sweep_compact_words(planes, thr_j, bcoords, tile,
+                                           cap_w, out_cap)
+        return pw.sweep_compact_words(planes, thr_j, jnp.asarray(bcoords),
+                                      tile, cap_w, out_cap)
 
     for cap, ks in buckets.items():
         retry = run_sparse(cap, ks)

@@ -14,13 +14,16 @@ compact_vector(absolute positions)
 reader read_pc_mat_cmp.cpp:123-143 + load_neighbors_for_rows :251-363; this
 is also what the reference's int16 path emits, :426).
 
-Codec serialization is this framework's (FORMATS.md). The reference
-compresses these with `zstd -f` shellouts and decompresses with `zstd -d`
-before every read (read_pc_mat.cpp:10-13); our writers emit uncompressed
-files (use :func:`compress_legacy_folder` to reproduce the as-left server
-state) and every reader transparently accepts `<file>.zst` via the
-in-process utils.zstdio — genuine historical artifacts are ingestible
-as found.
+Codec serialization defaults to this framework's (FORMATS.md); the B/C/D
+readers ALSO autodetect the reconstructed jermp/bits layout
+(codecs.bitscompat) that genuine reference-built server artifacts use, and
+the writers take layout="bits" to emit it. The reference compresses these
+files with `zstd -f` shellouts and decompresses with `zstd -d` before every
+read (read_pc_mat.cpp:10-13); our writers emit uncompressed files (use
+:func:`compress_legacy_folder` to reproduce the as-left server state) and
+every reader transparently accepts `<file>.zst` via the in-process
+utils.zstdio — so historical artifacts (bits layout + zstd) are ingestible
+exactly as found.
 """
 
 from __future__ import annotations
@@ -31,6 +34,64 @@ import numpy as np
 
 from .. import codecs
 from ..utils.zstdio import compress, read_maybe_zst
+
+
+class _BitsFamily:
+    """codec-call adapter over the reconstructed jermp/bits layout
+    (codecs.bitscompat) with the same signatures as the package codecs."""
+    @staticmethod
+    def cv_encode(values):
+        from ..codecs import bitscompat
+        return bitscompat.cv_encode(np.asarray(values, dtype=np.uint64))
+
+    @staticmethod
+    def cv_decode(buf, offset=0):
+        from ..codecs import bitscompat
+        vals, consumed, _ = bitscompat.cv_decode(buf, offset)
+        return vals, consumed
+
+    @staticmethod
+    def rice_encode(values):
+        from ..codecs import bitscompat
+        return bitscompat.rice_encode(np.asarray(values, dtype=np.uint64))
+
+    @staticmethod
+    def rice_decode(buf, offset=0):
+        from ..codecs import bitscompat
+        return bitscompat.rice_decode(buf, offset)
+
+    @staticmethod
+    def ef_encode(values, universe):
+        from ..codecs import bitscompat
+        return bitscompat.ef_encode(np.asarray(values, dtype=np.uint64),
+                                    universe)
+
+    @staticmethod
+    def ef_decode(buf, offset=0):
+        from ..codecs import bitscompat
+        return bitscompat.ef_decode(buf, offset)
+
+
+def _family(layout: str):
+    return _BitsFamily if layout == "bits" else codecs
+
+
+def _detect_two(blob: bytes, kind: str):
+    """Autodetect the codec layout of a row_index.bin made of two
+    concatenated blobs of `kind` ('cv' | 'rice'): the winner must consume
+    the file exactly. Real historical server artifacts are 'bits'; ours are
+    'native'. -> (layout, first, second)."""
+    for layout in ("native", "bits"):
+        fam = _family(layout)
+        dec = fam.cv_decode if kind == "cv" else fam.rice_decode
+        try:
+            a, c1 = dec(blob, 0)
+            b, c2 = dec(blob, c1)
+        except Exception:
+            continue
+        if c1 + c2 == len(blob):
+            return layout, a, b
+    raise ValueError("unrecognized legacy row_index.bin codec layout")
 
 
 def compress_legacy_folder(folder: str, level: int = 3) -> None:
@@ -105,7 +166,9 @@ def read_legacy_prev(folder: str):
 
 
 # ---------------------------------------------------------------- format B
-def write_legacy_ef(folder: str, rows, cols, values, dimension: int) -> None:
+def write_legacy_ef(folder: str, rows, cols, values, dimension: int,
+                    layout: str = "native") -> None:
+    fam = _family(layout)
     os.makedirs(folder, exist_ok=True)
     rows, cols, values, unique_rows, bounds = _group(rows, cols, values)
     vals = round_half_away(values.astype(np.float64) / dimension).astype(np.uint64)
@@ -116,22 +179,24 @@ def write_legacy_ef(folder: str, rows, cols, values, dimension: int) -> None:
             s, e = bounds[k], bounds[k + 1]
             row_cols = cols[s:e].astype(np.uint64)
             positions[k] = pos
-            blob = codecs.ef_encode(row_cols, int(row_cols[-1]) + 1)
-            blob += codecs.cv_encode(vals[s:e])
+            blob = fam.ef_encode(row_cols, int(row_cols[-1]) + 1)
+            blob += fam.cv_encode(vals[s:e])
             bin_out.write(blob)
             pos += len(blob)
     with open(os.path.join(folder, "row_index.bin"), "wb") as index_out:
-        index_out.write(codecs.cv_encode(unique_rows.astype(np.uint64)))
-        index_out.write(codecs.cv_encode(positions))
+        index_out.write(fam.cv_encode(unique_rows.astype(np.uint64)))
+        index_out.write(fam.cv_encode(positions))
 
 
 # ---------------------------------------------------------------- format C
-def write_legacy_rice(folder: str, rows, cols, values, dimension: int) -> None:
+def write_legacy_rice(folder: str, rows, cols, values, dimension: int,
+                      layout: str = "native") -> None:
     """The 'rice-everything' historical variant (reference writer
     write_sparse_results_rice, pairwise_comp_optimized.cpp:341-476): per row
     a rice_sequence of delta columns then a rice_sequence of round(dot/d)
     values; row_index.bin = rice(rows) + rice(absolute positions);
     neighbor_start.bin = rice(first columns)."""
+    fam = _family(layout)
     os.makedirs(folder, exist_ok=True)
     rows, cols, values, unique_rows, bounds = _group(rows, cols, values)
     vals = round_half_away(values.astype(np.float64) / dimension).astype(np.uint64)
@@ -145,31 +210,31 @@ def write_legacy_rice(folder: str, rows, cols, values, dimension: int) -> None:
             positions[k] = pos
             start_neighbor[k] = row_cols[0]
             deltas = np.diff(row_cols).astype(np.uint64)
-            blob = codecs.rice_encode(deltas)
-            blob += codecs.rice_encode(vals[s:e])
+            blob = fam.rice_encode(deltas)
+            blob += fam.rice_encode(vals[s:e])
             bin_out.write(blob)
             pos += len(blob)
     with open(os.path.join(folder, "row_index.bin"), "wb") as f:
-        f.write(codecs.rice_encode(unique_rows.astype(np.uint64)))
-        f.write(codecs.rice_encode(positions))
+        f.write(fam.rice_encode(unique_rows.astype(np.uint64)))
+        f.write(fam.rice_encode(positions))
     with open(os.path.join(folder, "neighbor_start.bin"), "wb") as f:
-        f.write(codecs.rice_encode(start_neighbor))
+        f.write(fam.rice_encode(start_neighbor))
 
 
 def read_legacy_rice(folder: str):
     """-> dict row -> (cols int64, values int64) (reference reader
     load_neighbors_for_rows_rice, read_pc_mat_cmp.cpp:373-514)."""
     blob = read_maybe_zst(os.path.join(folder, "row_index.bin"))
-    rows, consumed = codecs.rice_decode(blob, 0)
-    positions, _ = codecs.rice_decode(blob, consumed)
-    starts, _ = codecs.rice_decode(
+    layout, rows, positions = _detect_two(blob, "rice")
+    fam = _family(layout)
+    starts, _ = fam.rice_decode(
         read_maybe_zst(os.path.join(folder, "neighbor_start.bin")), 0)
     data = read_maybe_zst(os.path.join(folder, "matrix.bin"))
     out = {}
     for k, (row, pos) in enumerate(zip(rows.astype(np.int64),
                                        positions.astype(np.int64))):
-        deltas, used = codecs.rice_decode(data, int(pos))
-        vals, _ = codecs.rice_decode(data, int(pos) + used)
+        deltas, used = fam.rice_decode(data, int(pos))
+        vals, _ = fam.rice_decode(data, int(pos) + used)
         cols = np.empty(len(vals), dtype=np.int64)
         cols[0] = starts[k]
         if len(vals) > 1:
@@ -180,7 +245,7 @@ def read_legacy_rice(folder: str):
 
 # ---------------------------------------------------------------- format D
 def write_legacy_sorted(folder: str, rows, cols, dots, norms_sq,
-                        dimension: int) -> None:
+                        dimension: int, layout: str = "native") -> None:
     """The sorted-by-jaccard uint16 historical variant (reference writer
     write_sparse_results_jaccard, pairwise_comp_optimized.cpp:479-643; its
     reader is commented out upstream, read_pc_mat_cmp.cpp:516-595): self
@@ -192,6 +257,7 @@ def write_legacy_sorted(folder: str, rows, cols, dots, norms_sq,
     row_index.bin = compact_vector(rows) + compact_vector(position deltas,
     first position implicitly 0). The reference zstd-compresses both files
     via shellout; we write uncompressed like the other legacy writers."""
+    fam = _family(layout)
     os.makedirs(folder, exist_ok=True)
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
@@ -220,21 +286,21 @@ def write_legacy_sorted(folder: str, rows, cols, dots, norms_sq,
             rc = cols[s:e][srt].astype(np.uint64)
             positions[k] = pos
             blob = int(rq[0]).to_bytes(2, "little")
-            blob += codecs.rice_encode((rq[:-1] - rq[1:]).astype(np.uint64))
-            blob += codecs.cv_encode(rc)
+            blob += fam.rice_encode((rq[:-1] - rq[1:]).astype(np.uint64))
+            blob += fam.cv_encode(rc)
             bin_out.write(blob)
             pos += len(blob)
     with open(os.path.join(folder, "row_index.bin"), "wb") as f:
-        f.write(codecs.cv_encode(unique_rows.astype(np.uint64)))
-        f.write(codecs.cv_encode(np.diff(positions).astype(np.uint64)))
+        f.write(fam.cv_encode(unique_rows.astype(np.uint64)))
+        f.write(fam.cv_encode(np.diff(positions).astype(np.uint64)))
 
 
 def read_legacy_sorted(folder: str):
     """-> dict row -> (cols int64 in jaccard-desc order, q uint16-as-int64
     quantized jaccards; dequantize J ~ q/65535)."""
     blob = read_maybe_zst(os.path.join(folder, "row_index.bin"))
-    rows, consumed = codecs.cv_decode(blob, 0)
-    pdeltas, _ = codecs.cv_decode(blob, consumed)
+    layout, rows, pdeltas = _detect_two(blob, "cv")
+    fam = _family(layout)
     positions = np.zeros(len(rows), dtype=np.int64)
     if len(rows) > 1:
         positions[1:] = np.cumsum(pdeltas.astype(np.int64))
@@ -243,8 +309,8 @@ def read_legacy_sorted(folder: str):
     for row, pos in zip(rows.astype(np.int64), positions):
         pos = int(pos)
         top = int.from_bytes(data[pos:pos + 2], "little")
-        deltas, used = codecs.rice_decode(data, pos + 2)
-        cols, _ = codecs.cv_decode(data, pos + 2 + used)
+        deltas, used = fam.rice_decode(data, pos + 2)
+        cols, _ = fam.cv_decode(data, pos + 2 + used)
         q = np.empty(len(cols), dtype=np.int64)
         q[0] = top
         if len(cols) > 1:
@@ -256,12 +322,12 @@ def read_legacy_sorted(folder: str):
 def read_legacy_ef(folder: str):
     """-> dict row -> (cols int64, values int64)."""
     blob = read_maybe_zst(os.path.join(folder, "row_index.bin"))
-    rows, consumed = codecs.cv_decode(blob, 0)
-    positions, _ = codecs.cv_decode(blob, consumed)
+    layout, rows, positions = _detect_two(blob, "cv")
+    fam = _family(layout)
     data = read_maybe_zst(os.path.join(folder, "matrix.bin"))
     out = {}
     for row, pos in zip(rows.astype(np.int64), positions.astype(np.int64)):
-        cols, used = codecs.ef_decode(data, int(pos))
-        vals, _ = codecs.cv_decode(data, int(pos) + used)
+        cols, used = fam.ef_decode(data, int(pos))
+        vals, _ = fam.cv_decode(data, int(pos) + used)
         out[int(row)] = (cols.astype(np.int64), vals.astype(np.int64))
     return out

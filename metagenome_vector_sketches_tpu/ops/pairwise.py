@@ -345,9 +345,88 @@ def sweep_compact(planes, thr, coords, tile: int, cap: int, out_cap: int):
     recomputed on host from the resident int32 vectors with float64 BLAS,
     which is exact for every representable db: |dot| <= d * max^2 < 2^53).
 
-    Returns (packed (out_cap,) int32 device array, counts (K,) int32)."""
+    Returns (packed (out_cap,) int32 device array, counts (K,) int32).
+
+    NOTE: this is the engine's FALLBACK for tiles with tile^2 % 32 != 0;
+    the production path is :func:`sweep_compact_words` — per-tile
+    jnp.nonzero over tile^2 bits costs ~10 ms/tile on v5e, 21x the
+    word-level compaction."""
     idx, counts = sweep_candidates(planes, thr, coords, tile, cap)
     return compact_indices(idx, tile, out_cap), counts
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "cap_words"))
+def sweep_words(planes, thr, coords, tile: int, cap_words: int):
+    """Batched candidate extraction at 32-bit-WORD granularity: per tile,
+    the mask is packed into tile^2/32 uint32 words (pure VPU reshape+sum)
+    and only the NONZERO words are compacted — the jnp.nonzero compaction
+    runs over tile^2/32 elements instead of tile^2, which makes extraction
+    ~21x faster than bit-level compaction at tile=1024 on v5e (the round-2
+    profiling result). D2H cost is 8 bytes per nonzero word (<= 8 bytes per
+    candidate, less when candidates cluster within words).
+
+    Requires tile*tile % 32 == 0.
+
+    Returns (widx (K, cap_words) int32 word indices with -1 padding,
+             wvals (K, cap_words) uint32 word values,
+             cand_counts (K,) int32 true candidate counts,
+             word_counts (K,) int32 true nonzero-word counts).
+    """
+    P, npad, d = planes.shape
+    lane = jnp.arange(32, dtype=jnp.uint32)
+
+    def one(carry, rc):
+        r, c, valid = rc[0], rc[1], rc[2]
+        vi = jax.lax.dynamic_slice(planes, (0, r * tile, 0), (P, tile, d))
+        vj = jax.lax.dynamic_slice(planes, (0, c * tile, 0), (P, tile, d))
+        thr_i = jax.lax.dynamic_slice(thr, (r * tile,), (tile,))
+        thr_j = jax.lax.dynamic_slice(thr, (c * tile,), (tile,))
+        approx = approx_dot_f32(vi, vj)
+        passes = (approx / np.float32(d) >
+                  0.05 * (thr_i[:, None] + thr_j[None, :]) * SLACK_REL
+                  - SLACK_ABS) & (valid > 0)
+        grouped = passes.reshape(-1, 32).astype(jnp.uint32)
+        words = jnp.sum(grouped << lane, axis=1).astype(jnp.uint32)
+        nz = words != jnp.uint32(0)
+        widx = jnp.nonzero(nz, size=cap_words, fill_value=-1)[0] \
+            .astype(jnp.int32)
+        wvals = jnp.where(widx >= 0, words[jnp.maximum(widx, 0)],
+                          jnp.uint32(0))
+        return carry, (widx, wvals, jnp.sum(passes.astype(jnp.int32)),
+                       jnp.sum(nz.astype(jnp.int32)))
+
+    _, (widx, wvals, cand_counts, word_counts) = \
+        jax.lax.scan(one, None, coords)
+    return widx, wvals, cand_counts, word_counts
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "out_cap"))
+def compact_words(widx, wvals, tile: int, out_cap: int):
+    """(K, cap_words) per-tile word indices/values -> ONE flat exactly-sized
+    pair of arrays (packed = t * tile^2/32 + widx, -1 tail padding)."""
+    K = widx.shape[0]
+    wpt = tile * tile // 32
+    assert K * wpt <= 2**31 - 1, "packed word index would overflow int32"
+    t_ids = jnp.arange(K, dtype=jnp.int32)[:, None]
+    packed = jnp.where(widx >= 0, t_ids * wpt + widx, -1).reshape(-1)
+    vals = wvals.reshape(-1)
+    pos = jnp.nonzero(packed >= 0, size=out_cap, fill_value=-1)[0]
+    safe = jnp.maximum(pos, 0)
+    return (jnp.where(pos >= 0, packed[safe], -1),
+            jnp.where(pos >= 0, vals[safe], jnp.uint32(0)))
+
+
+def sweep_compact_words(planes, thr, coords, tile: int, cap_words: int,
+                        out_cap: int):
+    """sweep_words + compact_words: all K tiles' nonzero mask words leave
+    the device as one exactly-sized (packed int32, value uint32) pair.
+
+    Returns (packed (out_cap,) int32, vals (out_cap,) uint32,
+             cand_counts (K,) int32, word_counts (K,) int32)."""
+    widx, wvals, cand_counts, word_counts = sweep_words(
+        planes, thr, coords, tile, cap_words)
+    packed, vals = compact_words(widx, wvals, tile, out_cap)
+    return packed, vals, cand_counts, word_counts
 
 
 @functools.partial(jax.jit, static_argnames=("L",))
@@ -394,16 +473,18 @@ def exact_dots_device(planes, L: int, rows: np.ndarray, cols: np.ndarray,
     (the TPU-first alternative to :func:`exact_dots_host` — use when the
     host is slow/small relative to the device->host link; the host path
     moves 4 B/candidate D2H + O(K*d) host FLOPs, this path 4+4L(L+1)/2*4
-    B/candidate and O(K) host FLOPs). Chunked at fixed pow2 sizes so the
-    jit cache stays small."""
+    B/candidate and O(K) host FLOPs). Calls are padded to at most TWO
+    static shapes (a small one and `chunk`) — few compiled programs per
+    (planes, L), which matters on remote-compile backends."""
     K = len(rows)
+    small = 4096
     out = np.empty(K, dtype=np.int64)
     for s in range(0, K, chunk):
         e = min(s + chunk, K)
         n = e - s
-        n_pad = 1 << max(0, (n - 1)).bit_length()
-        r = np.zeros(n_pad, dtype=np.int32)
-        c = np.zeros(n_pad, dtype=np.int32)
+        size = small if n <= small else chunk
+        r = np.zeros(size, dtype=np.int32)
+        c = np.zeros(size, dtype=np.int32)
         r[:n] = rows[s:e]
         c[:n] = cols[s:e]
         parts = np.asarray(plane_partial_dots(planes, jnp.asarray(r),

@@ -63,6 +63,21 @@ def _compact_fn(mesh, tile: int, cap: int, out_cap: int):
                              out_specs=(P(DATA_AXIS), P(DATA_AXIS))))
 
 
+@functools.lru_cache(maxsize=None)
+def _compact_words_fn(mesh, tile: int, cap_words: int, out_cap: int):
+    def local(planes, thr, coords):
+        widx, wvals, cand_counts, word_counts = pw.sweep_words.__wrapped__(
+            planes, thr, coords, tile, cap_words)
+        packed, vals = pw.compact_words.__wrapped__(widx, wvals, tile,
+                                                    out_cap)
+        return packed, vals, cand_counts, word_counts
+
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=(P(), P(), P(DATA_AXIS, None)),
+                             out_specs=(P(DATA_AXIS), P(DATA_AXIS),
+                                        P(DATA_AXIS), P(DATA_AXIS))))
+
+
 class MeshSweepOps:
     """Mesh-parallel drop-in for the engine's device calls.
 
@@ -121,6 +136,26 @@ class MeshSweepOps:
                 * (k_loc * tile * tile))[:, None]
         packed = np.where(packed >= 0, packed + offs, -1).reshape(-1)
         return packed, np.asarray(counts)[:k]
+
+    def sweep_compact_words(self, planes, thr, bcoords, tile: int,
+                            cap_words: int, out_cap: int):
+        """Word-granularity variant of sweep_compact (the hot sparse path):
+        single-device layout result (packed int64 with GLOBAL
+        t*(tile^2/32)+word encoding, word values uint32, candidate counts,
+        nonzero-word counts)."""
+        cp, k = self._pad(bcoords)
+        k_loc = cp.shape[0] // self.n_devices
+        wpt = tile * tile // 32
+        packed, vals, cand_counts, word_counts = _compact_words_fn(
+            self.mesh, tile, cap_words, out_cap)(planes, thr,
+                                                 jnp.asarray(cp))
+        packed = np.asarray(packed).astype(np.int64) \
+            .reshape(self.n_devices, out_cap)
+        offs = (np.arange(self.n_devices, dtype=np.int64)
+                * (k_loc * wpt))[:, None]
+        packed = np.where(packed >= 0, packed + offs, -1).reshape(-1)
+        return (packed, np.asarray(vals).reshape(-1),
+                np.asarray(cand_counts)[:k], np.asarray(word_counts)[:k])
 
     def max_tiles_scale(self) -> int:
         """Extraction batches may be n_devices times larger: the packed-index

@@ -177,3 +177,45 @@ def test_tiny_native_shard_not_misdetected(tmp_path):
     rr, cc, qq = reader.decode_all_triples(2)
     assert set(zip(rr.tolist(), cc.tolist())) == {(0, 0), (0, 1), (1, 0), (1, 1)}
     assert np.all(qq == 255)
+
+
+# ---------------------------------------------------------------------------
+# legacy formats in the bits layout (+ zstd): as-found server artifacts
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("fmt", ["ef", "rice", "sorted"])
+def test_legacy_bits_layout_zstd_round_trip(tmp_path, fmt):
+    """Historical server shards = bits-layout codecs + .zst files; the
+    legacy readers must ingest them exactly as found and agree with the
+    native-layout decode."""
+    from metagenome_vector_sketches_tpu.matrix import legacy
+    rng = np.random.default_rng(23)
+    n = 5
+    rows = np.repeat(np.arange(n), 6)
+    cols = np.tile(np.sort(rng.choice(80, size=6, replace=False)), n)
+    vals = rng.integers(1, 10**6, size=len(rows))
+    d = 128
+    a, b = str(tmp_path / "native"), str(tmp_path / "bits")
+    if fmt == "ef":
+        legacy.write_legacy_ef(a, rows, cols, vals, d)
+        legacy.write_legacy_ef(b, rows, cols, vals, d, layout="bits")
+        read = legacy.read_legacy_ef
+    elif fmt == "rice":
+        legacy.write_legacy_rice(a, rows, cols, vals, d)
+        legacy.write_legacy_rice(b, rows, cols, vals, d, layout="bits")
+        read = legacy.read_legacy_rice
+    else:
+        norms_sq = rng.uniform(500, 5000, size=80)
+        legacy.write_legacy_sorted(a, rows, cols, vals, norms_sq, d)
+        legacy.write_legacy_sorted(b, rows, cols, vals, norms_sq, d,
+                                   layout="bits")
+        read = legacy.read_legacy_sorted
+    legacy.compress_legacy_folder(b)   # the as-left state: .zst only
+    import os
+    assert all(name.endswith(".zst") for name in os.listdir(b))
+    want = read(a)
+    got = read(b)
+    assert want.keys() == got.keys()
+    for r in want:
+        np.testing.assert_array_equal(want[r][0], got[r][0])
+        np.testing.assert_array_equal(want[r][1], got[r][1])
