@@ -55,6 +55,12 @@ def _load():
             fn.argtypes = [pu8, u64, u64, ctypes.POINTER(pu64),
                            ctypes.POINTER(u64), ctypes.POINTER(u64)]
             fn.restype = ctypes.c_int
+        if hasattr(lib, "mvs_write_matrix_rows"):
+            lib.mvs_write_matrix_rows.argtypes = [
+                pu64, pu64, pu64, u64, ctypes.POINTER(pu8),
+                ctypes.POINTER(u64), ctypes.POINTER(pu64),
+                ctypes.POINTER(pu64)]
+            lib.mvs_write_matrix_rows.restype = ctypes.c_int
         _lib = lib
         return lib
 
@@ -131,3 +137,38 @@ def ef_encode(values, universe: int) -> bytes:
 
 def ef_decode(buf, offset: int = 0):
     return _decode(_load().mvs_ef_decode, buf, offset)
+
+
+def write_matrix_rows(cols, q, starts):
+    """Batched ACTIVE-format matrix.bin body: ONE native call instead of two
+    ctypes round trips per row. Returns (blob bytes, positions uint64 array,
+    first_cols uint64 array), or None if the library lacks the entry point
+    (stale build). Byte-identical with per-row cv_encode + rice_encode."""
+    lib = _load()
+    if not hasattr(lib, "mvs_write_matrix_rows"):
+        return None
+    cols, cols_p = _as_u64_ptr(cols)
+    q, q_p = _as_u64_ptr(q)
+    starts, starts_p = _as_u64_ptr(starts)
+    n_rows = len(starts) - 1
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_uint64()
+    pos = ctypes.POINTER(ctypes.c_uint64)()
+    first = ctypes.POINTER(ctypes.c_uint64)()
+    rc = lib.mvs_write_matrix_rows(cols_p, q_p, starts_p, n_rows,
+                                   ctypes.byref(out), ctypes.byref(out_len),
+                                   ctypes.byref(pos), ctypes.byref(first))
+    if rc != 0:
+        raise ValueError("columns must be strictly ascending per row"
+                         if rc == -2 else "batched row write failed")
+    try:
+        blob = ctypes.string_at(out, out_len.value)
+        positions = np.ctypeslib.as_array(pos, shape=(n_rows,)).copy() \
+            if n_rows else np.empty(0, dtype=np.uint64)
+        first_cols = np.ctypeslib.as_array(first, shape=(n_rows,)).copy() \
+            if n_rows else np.empty(0, dtype=np.uint64)
+    finally:
+        lib.mvs_free(out)
+        lib.mvs_free(pos)
+        lib.mvs_free(first)
+    return blob, positions.astype(np.uint64), first_cols.astype(np.uint64)

@@ -58,23 +58,37 @@ def write_shard(folder: str, rows: np.ndarray, cols: np.ndarray,
     unique_rows, start_idx = np.unique(rows, return_index=True)
     boundaries = np.append(start_idx, len(rows))
 
-    positions = np.zeros(len(unique_rows), dtype=np.uint64)
-    start_neighbor = np.zeros(len(unique_rows), dtype=np.uint64)
-    pos = 0
-    with open(os.path.join(folder, "matrix.bin"), "wb") as bin_out:
-        for k, row in enumerate(unique_rows):
-            s, e = boundaries[k], boundaries[k + 1]
-            row_cols = cols[s:e]
-            row_q = q[s:e]
-            positions[k] = pos
-            start_neighbor[k] = row_cols[0]
-            blob = cdc.cv_encode(row_q.astype(np.uint64))
-            if len(row_cols) > 1:
-                deltas = np.diff(row_cols).astype(np.uint64)
-                assert np.all(deltas > 0), "columns must be strictly increasing"
-                blob += cdc.rice_encode(deltas)
-            bin_out.write(blob)
-            pos += len(blob)
+    body = None
+    if layout == "native" and codecs.have_native():
+        # batched native build: one C++ call for the whole shard body
+        # (byte-identical with the per-row loop below)
+        from ..codecs import native as _native
+        body = _native.write_matrix_rows(cols.astype(np.uint64),
+                                         q.astype(np.uint64),
+                                         boundaries.astype(np.uint64))
+    if body is not None:
+        blob_all, positions, start_neighbor = body
+        with open(os.path.join(folder, "matrix.bin"), "wb") as bin_out:
+            bin_out.write(blob_all)
+    else:
+        positions = np.zeros(len(unique_rows), dtype=np.uint64)
+        start_neighbor = np.zeros(len(unique_rows), dtype=np.uint64)
+        pos = 0
+        with open(os.path.join(folder, "matrix.bin"), "wb") as bin_out:
+            for k, row in enumerate(unique_rows):
+                s, e = boundaries[k], boundaries[k + 1]
+                row_cols = cols[s:e]
+                row_q = q[s:e]
+                positions[k] = pos
+                start_neighbor[k] = row_cols[0]
+                blob = cdc.cv_encode(row_q.astype(np.uint64))
+                if len(row_cols) > 1:
+                    deltas = np.diff(row_cols).astype(np.uint64)
+                    assert np.all(deltas > 0), \
+                        "columns must be strictly increasing"
+                    blob += cdc.rice_encode(deltas)
+                bin_out.write(blob)
+                pos += len(blob)
 
     with open(os.path.join(folder, "row_index.bin"), "wb") as index_out:
         index_out.write(cdc.cv_encode(unique_rows.astype(np.uint64)))

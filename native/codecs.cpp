@@ -128,7 +128,8 @@ extern "C" {
 void mvs_free(void* p) { std::free(p); }
 
 // ---------------------------------------------------------------- compact_vector
-int mvs_cv_encode(const uint64_t* vals, uint64_t n, uint8_t** out, uint64_t* out_len) {
+static void cv_encode_into(const uint64_t* vals, uint64_t n,
+                           std::vector<uint8_t>& out) {
     uint64_t mx = 0;
     for (uint64_t i = 0; i < n; ++i) mx = vals[i] > mx ? vals[i] : mx;
     unsigned width = mx ? bit_length(mx) : 1;
@@ -136,7 +137,19 @@ int mvs_cv_encode(const uint64_t* vals, uint64_t n, uint8_t** out, uint64_t* out
     for (uint64_t i = 0; i < n; ++i) bw.append(vals[i], width);
     uint64_t num_words = (n * width + 63) / 64;
     auto words = bw.take(num_words);
-    *out = emit({n, (uint64_t)width, num_words}, {&words}, out_len);
+    uint64_t header[3] = {n, (uint64_t)width, num_words};
+    size_t off = out.size();
+    out.resize(off + 24 + num_words * 8);
+    std::memcpy(out.data() + off, header, 24);
+    std::memcpy(out.data() + off + 24, words.data(), num_words * 8);
+}
+
+int mvs_cv_encode(const uint64_t* vals, uint64_t n, uint8_t** out, uint64_t* out_len) {
+    std::vector<uint8_t> buf;
+    cv_encode_into(vals, n, buf);
+    *out = (uint8_t*)std::malloc(buf.size());
+    std::memcpy(*out, buf.data(), buf.size());
+    *out_len = buf.size();
     return 0;
 }
 
@@ -170,7 +183,8 @@ static unsigned rice_pick_param(const uint64_t* vals, uint64_t n) {
     return best_l;
 }
 
-int mvs_rice_encode(const uint64_t* vals, uint64_t n, uint8_t** out, uint64_t* out_len) {
+static void rice_encode_into(const uint64_t* vals, uint64_t n,
+                             std::vector<uint8_t>& out) {
     unsigned l = rice_pick_param(vals, n);
     BitWriter bw;
     for (uint64_t i = 0; i < n; ++i) {
@@ -181,7 +195,63 @@ int mvs_rice_encode(const uint64_t* vals, uint64_t n, uint8_t** out, uint64_t* o
     }
     uint64_t num_words = (bw.num_bits() + 63) / 64;
     auto words = bw.take(num_words);
-    *out = emit({n, (uint64_t)l, num_words}, {&words}, out_len);
+    uint64_t header[3] = {n, (uint64_t)l, num_words};
+    size_t off = out.size();
+    out.resize(off + 24 + num_words * 8);
+    std::memcpy(out.data() + off, header, 24);
+    std::memcpy(out.data() + off + 24, words.data(), num_words * 8);
+}
+
+int mvs_rice_encode(const uint64_t* vals, uint64_t n, uint8_t** out, uint64_t* out_len) {
+    std::vector<uint8_t> buf;
+    rice_encode_into(vals, n, buf);
+    *out = (uint8_t*)std::malloc(buf.size());
+    std::memcpy(*out, buf.data(), buf.size());
+    *out_len = buf.size();
+    return 0;
+}
+
+// ------------------------------------------------- batched shard-row writer
+// Build the ACTIVE-format matrix.bin body in ONE call (the per-row python
+// loop with two ctypes round trips per row was the write-stage bottleneck at
+// production shard sizes). For row k, entries [starts[k], starts[k+1]) of
+// (cols ascending, quantized jaccards): cv(q_row) then, iff >1 neighbor,
+// rice(col deltas) — byte-identical with calling mvs_cv_encode /
+// mvs_rice_encode per row (reference layout:
+// pairwise_comp_optimized.cpp:724-762).
+// Outputs: blob, per-row byte positions, per-row first neighbor column.
+int mvs_write_matrix_rows(const uint64_t* cols, const uint64_t* q,
+                          const uint64_t* starts, uint64_t n_rows,
+                          uint8_t** out, uint64_t* out_len,
+                          uint64_t** positions, uint64_t** first_cols) {
+    std::vector<uint8_t> blob;
+    blob.reserve(n_rows * 64);
+    uint64_t* pos = (uint64_t*)std::malloc(n_rows ? n_rows * 8 : 8);
+    uint64_t* first = (uint64_t*)std::malloc(n_rows ? n_rows * 8 : 8);
+    std::vector<uint64_t> deltas;
+    for (uint64_t k = 0; k < n_rows; ++k) {
+        uint64_t s = starts[k], e = starts[k + 1];
+        if (e <= s) { std::free(pos); std::free(first); return -1; }
+        pos[k] = blob.size();
+        first[k] = cols[s];
+        cv_encode_into(q + s, e - s, blob);
+        if (e - s > 1) {
+            deltas.resize(e - s - 1);
+            for (uint64_t i = s + 1; i < e; ++i) {
+                if (cols[i] <= cols[i - 1]) {  // must be strictly ascending
+                    std::free(pos); std::free(first);
+                    return -2;
+                }
+                deltas[i - s - 1] = cols[i] - cols[i - 1];
+            }
+            rice_encode_into(deltas.data(), deltas.size(), blob);
+        }
+    }
+    *out = (uint8_t*)std::malloc(blob.size() ? blob.size() : 1);
+    std::memcpy(*out, blob.data(), blob.size());
+    *out_len = blob.size();
+    *positions = pos;
+    *first_cols = first;
     return 0;
 }
 

@@ -86,3 +86,40 @@ def test_native_truncated_buffer_errors():
     blob = native.rice_encode(np.arange(100, dtype=np.uint64))
     with pytest.raises(ValueError):
         native.rice_decode(blob[:10], 0)
+
+
+def test_batched_matrix_rows_byte_identical():
+    """mvs_write_matrix_rows (one native call per shard) must be
+    byte-identical with the per-row cv+rice loop, including positions and
+    first-neighbor columns; ascending-column violations are refused."""
+    from metagenome_vector_sketches_tpu.codecs import native
+    if not native.available():
+        pytest.skip("native codecs unavailable")
+    rng = np.random.default_rng(5)
+    cols_all, q_all, starts = [], [], [0]
+    for r in range(80):
+        n = int(rng.integers(1, 40))
+        c = np.sort(rng.choice(100000, size=n, replace=False)).astype(np.uint64)
+        cols_all.append(c)
+        q_all.append(rng.integers(0, 256, size=n).astype(np.uint64))
+        starts.append(starts[-1] + n)
+    cols = np.concatenate(cols_all)
+    q = np.concatenate(q_all)
+    starts = np.asarray(starts, dtype=np.uint64)
+    blob, pos, first = native.write_matrix_rows(cols, q, starts)
+    want = b""
+    wpos, wfirst = [], []
+    for k in range(len(starts) - 1):
+        s, e = int(starts[k]), int(starts[k + 1])
+        wpos.append(len(want))
+        wfirst.append(cols[s])
+        want += native.cv_encode(q[s:e])
+        if e - s > 1:
+            want += native.rice_encode(np.diff(cols[s:e]).astype(np.uint64))
+    assert blob == want
+    np.testing.assert_array_equal(pos, np.asarray(wpos, dtype=np.uint64))
+    np.testing.assert_array_equal(first, np.asarray(wfirst, dtype=np.uint64))
+    bad = cols.copy()
+    bad[1] = bad[0]  # duplicate column within row 0
+    with pytest.raises(ValueError):
+        native.write_matrix_rows(bad, q, starts)
