@@ -24,7 +24,7 @@ def _staged(V, norms_sq, tile, L):
     return Vp, planes, jnp.asarray(thr)
 
 
-def _collect_extract(V, planes, thr, tile, coords, counts):
+def _collect_extract(V, planes, thr, tile, coords, counts, ops=None):
     """Run _extract_tiles -> set of (row, col) candidate coordinates the
     finalizer was fed (before exact filtering)."""
     got: set = set()
@@ -32,11 +32,22 @@ def _collect_extract(V, planes, thr, tile, coords, counts):
     def finalize(r, c):
         got.update(zip(r.tolist(), c.tolist()))
 
+    if ops is not None:
+        planes, thr = ops.replicate(planes, thr)
     row_base = coords[:, 0].astype(np.int64) * tile
     col_base = coords[:, 1].astype(np.int64) * tile
     mc._extract_tiles(planes, thr, tile, coords, counts, row_base, col_base,
-                      finalize)
+                      finalize, ops)
     return got
+
+
+def _mesh_ops():
+    import jax
+    from metagenome_vector_sketches_tpu.parallel.engine import MeshSweepOps
+    from metagenome_vector_sketches_tpu.parallel.mesh import make_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return MeshSweepOps(make_mesh(8))
 
 
 def _expected_pairs(V, norms_sq, n):
@@ -48,40 +59,75 @@ def _expected_pairs(V, norms_sq, n):
     return set(zip(r.tolist(), c.tolist()))
 
 
-def test_bucket_cap_retry_branch():
-    """Understated counts route a 16384-survivor tile into the 4096-cap
-    bucket; the authoritative recount must trigger the retry at full
-    capacity and still deliver every candidate exactly once."""
-    n, d, tile = 128, 64, 128
+class _CallCounter:
+    """Counts sweep_compact_words invocations and the distinct (cap, out_cap)
+    shapes, for proving the retry / re-read branches actually fired."""
+
+    def __init__(self, monkeypatch, ops):
+        self.calls = []
+        if ops is not None:
+            orig = type(ops).sweep_compact_words
+
+            def wrapped(s, planes, thr, bcoords, tile, cap_w, out_cap):
+                self.calls.append((cap_w, out_cap))
+                return orig(s, planes, thr, bcoords, tile, cap_w, out_cap)
+            monkeypatch.setattr(type(ops), "sweep_compact_words", wrapped)
+        else:
+            orig = pw.sweep_compact_words
+
+            def wrapped(planes, thr, coords, tile, cap_w, out_cap):
+                self.calls.append((cap_w, out_cap))
+                return orig(planes, thr, coords, tile, cap_w, out_cap)
+            monkeypatch.setattr(pw, "sweep_compact_words", wrapped)
+            monkeypatch.setattr(mc.pw, "sweep_compact_words", wrapped)
+
+
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_bucket_cap_retry_branch(use_mesh, monkeypatch):
+    """Understated counts route a fully-dense 512-tile (8192 nonzero words)
+    into a 4096-word bucket; the authoritative word recount must trigger the
+    full-capacity retry and still deliver every candidate exactly once."""
+    n, d, tile = 512, 64, 512
     V = np.tile(np.arange(1, d + 1, dtype=np.int32), (n, 1))  # identical rows
     norms_sq = (np.einsum("ij,ij->i", V.astype(np.float64),
                           V.astype(np.float64)) / d)
     L = pw.pick_limbs(int(np.abs(V).max()))
     Vp, planes, thr = _staged(V, norms_sq, tile, L)
     coords = np.array([(0, 0)], dtype=np.int32)
-    fake_counts = np.array([1])  # far below the true 16384
-    got = _collect_extract(Vp, planes, thr, tile, coords, fake_counts)
+    fake_counts = np.array([1])  # far below the true 512*512
+    ops = _mesh_ops() if use_mesh else None
+    counter = _CallCounter(monkeypatch, ops)
+    got = _collect_extract(Vp, planes, thr, tile, coords, fake_counts, ops)
     assert got == _expected_pairs(V, norms_sq, n)
     assert len(got) == n * n
+    # first pass at the understated 4096-word cap, retry at full capacity
+    caps = [c for c, _ in counter.calls]
+    assert 4096 in caps and max(caps) >= (tile * tile) // 32
 
 
-def test_out_cap_reread_branch():
-    """Understated counts size out_cap at 16384 while the true compacted
-    total is 64*4096 = 262144: the needed>out_cap re-read must recover every
-    candidate."""
-    n, d, tile = 512, 64, 64
+@pytest.mark.parametrize("use_mesh", [False, True])
+def test_out_cap_reread_branch(use_mesh, monkeypatch):
+    """Understated counts size out_cap at 16384 words while the true
+    compacted total is 256 tiles x 128 words = 32768: the needed>out_cap
+    re-read must recover every candidate."""
+    n, d, tile = 1024, 64, 64
     V = np.tile(np.arange(1, d + 1, dtype=np.int32), (n, 1))
     norms_sq = (np.einsum("ij,ij->i", V.astype(np.float64),
                           V.astype(np.float64)) / d)
     L = pw.pick_limbs(int(np.abs(V).max()))
     Vp, planes, thr = _staged(V, norms_sq, tile, L)
-    nt = 512 // tile
+    nt = n // tile
     coords = np.array([(r, c) for r in range(nt) for c in range(nt)],
                       dtype=np.int32)
     fake_counts = np.ones(len(coords), dtype=np.int64)
-    got = _collect_extract(Vp, planes, thr, tile, coords, fake_counts)
+    ops = _mesh_ops() if use_mesh else None
+    counter = _CallCounter(monkeypatch, ops)
+    got = _collect_extract(Vp, planes, thr, tile, coords, fake_counts, ops)
     assert got == _expected_pairs(V, norms_sq, n)
     assert len(got) == n * n
+    # the re-read fired: a second call with a strictly larger out_cap
+    out_caps = [o for _, o in counter.calls]
+    assert len(out_caps) >= 2 and max(out_caps) > min(out_caps)
 
 
 @pytest.mark.parametrize("mesh_devices", [0, 8])
