@@ -61,6 +61,11 @@ def _load():
                 ctypes.POINTER(u64), ctypes.POINTER(pu64),
                 ctypes.POINTER(pu64)]
             lib.mvs_write_matrix_rows.restype = ctypes.c_int
+        if hasattr(lib, "mvs_read_matrix_rows"):
+            lib.mvs_read_matrix_rows.argtypes = [
+                pu8, u64, pu64, pu64, u64, ctypes.POINTER(pu64),
+                ctypes.POINTER(pu64), ctypes.POINTER(pu64)]
+            lib.mvs_read_matrix_rows.restype = ctypes.c_int
         _lib = lib
         return lib
 
@@ -137,6 +142,43 @@ def ef_encode(values, universe: int) -> bytes:
 
 def ef_decode(buf, offset: int = 0):
     return _decode(_load().mvs_ef_decode, buf, offset)
+
+
+def read_matrix_rows(blob, addrs, first_cols):
+    """Batched ACTIVE-format row decode: ONE native call for many rows.
+    Returns (cols uint64, q uint64, bounds uint64 of len n_rows+1) with row
+    k's neighbors at [bounds[k], bounds[k+1]), or None if the library lacks
+    the entry point. Matches per-row cv_decode + rice_decode + prefix sum."""
+    lib = _load()
+    if not hasattr(lib, "mvs_read_matrix_rows"):
+        return None
+    arr = blob.reshape(-1).view(np.uint8) if isinstance(blob, np.ndarray) \
+        else np.frombuffer(blob, dtype=np.uint8)
+    ptr = arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    addrs, addrs_p = _as_u64_ptr(addrs)
+    first, first_p = _as_u64_ptr(first_cols)
+    n_rows = len(addrs)
+    cols = ctypes.POINTER(ctypes.c_uint64)()
+    q = ctypes.POINTER(ctypes.c_uint64)()
+    bounds = ctypes.POINTER(ctypes.c_uint64)()
+    rc = lib.mvs_read_matrix_rows(ptr, len(arr), addrs_p, first_p, n_rows,
+                                  ctypes.byref(cols), ctypes.byref(q),
+                                  ctypes.byref(bounds))
+    if rc != 0:
+        raise ValueError("batched row decode failed (corrupt shard?)")
+    try:
+        b = np.ctypeslib.as_array(bounds, shape=(n_rows + 1,)).copy() \
+            if n_rows else np.zeros(1, dtype=np.uint64)
+        total = int(b[-1]) if n_rows else 0
+        c = np.ctypeslib.as_array(cols, shape=(total,)).copy() if total \
+            else np.empty(0, dtype=np.uint64)
+        v = np.ctypeslib.as_array(q, shape=(total,)).copy() if total \
+            else np.empty(0, dtype=np.uint64)
+    finally:
+        lib.mvs_free(cols)
+        lib.mvs_free(q)
+        lib.mvs_free(bounds)
+    return (c.astype(np.uint64), v.astype(np.uint64), b.astype(np.uint64))
 
 
 def write_matrix_rows(cols, q, starts):

@@ -154,6 +154,35 @@ class ShardReader:
             cols[1:] = cols[0] + np.cumsum(deltas.astype(np.int64))
         return cols, q
 
+    def decode_rows_batch(self, rows):
+        """Batched decode aligned with `rows`: list of (cols, q) or None.
+        One native call for the whole batch on native-layout shards
+        (mvs_read_matrix_rows); per-row fallback otherwise."""
+        if self.index is None:
+            return [None] * len(rows)
+        pos_list = [self.index.row_to_pos.get(int(r)) for r in rows]
+        present = [i for i, p in enumerate(pos_list) if p is not None]
+        results = [None] * len(rows)
+        if not present:
+            return results
+        batch = None
+        if self.index.fmt == "native" and codecs.have_native():
+            from ..codecs import native as _native
+            addrs = self.index.addresses[[pos_list[i] for i in present]]
+            firsts = self.index.start_neighbor[[pos_list[i] for i in present]]
+            batch = _native.read_matrix_rows(
+                self.blob, addrs.astype(np.uint64),
+                firsts.astype(np.uint64))
+        if batch is not None:
+            cols, q, bounds = batch
+            for j, i in enumerate(present):
+                s, e = int(bounds[j]), int(bounds[j + 1])
+                results[i] = (cols[s:e].astype(np.int64), q[s:e])
+        else:
+            for i in present:
+                results[i] = self.decode_row(int(rows[i]))
+        return results
+
 
 class MatrixReader:
     """Multi-shard reader with per-shard caching (the query stack's engine)."""
@@ -180,8 +209,10 @@ class MatrixReader:
                 get_shard_for_row(int(row), total_vectors, self.num_shards), []).append(i)
         for shard_idx, query_idxs in by_shard.items():
             reader = self.shard(shard_idx)
-            for qi in query_idxs:
-                results[qi] = reader.decode_row(int(rows[qi]))
+            decoded = reader.decode_rows_batch([int(rows[qi])
+                                                for qi in query_idxs])
+            for qi, dec in zip(query_idxs, decoded):
+                results[qi] = dec
         return results
 
     def decode_all_triples(self, total_vectors: int):
@@ -192,8 +223,9 @@ class MatrixReader:
             reader = self.shard(s)
             if reader.index is None:
                 continue
-            for row in reader.index.rows:
-                cols, q = reader.decode_row(int(row))
+            decoded = reader.decode_rows_batch(reader.index.rows.tolist())
+            for row, dec in zip(reader.index.rows, decoded):
+                cols, q = dec
                 rows_out.append(np.full(len(cols), row, dtype=np.int64))
                 cols_out.append(cols)
                 q_out.append(q.astype(np.int64))

@@ -276,6 +276,68 @@ int mvs_rice_decode(const uint8_t* buf, uint64_t len, uint64_t offset,
     return 0;
 }
 
+// ------------------------------------------------- batched shard-row reader
+// Decode many ACTIVE-format rows in one call (the query stack's per-row
+// python loop paid two ctypes round trips per row). For row k at byte
+// offset addrs[k] with first neighbor column first_cols[k]: cv(quantized
+// jaccards), then iff >1 neighbor rice(col deltas); emits concatenated
+// neighbor columns (prefix-summed) + quantized values + row boundaries.
+int mvs_read_matrix_rows(const uint8_t* buf, uint64_t len,
+                         const uint64_t* addrs, const uint64_t* first_cols,
+                         uint64_t n_rows,
+                         uint64_t** cols_out, uint64_t** q_out,
+                         uint64_t** bounds_out) {
+    std::vector<uint64_t> cols, q, bounds;
+    bounds.reserve(n_rows + 1);
+    bounds.push_back(0);
+    for (uint64_t k = 0; k < n_rows; ++k) {
+        uint64_t off = addrs[k];
+        if (off + 24 > len) return -1;
+        uint64_t size = rd(buf, off), width = rd(buf, off + 8),
+                 num_words = rd(buf, off + 16);
+        if (width > 64 || off + 24 + num_words * 8 > len) return -1;
+        std::vector<uint64_t> words(num_words);
+        std::memcpy(words.data(), buf + off + 24, num_words * 8);
+        size_t base = q.size();
+        q.resize(base + size);
+        {
+            BitReader br(words.data(), num_words);
+            for (uint64_t i = 0; i < size; ++i)
+                q[base + i] = br.read((unsigned)width);
+        }
+        cols.resize(base + size);
+        cols[base] = first_cols[k];
+        if (size > 1) {
+            uint64_t off2 = off + 24 + num_words * 8;
+            if (off2 + 24 > len) return -1;
+            uint64_t dn = rd(buf, off2), l = rd(buf, off2 + 8),
+                     dwords = rd(buf, off2 + 16);
+            if (l > 63 || dn != size - 1 ||
+                off2 + 24 + dwords * 8 > len) return -1;
+            std::vector<uint64_t> dw(dwords);
+            std::memcpy(dw.data(), buf + off2 + 24, dwords * 8);
+            BitReader br(dw.data(), dwords);
+            uint64_t cur = first_cols[k];
+            for (uint64_t i = 0; i < dn; ++i) {
+                uint64_t qq = br.read_unary();
+                uint64_t rem = l ? br.read((unsigned)l) : 0;
+                cur += (qq << l) | rem;
+                cols[base + 1 + i] = cur;
+            }
+        }
+        bounds.push_back(q.size());
+    }
+    auto dup = [](const std::vector<uint64_t>& v) {
+        uint64_t* p = (uint64_t*)std::malloc(v.size() ? v.size() * 8 : 8);
+        std::memcpy(p, v.data(), v.size() * 8);
+        return p;
+    };
+    *cols_out = dup(cols);
+    *q_out = dup(q);
+    *bounds_out = dup(bounds);
+    return 0;
+}
+
 // ---------------------------------------------------------------- elias_fano
 int mvs_ef_encode(const uint64_t* vals, uint64_t n, uint64_t universe,
                   uint8_t** out, uint64_t* out_len) {

@@ -136,3 +136,31 @@ def test_bad_extension_aborts(toy_matrix, tmp_path):
     with pytest.raises(SystemExit):
         main(["--matrix", matrix, "--db", db_path, "--query_ids", "1",
               "--write_to_file", str(tmp_path / "bad.npy")])
+
+
+def test_batched_row_decode_equals_per_row(tmp_path):
+    """mvs_read_matrix_rows (one native call per query batch) must decode
+    identically to the per-row path, across shards and including absent
+    rows; the bits-layout fallback stays on the per-row path."""
+    from metagenome_vector_sketches_tpu.matrix import writer
+    from metagenome_vector_sketches_tpu.matrix.reader import MatrixReader
+    rng = np.random.default_rng(71)
+    N = 400
+    rows = np.repeat(np.arange(0, N, 2), 5)     # odd rows absent
+    cols = (rows + np.tile(np.arange(5), N // 2) * 11) % N
+    key = np.unique(rows * N + cols)
+    rows, cols = key // N, key % N
+    vals = rng.integers(1, 10**8, size=len(rows)).astype(np.int64)
+    ns = rng.uniform(1e3, 1e5, size=N)
+    writer.write_shard(str(tmp_path / "shard_0"), rows, cols, vals, ns, 256)
+    reader = MatrixReader(str(tmp_path))
+    sh = reader.shard(0)
+    queries = rng.integers(0, N, size=200).tolist() + [1, 3]  # absent rows
+    batched = sh.decode_rows_batch(queries)
+    for q_row, dec in zip(queries, batched):
+        want = sh.decode_row(q_row)
+        if want is None:
+            assert dec is None
+        else:
+            np.testing.assert_array_equal(dec[0], want[0])
+            np.testing.assert_array_equal(dec[1], want[1])
