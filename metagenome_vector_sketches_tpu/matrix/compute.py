@@ -74,8 +74,17 @@ def _next_pow2(x: int) -> int:
 def _max_tiles_per_batch(tile: int) -> int:
     """Largest pow2 tile count per extraction batch such that the packed
     candidate index t*tile^2 + local stays within int32 (ops.pairwise
-    compact_indices asserts this bound)."""
+    compact_indices asserts this bound; bit-level fallback path)."""
     k = _next_pow2((2**31 - 1) // (tile * tile) + 1) // 2
+    return max(1, k)
+
+
+def _max_words_per_batch(tile: int) -> int:
+    """Same bound for the word-granularity path: packed index is
+    t*(tile^2/32) + word, so 32x more tiles fit per batch — fewer, larger
+    extraction dispatches."""
+    wpt = max(1, (tile * tile) // 32)
+    k = _next_pow2((2**31 - 1) // wpt + 1) // 2
     return max(1, k)
 
 
@@ -386,6 +395,7 @@ def _extract_tiles(planes, thr_j, tile, coords, counts, row_base, col_base,
 
     scale = ops.max_tiles_scale() if ops is not None else 1
     max_K = _max_tiles_per_batch(tile) * scale
+    max_K_words = _max_words_per_batch(tile) * scale
 
     def mask_bits(bcoords):
         if ops is not None:
@@ -441,7 +451,8 @@ def _extract_tiles(planes, thr_j, tile, coords, counts, row_base, col_base,
         cap_w = min(cap, wpt) if use_words else cap
         unit = 8 if use_words else 4
         # bound the (K, cap) device buffers to ~512 MB of HBM (per device)
-        chunk_max = max(1, min(max_K, ((512 << 20) // (cap_w * unit)) * scale))
+        chunk_max = max(1, min(max_K_words if use_words else max_K,
+                               ((512 << 20) // (cap_w * unit)) * scale))
         for s in range(0, len(ks), chunk_max):
             chunk_ks = ks[s:s + chunk_max]
             K_pad = _next_pow2(len(chunk_ks))
