@@ -2,12 +2,18 @@
 "FAISS-style ANN index build + batched NN search at 100k+ accessions", and
 the pairwise engine at production scale).
 
-Generates a clustered synthetic hash universe (so the pairwise matrix is
-non-trivially sparse), then runs the real pipeline: device projection ->
-db folder -> one pairwise shard -> top-k queries -> ANN index + search.
-Prints a JSON summary.
+Generates a clustered synthetic database (so the pairwise matrix is
+non-trivially sparse), then runs the real pipeline: db folder -> one
+pairwise shard -> top-k queries -> ANN index + search. Prints a JSON
+summary.
 
-Run: python benchmarks/scale_test.py [N] [d] [num_shards]
+Run: python benchmarks/scale_test.py [N] [d] [num_shards] [host|project]
+
+The last arg picks the generator: `host` (default) builds clustered int32
+vectors directly in numpy; `project` builds clustered HASH SETS and runs
+the real device projection (exercises the full ingest math, but pulls
+N*d*4 bytes of device-produced vectors back to the host for the db write —
+pathological through a tunneled bench chip, fine on a local TPU host).
 """
 
 import json
@@ -51,10 +57,27 @@ def synth_vectors(n, d, n_clusters=500, hashes_per_set=2048, overlap=0.5,
     return out, cluster
 
 
+def synth_vectors_host(n, d, n_clusters=None, seed=0, max_mag=1200,
+                       noise=40):
+    """Clustered int32 sketch-like vectors built directly on the host (no
+    projection, no device transfers) — the default generator for
+    tunnel-attached bench chips."""
+    rng = np.random.default_rng(seed)
+    if n_clusters is None:
+        n_clusters = max(1, n // 2)
+    protos = rng.integers(-max_mag, max_mag + 1, size=(n_clusters, d),
+                          dtype=np.int32)
+    cluster = rng.integers(0, n_clusters, size=n)
+    out = protos[cluster] + rng.integers(-noise, noise + 1,
+                                         size=(n, d)).astype(np.int32)
+    return out, cluster
+
+
 def main():
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     d = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
     num_shards = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    synth_mode = sys.argv[4] if len(sys.argv) > 4 else "host"
 
     from metagenome_vector_sketches_tpu.io.dbfolder import DbFolder
     from metagenome_vector_sketches_tpu.matrix.compute import compute_pairwise_shard
@@ -66,8 +89,11 @@ def main():
     summary = {"N": N, "d": d, "num_shards": num_shards}
     try:
         t0 = time.perf_counter()
-        vectors, cluster = synth_vectors(N, d)
-        summary["synth_project_s"] = round(time.perf_counter() - t0, 2)
+        if synth_mode == "project":
+            vectors, cluster = synth_vectors(N, d)
+        else:
+            vectors, cluster = synth_vectors_host(N, d)
+        summary["synth_s"] = round(time.perf_counter() - t0, 2)
 
         t0 = time.perf_counter()
         names = [f"ACC{i:07d}" for i in range(N)]
