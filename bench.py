@@ -230,13 +230,12 @@ def bench_e2e_pairwise(N=65536, d=2048, n_clusters=32768, tile=1024, seed=4):
     from metagenome_vector_sketches_tpu.io.dbfolder import DbFolder
     from metagenome_vector_sketches_tpu.matrix import compute as mc
 
-    rng = np.random.default_rng(seed)
     # clustered magnitude-realistic int32 sketch-like vectors, host-made
     # (projection throughput is measured separately; this block times the
-    # pairwise engine). ~2 members/cluster -> ~3e5 surviving pairs.
-    protos = rng.integers(-1200, 1201, size=(n_clusters, d), dtype=np.int32)
-    cluster = rng.integers(0, n_clusters, size=N)
-    V = protos[cluster] + rng.integers(-40, 41, size=(N, d)).astype(np.int32)
+    # pairwise engine). ~2 members/cluster -> ~3e5 surviving pairs. The
+    # generator is shared with benchmarks/scale_test.py.
+    from benchmarks.scale_test import synth_vectors_host
+    V, _ = synth_vectors_host(N, d, n_clusters=n_clusters, seed=seed)
     tmp = tempfile.mkdtemp(prefix="mvs_e2e_")
     walls = []
     try:

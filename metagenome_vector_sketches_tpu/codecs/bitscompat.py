@@ -206,7 +206,10 @@ def _ef_low_bits(n: int, universe: int) -> int:
     return max(0, (universe // n).bit_length() - 1)
 
 
-def ef_encode(values: np.ndarray, universe: int) -> bytes:
+def ef_encode(values: np.ndarray, universe: int,
+              index_zeros: bool = False) -> bytes:
+    """index_zeros=True additionally emits the select0 darray (the
+    elias_fano<true,...> template instantiation's extra member)."""
     values = np.asarray(values, dtype=np.uint64)
     n = len(values)
     universe = max(int(universe), 1)
@@ -223,6 +226,10 @@ def ef_encode(values: np.ndarray, universe: int) -> bytes:
         total_bits = universe + 1
         words = np.zeros((total_bits + 63) // 64, dtype=np.uint64)
         darr = _darray_encode(np.empty(0, dtype=np.int64))
+    if index_zeros:
+        bits = np.unpackbits(words.view(np.uint8),
+                             bitorder="little")[:total_bits]
+        darr += _darray_encode(np.flatnonzero(bits == 0).astype(np.int64))
     if l:
         low = cv_encode(values & ((_U64(1) << _U64(l)) - _U64(1)), width=l)
     else:
@@ -237,33 +244,67 @@ def ef_decode(buf, offset: int = 0):
     universe, off = _read_u64(buf, offset)
     size, words, off = _bv_decode(buf, off)
     npos, off = _darray_skip(buf, off)
-    # optionally a second darray (select0 index), detected structurally:
-    # a compact_vector starts (size, width<=64 with mask identity), which a
-    # darray blob will fail to satisfy — and vice versa
-    try:
-        lows, used, l = cv_decode(buf, off)
-        off2 = off + used
-    except ValueError:
-        _, off = _darray_skip(buf, off)
-        lows, used, l = cv_decode(buf, off)
-        off2 = off + used
     bits = np.unpackbits(words.view(np.uint8), bitorder="little")[:size]
     ones = np.flatnonzero(bits).astype(np.uint64)
     n = len(ones)
-    if len(lows):
-        if len(lows) != n:
+
+    def finish(off_local):
+        """Parse the low-bits cv at off_local and VALIDATE it against the
+        high bits (the strong invariant: the cv holds exactly one low part
+        per value, or is empty when l == 0)."""
+        lows, used, l = cv_decode(buf, off_local)
+        if len(lows) and len(lows) != n:
             raise ValueError("bits::elias_fano low/high size mismatch")
-    else:
-        l = 0
-    highs = ones - np.arange(n, dtype=np.uint64)
-    if l and len(lows):
-        vals = (highs << _U64(l)) | lows
-    else:
-        vals = highs
-    return vals.astype(np.uint64), off2 - offset
+        ll = l if len(lows) else 0
+        highs = ones - np.arange(n, dtype=np.uint64)
+        if ll and len(lows):
+            vals = (highs << _U64(ll)) | lows
+        else:
+            vals = highs
+        return vals.astype(np.uint64), off_local + used - offset
+
+    # One or two darray members precede the low bits (index_zeros adds a
+    # select0 index). Header sniffing alone is ambiguous — a darray whose
+    # first fields happen to satisfy the cv mask/width identity parses as a
+    # cv — so decide by FULL validation: accept the one-darray reading only
+    # if its cv also passes the low/high size invariant, else re-read with
+    # a second darray skipped.
+    try:
+        return finish(off)
+    except ValueError:
+        _, off2 = _darray_skip(buf, off)
+        return finish(off2)
 
 
 # ---------------------------------------------------------------- sniffing
+def detect_two(blob, kind: str, validate=None):
+    """Layout autodetect for an index file made of two concatenated blobs
+    of `kind` ('cv' | 'rice'): fully parse under the 'native' (package
+    serialization, FORMATS.md) then 'bits' (this module) hypothesis — the
+    winner must consume the file exactly and pass `validate(first, second)`
+    if given. Header sniffing alone is ambiguous (a width-1 native blob
+    collides with the bits mask identity), hence the full parse.
+
+    -> (layout, first, second). Shared by the shard reader and the legacy
+    readers so the acceptance rules cannot diverge."""
+    from . import cv_decode as _ncv, rice_decode as _nrice
+    table = {
+        "native": {"cv": _ncv, "rice": _nrice},
+        "bits": {"cv": lambda b, o=0: cv_decode(b, o)[:2],
+                 "rice": rice_decode},
+    }
+    for layout in ("native", "bits"):
+        dec = table[layout][kind]
+        try:
+            a, c1 = dec(blob, 0)
+            b, c2 = dec(blob, c1)
+        except Exception:
+            continue
+        if c1 + c2 == len(blob) and (validate is None or validate(a, b)):
+            return layout, a, b
+    raise ValueError(f"unrecognized {kind}+{kind} index codec layout")
+
+
 def sniff_cv(buf, offset: int = 0) -> str:
     """'bits' | 'native' | 'unknown' for the blob at offset.
 

@@ -241,6 +241,17 @@ def _stage_database(db, norms_sq, total, tile, L, d, max_abs, ops=None):
     npad = ((total + tile - 1) // tile) * tile
     V = np.zeros((npad, d), dtype=np.int32)
     V[:total] = db.load_vectors().astype(np.int32)
+    # trust-but-verify the (possibly sidecar-cached) max component against
+    # the data actually loaded — a stale max_component.txt surviving an
+    # mtime tie (coarse-mtime filesystems) would silently wrap the int8
+    # limb decomposition and corrupt every similarity
+    true_max = int(np.max(np.abs(V[:total].astype(np.int64)))) if total else 0
+    if true_max > max_abs:
+        raise ValueError(
+            f"max_component.txt ({max_abs}) is stale: vectors.bin holds "
+            f"|component| up to {true_max}. Delete "
+            f"{os.path.join(db.path, 'max_component.txt')} or rebuild the "
+            "db folder.")
     thr = np.full(npad, np.float32(1e30), dtype=np.float32)
     # widen the sweep threshold when the certified float32 combine error of
     # this (L, max_abs, d) exceeds the fixed SLACK_ABS (extreme int16-range
@@ -459,7 +470,19 @@ def _extract_tiles(planes, thr_j, tile, coords, counts, row_base, col_base,
             bcoords = np.zeros((K_pad, 3), dtype=np.int32)
             bcoords[:len(chunk_ks), :2] = coords[chunk_ks]
             bcoords[:len(chunk_ks), 2] = 1
-            total_b = int(counts[chunk_ks].sum())   # words <= candidates
+
+            def cap_basis(per_tile):
+                """out_cap basis: per-DEVICE block max on a mesh (each
+                device's compaction buffer is out_cap wide — sizing from
+                the global total would transfer n_devices x the data),
+                plain total on one device."""
+                if ops is not None:
+                    padded = np.zeros(K_pad, dtype=np.int64)
+                    padded[:len(chunk_ks)] = per_tile
+                    return ops.block_total_max(padded)
+                return int(np.asarray(per_tile).sum())
+
+            total_b = cap_basis(counts[chunk_ks])   # words <= candidates
             out_cap = ((total_b + 16383) // 16384) * 16384
             if use_words:
                 packed, wvals, _, counts_b = compact_w(bcoords, cap_w, out_cap)
@@ -471,7 +494,7 @@ def _extract_tiles(planes, thr_j, tile, coords, counts, row_base, col_base,
             if over.any():
                 retry.extend(int(chunk_ks[t]) for t in np.flatnonzero(over))
             # the flat buffer holds min(count, cap) entries per tile
-            needed = int(np.minimum(counts_b, cap_w).sum())
+            needed = cap_basis(np.minimum(counts_b, cap_w))
             if needed > out_cap:
                 out_cap = ((needed + 16383) // 16384) * 16384
                 if use_words:

@@ -77,21 +77,12 @@ def _family(layout: str):
 
 
 def _detect_two(blob: bytes, kind: str):
-    """Autodetect the codec layout of a row_index.bin made of two
-    concatenated blobs of `kind` ('cv' | 'rice'): the winner must consume
-    the file exactly. Real historical server artifacts are 'bits'; ours are
-    'native'. -> (layout, first, second)."""
-    for layout in ("native", "bits"):
-        fam = _family(layout)
-        dec = fam.cv_decode if kind == "cv" else fam.rice_decode
-        try:
-            a, c1 = dec(blob, 0)
-            b, c2 = dec(blob, c1)
-        except Exception:
-            continue
-        if c1 + c2 == len(blob):
-            return layout, a, b
-    raise ValueError("unrecognized legacy row_index.bin codec layout")
+    """Autodetect the codec layout of a legacy row_index.bin (two
+    concatenated blobs of `kind`). Real historical server artifacts are
+    'bits'; ours are 'native'. Shared logic with the shard reader
+    (codecs.bitscompat.detect_two). -> (layout, first, second)."""
+    from ..codecs import bitscompat
+    return bitscompat.detect_two(blob, kind)
 
 
 def compress_legacy_folder(folder: str, level: int = 3) -> None:

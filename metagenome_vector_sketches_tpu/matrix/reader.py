@@ -65,23 +65,11 @@ def load_shard_index(shard_folder: str) -> ShardIndex | None:
     with open(index_path, "rb") as f:
         blob = f.read()
     # layout autodetect: real server shards were written by jermp/bits;
-    # ours by the FORMATS.md serialization. Decide by fully parsing the
-    # index under each hypothesis — the winner must consume the exact file
-    # with the n-rows/(n-1)-deltas shape (header sniffing alone can collide
-    # on tiny width-1 blobs).
-    fmt = rows = deltas = None
-    for cand in ("native", "bits"):
-        cv_dec, _ = _decoders(cand)
-        try:
-            r, c1 = cv_dec(blob, 0)
-            d, c2 = cv_dec(blob, c1)
-        except Exception:
-            continue
-        if c1 + c2 == len(blob) and len(d) == max(0, len(r) - 1):
-            fmt, rows, deltas = cand, r, d
-            break
-    if fmt is None:
-        raise ValueError(f"unrecognized row_index.bin layout: {index_path}")
+    # ours by the FORMATS.md serialization (shared logic:
+    # codecs.bitscompat.detect_two; the active format's extra invariant is
+    # n rows + n-1 position deltas)
+    fmt, rows, deltas = bitscompat.detect_two(
+        blob, "cv", validate=lambda r, d: len(d) == max(0, len(r) - 1))
     _, rice_dec = _decoders(fmt)
     addresses = np.zeros(len(rows), dtype=np.uint64)
     if len(rows) > 1:

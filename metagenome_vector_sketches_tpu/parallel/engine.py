@@ -157,6 +157,18 @@ class MeshSweepOps:
         return (packed, np.asarray(vals).reshape(-1),
                 np.asarray(cand_counts)[:k], np.asarray(word_counts)[:k])
 
+    def block_total_max(self, per_tile_counts) -> int:
+        """Max over devices of the summed counts in that device's
+        contiguous (padded) tile block — the right PER-DEVICE out_cap
+        basis. Sizing from the global total would transfer n_devices x the
+        data (each device's compaction buffer is out_cap wide)."""
+        c = np.asarray(per_tile_counts, dtype=np.int64)
+        n = self.n_devices
+        k_pad = ((len(c) + n - 1) // n) * n
+        padded = np.zeros(k_pad, dtype=np.int64)
+        padded[:len(c)] = c
+        return int(padded.reshape(n, -1).sum(axis=1).max())
+
     def max_tiles_scale(self) -> int:
         """Extraction batches may be n_devices times larger: the packed-index
         int32 bound and the HBM buffer bound are both per device."""

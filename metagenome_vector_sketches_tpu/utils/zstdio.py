@@ -80,13 +80,23 @@ def _decompress_libzstd(impl, data: bytes) -> bytes:
     size = impl.ZSTD_getFrameContentSize(data, len(data))
     if size == _ZSTD_CONTENTSIZE_ERROR:
         raise ValueError("not a zstd frame")
-    if size != _ZSTD_CONTENTSIZE_UNKNOWN:
+    impl.ZSTD_findFrameCompressedSize.argtypes = [ctypes.c_void_p,
+                                                  ctypes.c_size_t]
+    impl.ZSTD_findFrameCompressedSize.restype = ctypes.c_size_t
+    frame_len = impl.ZSTD_findFrameCompressedSize(data, len(data))
+    one_frame = (not impl.ZSTD_isError(frame_len)
+                 and frame_len == len(data))
+    if size != _ZSTD_CONTENTSIZE_UNKNOWN and one_frame:
+        # fast path only when the single frame spans the whole input —
+        # pzstd / concatenated .zst files are MULTI-frame (valid zstd) and
+        # the content-size header only describes the first frame
         out = ctypes.create_string_buffer(max(1, size))
         n = impl.ZSTD_decompress(out, size, data, len(data))
         if impl.ZSTD_isError(n) or n != size:
             raise ValueError("zstd decompression failed")
         return out.raw[:n]
-    # streaming fallback for frames without a recorded content size
+    # streaming path: handles unknown content sizes AND multi-frame input
+    # (ZSTD_decompressStream starts the next frame after each finishes)
     impl.ZSTD_createDCtx.restype = ctypes.c_void_p
     impl.ZSTD_freeDCtx.argtypes = [ctypes.c_void_p]
     dctx = impl.ZSTD_createDCtx()
@@ -121,12 +131,14 @@ def _decompress_libzstd(impl, data: bytes) -> bytes:
 def decompress(data: bytes) -> bytes:
     kind, impl = _get_backend()
     if kind == "zstandard":
-        try:
-            return impl.ZstdDecompressor().decompress(data)
-        except impl.ZstdError:
-            # unknown content size frames need the streaming API
-            dec = impl.ZstdDecompressor().decompressobj()
-            return dec.decompress(data)
+        # ALWAYS read across frames: pzstd output and concatenated .zst
+        # files are MULTI-frame (valid zstd), and both the one-shot
+        # decompress() and decompressobj() silently stop after the first
+        # frame — a truncation, not an error
+        import io
+        reader = impl.ZstdDecompressor().stream_reader(
+            io.BytesIO(data), read_across_frames=True)
+        return reader.read()
     if kind == "libzstd":
         return _decompress_libzstd(impl, data)
     raise RuntimeError("no zstd backend available")

@@ -158,7 +158,9 @@ int mvs_cv_decode(const uint8_t* buf, uint64_t len, uint64_t offset,
     if (offset + 24 > len) return -1;
     uint64_t size = rd(buf, offset), width = rd(buf, offset + 8),
              num_words = rd(buf, offset + 16);
-    if (offset + 24 + num_words * 8 > len) return -1;
+    // division form: the multiply/add would wrap uint64 on corrupt counts
+    if (num_words > (len - offset - 24) / 8) return -1;
+    if (width > 64 || size > num_words * 64 + 64) return -1;
     std::vector<uint64_t> words(num_words);
     std::memcpy(words.data(), buf + offset + 24, num_words * 8);
     uint64_t* out = (uint64_t*)std::malloc(size ? size * 8 : 8);
@@ -260,7 +262,8 @@ int mvs_rice_decode(const uint8_t* buf, uint64_t len, uint64_t offset,
     if (offset + 24 > len) return -1;
     uint64_t size = rd(buf, offset), l = rd(buf, offset + 8),
              num_words = rd(buf, offset + 16);
-    if (offset + 24 + num_words * 8 > len) return -1;
+    if (num_words > (len - offset - 24) / 8) return -1;
+    if (l > 63 || size > num_words * 64 + 64) return -1;
     std::vector<uint64_t> words(num_words);
     std::memcpy(words.data(), buf + offset + 24, num_words * 8);
     uint64_t* out = (uint64_t*)std::malloc(size ? size * 8 : 8);
@@ -295,7 +298,9 @@ int mvs_read_matrix_rows(const uint8_t* buf, uint64_t len,
         if (off + 24 > len) return -1;
         uint64_t size = rd(buf, off), width = rd(buf, off + 8),
                  num_words = rd(buf, off + 16);
-        if (width > 64 || off + 24 + num_words * 8 > len) return -1;
+        // division form avoids uint64 wrap on corrupt num_words
+        if (width > 64 || num_words > (len - off - 24) / 8 ||
+            size > num_words * 64 + 64) return -1;
         std::vector<uint64_t> words(num_words);
         std::memcpy(words.data(), buf + off + 24, num_words * 8);
         size_t base = q.size();
@@ -313,7 +318,7 @@ int mvs_read_matrix_rows(const uint8_t* buf, uint64_t len,
             uint64_t dn = rd(buf, off2), l = rd(buf, off2 + 8),
                      dwords = rd(buf, off2 + 16);
             if (l > 63 || dn != size - 1 ||
-                off2 + 24 + dwords * 8 > len) return -1;
+                dwords > (len - off2 - 24) / 8) return -1;
             std::vector<uint64_t> dw(dwords);
             std::memcpy(dw.data(), buf + off2 + 24, dwords * 8);
             BitReader br(dw.data(), dwords);

@@ -219,3 +219,50 @@ def test_legacy_bits_layout_zstd_round_trip(tmp_path, fmt):
     for r in want:
         np.testing.assert_array_equal(want[r][0], got[r][0])
         np.testing.assert_array_equal(want[r][1], got[r][1])
+
+
+def test_ef_decode_index_zeros_variant():
+    """elias_fano<index_zeros=true> carries a second (select0) darray whose
+    header can accidentally satisfy the compact_vector mask identity — the
+    decoder must fall back to the two-darray reading via the low/high size
+    invariant (round-1 review finding, confirmed repro: [2,5,9,12] u=16)."""
+    v = np.array([2, 5, 9, 12], dtype=np.uint64)
+    blob = bc.ef_encode(v, 16, index_zeros=True)
+    got, consumed = bc.ef_decode(blob)
+    assert consumed == len(blob)
+    np.testing.assert_array_equal(got, v)
+    rng = np.random.default_rng(19)
+    for n, u in [(1, 5), (50, 1000), (1000, 10**7)]:
+        vv = np.sort(rng.integers(0, u, size=n).astype(np.uint64))
+        blob = bc.ef_encode(vv, u, index_zeros=True)
+        got, consumed = bc.ef_decode(blob)
+        assert consumed == len(blob)
+        np.testing.assert_array_equal(got, vv)
+
+
+def test_zstdio_multiframe(tmp_path):
+    """pzstd / concatenated .zst files are multi-frame; decompress must
+    read every frame on both backends (round-2 review finding)."""
+    from metagenome_vector_sketches_tpu.utils import zstdio
+    a = zstdio.compress(b"hello ") + zstdio.compress(b"world")
+    assert zstdio.decompress(a) == b"hello world"
+    lib = zstdio._load_libzstd()
+    if lib is not None:
+        assert zstdio._decompress_libzstd(lib, a) == b"hello world"
+    # a legacy folder whose .zst was produced by concatenation
+    from metagenome_vector_sketches_tpu.matrix import legacy
+    rows = np.repeat(np.arange(3), 4)
+    cols = np.tile(np.arange(4) * 3, 3)
+    vals = np.arange(12) * 1000 + 5000
+    folder = str(tmp_path / "m")
+    legacy.write_legacy_prev(folder, rows, cols, vals, 64)
+    import os
+    for name in list(os.listdir(folder)):
+        full = os.path.join(folder, name)
+        data = open(full, "rb").read()
+        half = len(data) // 2
+        with open(full + ".zst", "wb") as f:   # two frames per file
+            f.write(zstdio.compress(data[:half]) + zstdio.compress(data[half:]))
+        os.remove(full)
+    got = legacy.read_legacy_prev(folder)
+    assert set(got.keys()) == {0, 1, 2}

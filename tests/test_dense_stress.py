@@ -107,10 +107,12 @@ def test_bucket_cap_retry_branch(use_mesh, monkeypatch):
 
 @pytest.mark.parametrize("use_mesh", [False, True])
 def test_out_cap_reread_branch(use_mesh, monkeypatch):
-    """Understated counts size out_cap at 16384 words while the true
-    compacted total is 256 tiles x 128 words = 32768: the needed>out_cap
-    re-read must recover every candidate."""
-    n, d, tile = 1024, 64, 64
+    """Understated counts size out_cap at the 16384-word floor while the
+    true compacted total exceeds it (per DEVICE on the mesh — out_cap is a
+    per-device buffer width): the needed>out_cap re-read must recover every
+    candidate. Mesh case needs >16384 words in one device's tile block
+    (>128 fully-dense 64-tiles per device)."""
+    n, d, tile = (2560 if use_mesh else 1024), 64, 64
     V = np.tile(np.arange(1, d + 1, dtype=np.int32), (n, 1))
     norms_sq = (np.einsum("ij,ij->i", V.astype(np.float64),
                           V.astype(np.float64)) / d)
