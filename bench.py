@@ -214,7 +214,7 @@ def bench_topk(N=65536, d=2048, B=256, k=50):
             "N": N, "B": B, "k": k}
 
 
-def bench_e2e_pairwise(N=65536, d=2048, n_clusters=32768, tile=1024, seed=4):
+def bench_e2e_pairwise(N=65536, d=2048, n_clusters=32768, tile=2048, seed=4):
     """Honest END-TO-END shard production (VERDICT r1 item 3): synthetic
     clustered db -> full compute_pairwise_shard (staging + sweep +
     extraction + exact host finalize + shard write), with the per-stage

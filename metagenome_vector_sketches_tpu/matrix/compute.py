@@ -116,7 +116,7 @@ def shard_is_complete(output_folder: str, shard_idx: int) -> bool:
 
 def compute_pairwise_shard(db_folder: str, output_folder: str,
                            num_shards: int = 1, shard_idx: int = 0,
-                           tile_rows: int = 1024, tile_cols: int = 1024,
+                           tile_rows: int = 2048, tile_cols: int = 2048,
                            device_budget_bytes: int = 8 << 30,
                            resume: bool = False,
                            verbose: bool = True,
@@ -126,7 +126,10 @@ def compute_pairwise_shard(db_folder: str, output_folder: str,
     Returns the shard folder path. tile_rows is the square tile edge of both
     paths (tile_cols is accepted for backward compatibility and ignored —
     the streaming path sizes its column window from the memory budget).
-    With resume=True, an already-complete shard folder is left untouched.
+    Default 2048: extraction carries a fixed per-hot-tile compaction cost,
+    so fewer/larger tiles win at production N (measured ~30% over 1024 at
+    N=65k on v5e). With resume=True, an already-complete shard folder is
+    left untouched.
 
     With mesh (a jax.sharding.Mesh over >1 devices), the WHOLE engine —
     counts sweep, hot-tile extraction, sparse compaction — runs
