@@ -37,10 +37,12 @@ class DistributedFlatIPIndex:
         q = jax.device_put(
             jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32)),
             replicated(self.mesh))
-        D, I = distributed_topk(self.mesh, q, self.v, k)
+        # n_valid masks the mesh-padding rows to -inf inside the kernel so
+        # they cannot displace genuine negative-inner-product neighbors
+        D, I = distributed_topk(self.mesh, q, self.v, k,
+                                n_valid=self.ntotal)
         D, I = np.array(D), np.array(I)
-        # mask out padding rows (they score 0 with normalized queries)
-        bad = I >= self.ntotal
+        bad = ~np.isfinite(D) | (I >= self.ntotal)
         D[bad] = 0.0
         I[bad] = -1
         return D, I

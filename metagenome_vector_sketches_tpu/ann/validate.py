@@ -57,7 +57,7 @@ def validate(index_folder: str, hashes_file: str, n_samples: int = 20,
             print(f"{qid} vs {nid}: vector_jaccard={est:.4f}, "
                   f"hash_jaccard={true:.4f}")
 
-    if plot or save_plot:
+    if (plot or save_plot) and results:
         import matplotlib
         if save_plot:
             matplotlib.use("Agg")

@@ -88,9 +88,15 @@ class DbFolder:
               use_int16: bool = False, wipe: bool = True) -> "DbFolder":
         os.makedirs(path, exist_ok=True)
         if wipe:
+            import shutil
             for entry in os.listdir(path):
                 full = os.path.join(path, entry)
-                if os.path.isfile(full):
+                if os.path.isdir(full):
+                    # the reference wipes subdirectories too (fs::remove_all
+                    # per entry, project_everything.cpp:244-249) — stale
+                    # shard_K/ folders must not survive a rebuild
+                    shutil.rmtree(full, ignore_errors=True)
+                else:
                     os.remove(full)
         norms = compute_norms(vectors, dimension)
         with open(os.path.join(path, "dimension.txt"), "w") as f:

@@ -48,6 +48,9 @@ def parse_query_hashes_file(path: str) -> tuple[list[str], list[np.ndarray]]:
                 raise ValueError(f"malformed query line in {path}: {line[:40]!r}")
             names.append(parts[0].strip())
             rest = parts[1].split()
-            sets_.append(np.array(rest, dtype=np.uint64) if rest
+            # the reference dedups query hashes through an unordered_set
+            # (jaccard.py -> standalone_projection.cpp:29-33); a duplicated
+            # hash must not contribute its +-1 pattern twice
+            sets_.append(np.unique(np.array(rest, dtype=np.uint64)) if rest
                          else np.empty(0, dtype=np.uint64))
     return names, sets_

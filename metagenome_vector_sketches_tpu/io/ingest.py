@@ -24,7 +24,14 @@ def convert(folder: str, output_file: str, num_threads: int = 1,
     files = list(sigzip.iter_signature_files(folder))
 
     def load(path):
-        return sigzip.accession_name(path), sigzip.read_sig_zip(path, ksize=ksize)
+        try:
+            return sigzip.accession_name(path), sigzip.read_sig_zip(path, ksize=ksize)
+        except Exception as e:
+            # a stray non-zip file (.DS_Store, half-download) must not kill
+            # a multi-hour ingest: the reference logs 'Failed to unzip' and
+            # continues with an empty set (project_everything.cpp:98-103)
+            log(f"Failed to read {path}: {e}")
+            return sigzip.accession_name(path), set()
 
     with ThreadPoolExecutor(max_workers=max(1, num_threads)) as pool:
         results = list(pool.map(load, files))

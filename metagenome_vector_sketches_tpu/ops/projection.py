@@ -62,11 +62,20 @@ def project_host(hashes, d: int, hash_chunk: int = 65536) -> np.ndarray:
     return vec.astype(np.int32)
 
 
+def _as_u64_array(hs) -> np.ndarray:
+    """Fast cast for the ingest hot path: typed arrays pass through; only
+    python sets/iterables take the per-element route. Accumulation is
+    order-independent, so no sort is needed."""
+    if isinstance(hs, np.ndarray):
+        return np.ascontiguousarray(hs, dtype=np.uint64)
+    return np.fromiter((int(h) for h in hs), dtype=np.uint64)
+
+
 def project_host_many(hash_sets, d: int) -> np.ndarray:
     """Project a list of hash sets -> (N, d) int32 matrix (host path)."""
     out = np.zeros((len(hash_sets), d), dtype=np.int32)
     for i, hs in enumerate(hash_sets):
-        out[i] = project_host(np.asarray(sorted(hs), dtype=np.uint64), d)
+        out[i] = project_host(_as_u64_array(hs), d)
     return out
 
 
@@ -182,7 +191,7 @@ def project_device_many(hash_sets, d: int, batch_hint_elems: int = 1 << 24,
             arr = np.zeros((B, bucket), dtype=np.uint64)
             counts = np.zeros((B,), dtype=np.int32)
             for r, i in enumerate(group):
-                hs = np.fromiter((int(h) for h in hash_sets[i]), dtype=np.uint64)
+                hs = _as_u64_array(hash_sets[i])
                 arr[r, :hs.shape[0]] = hs
                 counts[r] = hs.shape[0]
             hi, lo = split_u64(arr)

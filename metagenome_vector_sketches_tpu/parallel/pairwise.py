@@ -9,7 +9,7 @@ shard writing stay per-host exactly like the single-chip engine.
 
 from __future__ import annotations
 
-import functools
+import functools  # noqa: F401  (lru_cache for the jitted topk builder)
 
 import numpy as np
 import jax
@@ -54,28 +54,22 @@ def sharded_pairwise_counts(mesh, v_limbs, thr, d: int):
     return jax.jit(fn)(v_limbs, thr)
 
 
-def distributed_topk(mesh, queries, v_norm, k: int):
-    """Distributed flat-IP top-k: database rows sharded across the mesh,
-    queries replicated; local fused dot+top_k then an all_gather merge.
-
-    Args:
-      queries: (B, d) float32 replicated.
-      v_norm: (N, d) float32 L2-normalized database, row-sharded.
-      k: static top-k (<= N / mesh size for the local stage).
-
-    Returns:
-      (D (B, k) float32, I (B, k) int32 global row indices), replicated.
-    """
-    n_dev = mesh.devices.size
-
+@functools.lru_cache(maxsize=None)
+def _topk_fn(mesh, k: int, n_valid):
     def step(q, v_local):
         scores = jax.lax.dot_general(
             q, v_local, dimension_numbers=(((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
+        base = jax.lax.axis_index(DATA_AXIS) * v_local.shape[0]
+        if n_valid is not None:
+            # mesh-padding rows must lose to ANY real neighbor, including
+            # negative-inner-product ones (a zero pad row scores 0, which
+            # would displace genuine anti-correlated neighbors from top-k)
+            idx = base + jnp.arange(v_local.shape[0], dtype=jnp.int32)
+            scores = jnp.where(idx[None, :] < n_valid, scores, -jnp.inf)
         kk = min(k, v_local.shape[0])
         d_loc, i_loc = jax.lax.top_k(scores, kk)
-        base = jax.lax.axis_index(DATA_AXIS) * v_local.shape[0]
         i_loc = i_loc + base
         if kk < k:
             pad_d = jnp.full((q.shape[0], k - kk), -jnp.inf, jnp.float32)
@@ -93,4 +87,23 @@ def distributed_topk(mesh, queries, v_norm, k: int):
                    in_specs=(P(), P(DATA_AXIS, None)),
                    out_specs=(P(), P()),
                    check_vma=False)  # outputs identical on all devices post-gather
-    return jax.jit(fn)(queries, v_norm)
+    return jax.jit(fn)
+
+
+def distributed_topk(mesh, queries, v_norm, k: int, n_valid: int | None = None):
+    """Distributed flat-IP top-k: database rows sharded across the mesh,
+    queries replicated; local fused dot+top_k then an all_gather merge.
+
+    Args:
+      queries: (B, d) float32 replicated.
+      v_norm: (N, d) float32 L2-normalized database, row-sharded.
+      k: static top-k (<= N / mesh size for the local stage).
+      n_valid: true row count when v_norm carries mesh-padding rows; padded
+        rows score -inf so they never displace real (even negative-score)
+        neighbors.
+
+    Returns:
+      (D (B, k) float32, I (B, k) int32 global row indices), replicated.
+      Slots beyond the real matches come back with score -inf.
+    """
+    return _topk_fn(mesh, k, n_valid)(queries, v_norm)

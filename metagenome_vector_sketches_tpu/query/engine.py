@@ -10,6 +10,7 @@ dequantize J = q/255 to float32.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -31,11 +32,17 @@ class Result:
 def parse_query_to_index(query_str: str, id_to_index: dict) -> int:
     """Numeric strings are raw indices (unvalidated at parse time, like
     read_pc_mat_cmp.cpp:673-689); otherwise an identifier lookup; -1 if
-    unknown."""
-    try:
-        return int(query_str)
-    except ValueError:
-        return id_to_index.get(query_str, -1)
+    unknown.
+
+    Matches C++ std::stoi semantics, not python int(): a numeric PREFIX
+    parses ("42abc" -> row 42), and an out-of-int-range number throws (->
+    identifier lookup path), where int() would do the opposite on both."""
+    m = re.match(r"\s*[+-]?\d+", query_str)
+    if m:
+        v = int(m.group())
+        if -2**31 <= v <= 2**31 - 1:       # stoi raises out_of_range beyond
+            return v
+    return id_to_index.get(query_str, -1)
 
 
 def read_queries_from_file(path: str, id_to_index: dict):

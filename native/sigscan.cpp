@@ -213,6 +213,11 @@ int64_t sigscan_read(const char* path, int ksize, uint64_t** out) try {
         uint16_t extra_len = rd16(d + pos + 30);
         uint16_t comment_len = rd16(d + pos + 32);
         uint32_t lho = rd32(d + pos + 42);
+        // the variable-length fields must fit the buffer BEFORE the name is
+        // materialized (a truncated zip with a large name_len would read up
+        // to 64 KiB past the allocation)
+        if (pos + 46 + (size_t)name_len + extra_len + comment_len > n)
+            return -7;
         std::string name((const char*)(d + pos + 46), name_len);
         pos += 46 + (size_t)name_len + extra_len + comment_len;
         if (name.size() < 7 || name.compare(name.size() - 7, 7, ".sig.gz") != 0)

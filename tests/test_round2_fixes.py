@@ -332,3 +332,110 @@ def test_engine_device_finalize_matches_oracle(tmp_path, use_mesh):
     rr, cc, qq = MatrixReader(str(tmp_path / "m")).decode_all_triples(n)
     assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
         set(zip(er.tolist(), ec.tolist(), eq.tolist()))
+
+
+# ---------------------------------------------------------------------------
+# round-1-code review fixes
+# ---------------------------------------------------------------------------
+
+def test_query_hashes_deduplicated(tmp_path):
+    """The reference dedups query hashes via unordered_set
+    (standalone_projection.cpp:29-33) — a duplicated hash must not project
+    twice."""
+    from metagenome_vector_sketches_tpu.io.hashes import parse_query_hashes_file
+    from metagenome_vector_sketches_tpu.ops.projection import project_host_many
+    f = tmp_path / "q.txt"
+    f.write_text("A: 5 5 7\nB: 5 7\n")
+    names, sets_ = parse_query_hashes_file(str(f))
+    np.testing.assert_array_equal(sets_[0], sets_[1])
+    va, vb = project_host_many(sets_, 64)
+    np.testing.assert_array_equal(va, vb)
+
+
+def test_convert_survives_stray_file(tmp_path):
+    """A non-zip stray file must not kill the ingest (the reference logs
+    'Failed to unzip' and continues, project_everything.cpp:98-103)."""
+    import gzip
+    import json
+    import zipfile
+    from metagenome_vector_sketches_tpu.io.ingest import convert
+    sig = [{"signatures": [{"ksize": 31, "mins": [1, 2, 3]}]}]
+    with zipfile.ZipFile(str(tmp_path / "GOOD.x.sig.zip"), "w") as zf:
+        zf.writestr("signatures/a.sig.gz", gzip.compress(json.dumps(sig).encode()))
+    (tmp_path / "stray.bin").write_bytes(b"\x00\x01 not a zip")
+    out = str(tmp_path / "ah.txt")
+    results = convert(str(tmp_path), out, num_threads=2, verbose=False)
+    got = dict(results)
+    assert got["GOOD"] == {1, 2, 3}
+    assert got["stray"] == set()
+
+
+def test_parse_query_to_index_stoi_semantics():
+    from metagenome_vector_sketches_tpu.query.engine import parse_query_to_index
+    idx = {"42abc": 7, "99999999999999999999": 9}
+    # numeric prefix parses like std::stoi (NOT like python int())
+    assert parse_query_to_index("42abc", idx) == 42
+    # out-of-int-range falls through to the identifier lookup
+    assert parse_query_to_index("99999999999999999999", idx) == 9
+    assert parse_query_to_index("13", idx) == 13
+    assert parse_query_to_index("nope", idx) == -1
+
+
+def test_distributed_index_keeps_negative_neighbors():
+    """Mesh-padding rows score 0; they must not displace genuine
+    negative-inner-product neighbors from the top-k (parity with
+    FlatIPIndex.search)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from metagenome_vector_sketches_tpu.ann.flat_index import (
+        FlatIPIndex, normalize_l2)
+    from metagenome_vector_sketches_tpu.ann.distributed import (
+        DistributedFlatIPIndex)
+    rng = np.random.default_rng(61)
+    n, d, k = 11, 16, 8            # n not a multiple of 8 -> padding rows
+    V = normalize_l2(rng.normal(size=(n, d)).astype(np.float32))
+    Q = -V[:2] + 0.01 * rng.normal(size=(2, d)).astype(np.float32)
+    Q = normalize_l2(Q)            # anti-correlated: most scores negative
+    flat = FlatIPIndex(V)
+    dist = DistributedFlatIPIndex(V)
+    Df, If = flat.search(Q, k)
+    Dd, Id = dist.search(Q, k)
+    for b in range(2):
+        assert set(Id[b].tolist()) == set(If[b].tolist()), (b, If[b], Id[b])
+        assert -1 not in Id[b]
+    np.testing.assert_allclose(np.sort(Dd, axis=1), np.sort(Df, axis=1),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_dbfolder_wipe_removes_subdirs(tmp_path):
+    import os
+    d = tmp_path / "db"
+    os.makedirs(d / "shard_0")
+    (d / "shard_0" / "matrix.bin").write_bytes(b"stale")
+    (d / "junk.txt").write_text("old")
+    DbFolder.write(str(d), ["a", "b"], np.ones((2, 16), dtype=np.int32), 16)
+    assert not (d / "shard_0").exists()
+    assert not (d / "junk.txt").exists()
+    assert (d / "vectors.bin").exists()
+
+
+def test_sigscan_truncated_name_len(tmp_path):
+    """A truncated zip whose central-directory name_len runs past the file
+    must fall back cleanly (no out-of-bounds read / crash)."""
+    import zipfile
+    import gzip
+    from metagenome_vector_sketches_tpu.io import sigzip
+    if sigzip._load_native() is None:
+        pytest.skip("native sigscan unavailable")
+    path = str(tmp_path / "T.x.sig.zip")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("signatures/a.sig.gz", gzip.compress(
+            b'[{"signatures":[{"ksize":31,"mins":[9]}]}]'))
+    data = bytearray(open(path, "rb").read())
+    # find the central directory entry and inflate its name_len field
+    cd = data.rfind(b"PK\x01\x02")
+    data[cd + 28:cd + 30] = (60000).to_bytes(2, "little")
+    open(path, "wb").write(bytes(data))
+    got = sigzip._read_sig_zip_native(path, 31)
+    assert got is None  # structural refusal, python fallback handles it
