@@ -268,6 +268,39 @@ def bench_e2e_pairwise(N=65536, d=2048, n_clusters=32768, tile=2048, seed=4):
     return out
 
 
+def bench_matrix_reads(N=20000, neighbors=12, B=5000, seed=6):
+    """Host-side matrix top-k read throughput (the reference's query serving
+    path): batched native row decode over a synthetic N-row shard."""
+    import shutil
+    import tempfile
+    from metagenome_vector_sketches_tpu.matrix import writer
+    from metagenome_vector_sketches_tpu.matrix.reader import MatrixReader
+
+    rng = np.random.default_rng(seed)
+    rows = np.repeat(np.arange(N), neighbors)
+    cols = (rows + np.tile(np.arange(neighbors), N) * 7) % N
+    key = np.unique(rows * N + cols)
+    rows, cols = key // N, key % N
+    vals = rng.integers(1, 10**9, size=len(rows)).astype(np.int64)
+    ns = rng.uniform(1e3, 1e5, size=N)
+    tmp = tempfile.mkdtemp(prefix="mvs_read_")
+    try:
+        writer.write_shard(os.path.join(tmp, "shard_0"), rows, cols, vals,
+                           ns, 2048)
+        reader = MatrixReader(tmp)
+        qrows = rng.integers(0, N, size=B).tolist()
+        reader.load_neighbors_for_rows(qrows[:16], N)  # warm mmap/index
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            reader.load_neighbors_for_rows(qrows, N)
+            best = min(best, time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {"queries_per_sec": round(B / best, 1), "N": N, "B": B,
+            "neighbors_per_row": neighbors}
+
+
 def main():
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BASELINE_MEASURED.json")) as f:
@@ -303,6 +336,7 @@ def main():
             "flat_ip_topk": {k: round(v, 1) if isinstance(v, float) else v
                              for k, v in topk.items()},
             "e2e_pairwise": e2e,
+            "matrix_reads": bench_matrix_reads(),
         },
     }
     print(json.dumps(result))
