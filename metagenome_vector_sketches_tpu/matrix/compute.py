@@ -571,6 +571,18 @@ def _compute_streaming(db, norms_sq, total, begin_row, end_row, tile_rows,
         """Load rows [start, end) padded to n_rows (thr=+inf padding)."""
         block = np.zeros((n_rows, d), dtype=np.int32)
         block[:end - start] = db.load_vectors(start, end).astype(np.int32)
+        # trust-but-verify the (possibly sidecar-cached) max component
+        # against the data actually staged — same stale-sidecar guard as
+        # _stage_database: a stale max_component.txt would silently wrap the
+        # int8 limb decomposition AND mis-size the threshold margin here
+        if end > start:
+            true_max = int(np.max(np.abs(block[:end - start].astype(np.int64))))
+            if true_max > max_abs:
+                raise ValueError(
+                    f"max_component.txt ({max_abs}) is stale: vectors.bin "
+                    f"holds |component| up to {true_max}. Delete "
+                    f"{os.path.join(db.path, 'max_component.txt')} or "
+                    "rebuild the db folder.")
         thr = np.full(n_rows, np.float32(1e30), dtype=np.float32)
         thr[:end - start] = thr_f32[start:end]
         return pw.decompose_planes(jnp.asarray(block), L), thr

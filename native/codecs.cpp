@@ -298,8 +298,11 @@ int mvs_read_matrix_rows(const uint8_t* buf, uint64_t len,
         if (off + 24 > len) return -1;
         uint64_t size = rd(buf, off), width = rd(buf, off + 8),
                  num_words = rd(buf, off + 16);
-        // division form avoids uint64 wrap on corrupt num_words
-        if (width > 64 || num_words > (len - off - 24) / 8 ||
+        // division form avoids uint64 wrap on corrupt num_words; size==0
+        // rows cannot exist (the writer rejects empty rows, e<=s) — a
+        // corrupt zero-size header would otherwise drive cols[base] past
+        // the vector end below
+        if (size == 0 || width > 64 || num_words > (len - off - 24) / 8 ||
             size > num_words * 64 + 64) return -1;
         std::vector<uint64_t> words(num_words);
         std::memcpy(words.data(), buf + off + 24, num_words * 8);

@@ -1,0 +1,71 @@
+"""Round-3 hardening: ADVICE round-2 items (native zero-size row rejection,
+streaming-path stale-sidecar verification)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from metagenome_vector_sketches_tpu.io.dbfolder import DbFolder
+
+
+def test_native_zero_size_row_rejected():
+    """A corrupt row whose compact-vector header claims size==0 must raise
+    (not SIGSEGV): cols.resize(base+0) then cols[base]=... would write past
+    the vector end (ADVICE r2, native/codecs.cpp mvs_read_matrix_rows)."""
+    from metagenome_vector_sketches_tpu.codecs import native
+    if not native.available():
+        pytest.skip("native codecs unavailable")
+    # 24-byte header: size=0, width=1, num_words=0 — passes every bounds
+    # check except the new size==0 rejection
+    blob = (np.array([0, 1, 0], dtype="<u8")).tobytes()
+    with pytest.raises(ValueError):
+        native.read_matrix_rows(blob, np.array([0], dtype=np.uint64),
+                                np.array([0], dtype=np.uint64))
+
+
+def test_streaming_stale_max_component_raises(tmp_path):
+    """_compute_streaming must trust-but-verify the sidecar max component
+    against the data actually staged, like the device-resident path
+    (ADVICE r2, matrix/compute.py). A stale max_component.txt that survives
+    an mtime tie would otherwise silently wrap the int8 limb decomposition
+    and drop pairs with no error."""
+    from metagenome_vector_sketches_tpu.matrix.compute import (
+        compute_pairwise_shard)
+    rng = np.random.default_rng(7)
+    n, d = 24, 64
+    V = rng.integers(-3000, 3001, size=(n, d)).astype(np.int32)
+    db = DbFolder.write(str(tmp_path / "db"), [f"S{i}" for i in range(n)],
+                        V, d)
+    # fake a stale sidecar claiming a much smaller max (mtime kept >= bin's
+    # so DbFolder.max_component trusts it)
+    mc = os.path.join(db.path, "max_component.txt")
+    with open(mc, "w") as f:
+        f.write("5\n")
+    vb = os.path.join(db.path, "vectors.bin")
+    os.utime(mc, (os.path.getmtime(vb) + 5, os.path.getmtime(vb) + 5))
+    with pytest.raises(ValueError, match="stale"):
+        # tiny budget forces the streaming path
+        compute_pairwise_shard(db.path, str(tmp_path / "m"), tile_rows=8,
+                               device_budget_bytes=0, verbose=False)
+
+
+def test_device_resident_stale_max_component_raises(tmp_path):
+    """Same guard on the device-resident path (regression pin for the
+    round-2 check at matrix/compute._stage_database)."""
+    from metagenome_vector_sketches_tpu.matrix.compute import (
+        compute_pairwise_shard, clear_device_cache)
+    rng = np.random.default_rng(8)
+    n, d = 16, 32
+    V = rng.integers(-3000, 3001, size=(n, d)).astype(np.int32)
+    db = DbFolder.write(str(tmp_path / "db"), [f"S{i}" for i in range(n)],
+                        V, d)
+    mc = os.path.join(db.path, "max_component.txt")
+    with open(mc, "w") as f:
+        f.write("5\n")
+    vb = os.path.join(db.path, "vectors.bin")
+    os.utime(mc, (os.path.getmtime(vb) + 5, os.path.getmtime(vb) + 5))
+    clear_device_cache()
+    with pytest.raises(ValueError, match="stale"):
+        compute_pairwise_shard(db.path, str(tmp_path / "m"), tile_rows=8,
+                               verbose=False)
