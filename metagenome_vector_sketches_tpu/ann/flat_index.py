@@ -7,9 +7,12 @@ accuracy) fused with jax.lax.top_k, streaming over database chunks with an
 on-device running top-k merge so arbitrarily large databases never leave HBM
 limits.
 
-Index file: ``faiss.index`` inside the db folder (same filename as the
-reference's artifact contract, our own format):
-  magic "MVSFLATIP\\0" | u32 version | u64 n | u64 d | float32 data[n*d]
+Index file: ``faiss.index`` inside the db folder, written in the GENUINE
+FAISS IndexFlatIP serialization (ann/faissio.py) so reference-produced db
+folders load here and our index opens under stock ``faiss.read_index``
+(the reference writes/reads it at jaccard.py:59-61, 120-124). The round-2
+private format ("MVSFLATIP\\0" | u32 version | u64 n | u64 d | f32 data)
+is still read for back-compatibility; load() autodetects.
 """
 
 from __future__ import annotations
@@ -151,21 +154,31 @@ class FlatIPIndex:
 
     # -- persistence ---------------------------------------------------------
     def save(self, path: str) -> None:
+        """Write genuine FAISS IndexFlatIP bytes (faiss.read_index-loadable,
+        matching the reference artifact at jaccard.py:59-61)."""
         if self.vectors.shape[0] != self.ntotal:
             raise ValueError("save() requires a host-resident index "
                              "(built from vectors, not device chunks)")
-        with open(path, "wb") as f:
-            f.write(MAGIC)
-            f.write(struct.pack("<I", VERSION))
-            f.write(struct.pack("<QQ", self.ntotal, self.d))
-            self.vectors.tofile(f)
+        from . import faissio
+        faissio.write_flat(path, self.vectors,
+                           metric=faissio.METRIC_INNER_PRODUCT)
 
     @staticmethod
     def load(path: str, chunk_rows: int = 65536) -> "FlatIPIndex":
+        """Load either a genuine FAISS IndexFlat file (the reference's
+        artifact, or our own output) or the round-2 private MVSFLATIP
+        format (back-compat) — autodetected by magic."""
+        from . import faissio
+        with open(path, "rb") as f:
+            head = f.read(len(MAGIC))
+        if faissio.is_faiss_flat(head):
+            data, _metric = faissio.read_flat(path)
+            return FlatIPIndex(data, chunk_rows=chunk_rows)
         with open(path, "rb") as f:
             magic = f.read(len(MAGIC))
             if magic != MAGIC:
-                raise ValueError(f"{path}: not an MVS flat index")
+                raise ValueError(f"{path}: neither a FAISS IndexFlat nor an "
+                                 "MVS flat index")
             (version,) = struct.unpack("<I", f.read(4))
             if version != VERSION:
                 raise ValueError(f"{path}: unsupported index version {version}")

@@ -171,3 +171,92 @@ def test_from_device_chunks_matches_host_index():
     np.testing.assert_allclose(D1, D2, rtol=1e-6)
     with pytest.raises(ValueError):
         dev.save("/tmp/should_not_exist.index")
+
+
+# ---------------------------------------------------------------------------
+# genuine FAISS faiss.index byte-format interop (VERDICT r2 item 4)
+# ---------------------------------------------------------------------------
+
+def _golden_faiss_flat_ip(vectors):
+    """Hand-packed bytes exactly as faiss.write_index emits for an
+    IndexFlatIP (faiss/impl/index_write.cpp; layout independent of our
+    implementation — this is the format spec, not a round-trip)."""
+    import struct
+    n, d = vectors.shape
+    out = b"IxFI"
+    out += struct.pack("<i", d)
+    out += struct.pack("<q", n)
+    out += struct.pack("<qq", 1 << 20, 1 << 20)   # legacy dummies
+    out += struct.pack("<B", 1)                    # is_trained
+    out += struct.pack("<i", 0)                    # METRIC_INNER_PRODUCT
+    out += struct.pack("<Q", n * d)
+    out += np.ascontiguousarray(vectors, dtype="<f4").tobytes()
+    return out
+
+
+def test_faiss_flat_ip_bytes_load_and_search(tmp_path):
+    """Bytes as written by faiss.write_index(IndexFlatIP) must load into
+    FlatIPIndex and search identically to an index built from the same
+    vectors (reference artifact contract, jaccard.py:59-61, 120-124)."""
+    rng = np.random.default_rng(71)
+    V = normalize_l2(rng.normal(size=(37, 16)).astype(np.float32))
+    Q = normalize_l2(rng.normal(size=(5, 16)).astype(np.float32))
+    path = str(tmp_path / "faiss.index")
+    with open(path, "wb") as f:
+        f.write(_golden_faiss_flat_ip(V))
+    idx = FlatIPIndex.load(path)
+    assert (idx.ntotal, idx.d) == (37, 16)
+    Df, If = idx.search(Q, 7)
+    Dr, Ir = FlatIPIndex(V).search(Q, 7)
+    np.testing.assert_array_equal(If, Ir)
+    np.testing.assert_array_equal(Df, Dr)
+
+
+def test_faiss_flat_write_is_byte_identical_to_faiss(tmp_path):
+    """Our save() output must be the exact bytes faiss.write_index would
+    produce — so the index is inspectable with stock FAISS tooling."""
+    rng = np.random.default_rng(72)
+    V = normalize_l2(rng.normal(size=(11, 8)).astype(np.float32))
+    idx = FlatIPIndex(V)
+    path = str(tmp_path / "faiss.index")
+    idx.save(path)
+    assert open(path, "rb").read() == _golden_faiss_flat_ip(V)
+
+
+def test_faiss_flat_l2_and_errors(tmp_path):
+    from metagenome_vector_sketches_tpu.ann import faissio
+    rng = np.random.default_rng(73)
+    V = rng.normal(size=(4, 6)).astype(np.float32)
+    p = str(tmp_path / "l2.index")
+    faissio.write_flat(p, V, metric=faissio.METRIC_L2)
+    got, metric = faissio.read_flat(p)
+    assert metric == faissio.METRIC_L2
+    np.testing.assert_array_equal(got, V)
+    # non-flat FAISS index (e.g. IVF fourcc) -> informative refusal
+    bad = str(tmp_path / "ivf.index")
+    with open(bad, "wb") as f:
+        f.write(b"IwFl" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="IndexFlat"):
+        FlatIPIndex.load(bad)
+    # truncated data -> refusal
+    trunc = str(tmp_path / "trunc.index")
+    with open(trunc, "wb") as f:
+        f.write(_golden_faiss_flat_ip(V)[:-8])
+    with pytest.raises(ValueError, match="truncated"):
+        faissio.read_flat(trunc)
+
+
+def test_mvsflatip_backcompat_load(tmp_path):
+    """Round-2 private-format artifacts must still load (autodetect)."""
+    import struct
+    rng = np.random.default_rng(74)
+    V = normalize_l2(rng.normal(size=(9, 4)).astype(np.float32))
+    path = str(tmp_path / "faiss.index")
+    with open(path, "wb") as f:
+        f.write(b"MVSFLATIP\x00")
+        f.write(struct.pack("<I", 1))
+        f.write(struct.pack("<QQ", 9, 4))
+        V.tofile(f)
+    idx = FlatIPIndex.load(path)
+    assert (idx.ntotal, idx.d) == (9, 4)
+    np.testing.assert_array_equal(idx.vectors, V)
