@@ -120,7 +120,8 @@ def compute_pairwise_shard(db_folder: str, output_folder: str,
                            device_budget_bytes: int = 8 << 30,
                            resume: bool = False,
                            verbose: bool = True,
-                           mesh=None, finalize: str | None = None) -> str:
+                           mesh=None, finalize: str | None = None,
+                           engine: str = "fused") -> str:
     """Compute one shard of the all-vs-all matrix and write its folder.
 
     Returns the shard folder path. tile_rows is the square tile edge of both
@@ -145,6 +146,14 @@ def compute_pairwise_shard(db_folder: str, output_folder: str,
     — measured on v5e, device finalize cut the N=65k shard finalize stage
     from ~35 s (single-vCPU host) to ~0.5 s. The streaming fallback always
     finalizes from the vectors memmap.
+
+    engine: 'fused' (default) runs the device-resident path as ONE
+    single-pass program per tile chunk — sweep, hierarchical compaction,
+    and exact finalize partials fused (ops.pairwise.sweep_extract_fused),
+    chunks pipelined so host finalize overlaps device compute; the
+    finalize flag is then irrelevant (exact dots are combined from
+    in-kernel partials). 'two_phase' keeps the round-2 counts-sweep +
+    extraction + separate-finalize engine.
     """
     if finalize is None:
         import jax
@@ -190,7 +199,7 @@ def compute_pairwise_shard(db_folder: str, output_folder: str,
     if plane_bytes <= device_budget_bytes:
         rows, cols, vals = _compute_device_resident(
             db, norms_sq, total, begin_row, end_row, tile, L, d,
-            exact_filter, verbose, max_abs, ops, finalize)
+            exact_filter, verbose, max_abs, ops, finalize, engine)
     else:
         rows, cols, vals = _compute_streaming(
             db, norms_sq, total, begin_row, end_row, tile_rows, tile_cols,
@@ -274,7 +283,214 @@ def _stage_database(db, norms_sq, total, tile, L, d, max_abs, ops=None):
 
 def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
                              L, d, exact_filter, verbose, max_abs, ops=None,
-                             finalize: str = "host"):
+                             finalize: str = "host", engine: str = "fused"):
+    if engine == "fused" and (tile * tile) % 32 == 0:
+        return _compute_device_resident_fused(
+            db, norms_sq, total, begin_row, end_row, tile, L, d,
+            exact_filter, verbose, max_abs, ops)
+    return _compute_device_resident_two_phase(
+        db, norms_sq, total, begin_row, end_row, tile, L, d, exact_filter,
+        verbose, max_abs, ops, finalize)
+
+
+# fused-engine tuning: per-tile capacity floor (word + candidate). Small
+# keeps every funnel top_k cheap; tiles that overflow are retried at their
+# exact pow2 capacity (the counts are returned by the same program).
+FUSED_CAP_FLOOR = 512
+# fixed tile-batch size (one compiled program shape); bounded by the int32
+# packed-index limit _max_tiles_per_batch
+FUSED_CHUNK_TILES = 512
+
+
+def _compute_device_resident_fused(db, norms_sq, total, begin_row, end_row,
+                                   tile, L, d, exact_filter, verbose,
+                                   max_abs, ops=None):
+    """The round-3 single-pass engine: ONE device program per tile chunk
+    does sweep + hierarchical compaction + exact finalize partials
+    (ops.pairwise.sweep_extract_fused); the host only combines partials
+    into exact int64 dots (O(K) work) and applies the reference retention.
+    Chunks are pipelined — chunk i+1 is dispatched before chunk i's
+    results are read, so host finalize overlaps device compute (and on
+    tunneled devices the ~28 ms/dispatch round trips overlap too).
+
+    vs the round-2 two-phase engine this removes: the separate counts
+    sweep (a full extra pass of plane matmuls over hot tiles), the
+    per-chunk exact-dot gather program (a third pass over the planes),
+    and their dispatch round trips."""
+    ts = time.perf_counter()
+    V, planes, thr_j = _stage_database(db, norms_sq, total, tile, L, d,
+                                       max_abs, ops)
+    jax_block = getattr(planes, "block_until_ready", None)
+    if jax_block:
+        jax_block()
+    _acc("stage_ms", ts)
+    if LAST_STAGES:
+        LAST_STAGES["mode"] = "fused"
+
+    npad = ((total + tile - 1) // tile) * tile
+    nt = npad // tile
+    rt0, rt1 = begin_row // tile, (end_row - 1) // tile + 1
+    coords = np.array([(r, c) for r in range(rt0, rt1) for c in range(nt)],
+                      dtype=np.int32)
+    row_base = coords[:, 0].astype(np.int64) * tile
+    col_base = coords[:, 1].astype(np.int64) * tile
+
+    parts, finalize_globals, finalize_dots = _make_finalizer(
+        V, norms_sq, begin_row, end_row, total, d, exact_filter, max_abs,
+        device_ctx=(planes, L))
+
+    cap = min(FUSED_CAP_FLOOR, tile * tile)
+    retries = _run_fused_extraction(planes, thr_j, tile, L, coords,
+                                    row_base, col_base, cap, cap,
+                                    finalize_dots, ops)
+
+    # overflow tiles: retry at exact pow2 capacities; ultra-dense tiles
+    # (count > tile^2/32) route to the bitmap path (the payload per
+    # candidate would dwarf a density-independent bitmap there)
+    if retries:
+        dense_cut = (tile * tile) // 32
+        bitmap_ks = [t for t, cc, wc in retries if cc > dense_cut]
+        buckets: dict = {}
+        for t, cc, wc in retries:
+            if cc <= dense_cut:
+                key = (_next_pow2(max(int(wc), 1)), _next_pow2(int(cc)))
+                buckets.setdefault(key, []).append(t)
+        for (cw, ccap), ks in buckets.items():
+            ks = np.asarray(ks)
+            again = _run_fused_extraction(
+                planes, thr_j, tile, L, coords[ks], row_base[ks],
+                col_base[ks], min(cw, (tile * tile) // 32),
+                min(ccap, tile * tile), finalize_dots, ops)
+            assert not again, "fused retry at exact capacity overflowed"
+        if bitmap_ks:
+            ks = np.asarray(bitmap_ks)
+            counts = np.asarray([cc for t, cc, wc in retries
+                                 if cc > dense_cut])
+            _extract_tiles(planes, thr_j, tile, coords[ks], counts,
+                           row_base[ks], col_base[ks], finalize_globals,
+                           ops)
+    return _concat(parts)
+
+
+def _run_fused_extraction(planes, thr_j, tile, L, coords, row_base,
+                          col_base, cap_w, cap_c, finalize_dots, ops=None):
+    """Chunked, pipelined fused extraction over a tile coordinate list.
+
+    Dispatches chunk i+1's device programs before reading chunk i's
+    results (JAX async dispatch keeps the device busy while the host
+    combines/filters). Returns [(tile_idx, cand_count, word_count)] for
+    tiles that overflowed (cap_w/cap_c) and must be retried."""
+    T = len(coords)
+    if T == 0:
+        return []
+    scale = ops.max_tiles_scale() if ops is not None else 1
+    K = min(FUSED_CHUNK_TILES, _max_tiles_per_batch(tile),
+            max(64, _next_pow2(T))) * scale
+    PL = pw.num_planes(L)
+    # bound the (K, cap_c, PL+1) int32 chunk buffers to ~512 MB per device
+    K = max(scale, min(K, (((512 << 20) // ((PL + 1) * 4 * cap_c))
+                           // scale) * scale))
+
+    # out_cap estimate: running mean density with 2x headroom (the light
+    # compact program is re-dispatched at the exact size on shortfall —
+    # the heavy program's buffers stay resident)
+    seen_tiles = 0
+    seen_cands = 0
+
+    def estimate():
+        if seen_tiles == 0:
+            per_tile = max(cap_c // 8, 16)
+        else:
+            per_tile = 2 * seen_cands / seen_tiles + 64
+        per_dev = int(min(cap_c * (K // scale),
+                          max(16384, per_tile * (K // scale))))
+        return ((per_dev + 16383) // 16384) * 16384
+
+    def dispatch(s):
+        e = min(s + K, T)
+        bcoords = np.zeros((K, 3), dtype=np.int32)
+        bcoords[:e - s, :2] = coords[s:e]
+        bcoords[:e - s, 2] = 1
+        out_cap = estimate()
+        if ops is not None:
+            cand_idx, partials, cand_counts, word_counts, k_pad = \
+                ops.sweep_extract_fused(planes, thr_j, bcoords, tile, L,
+                                        cap_w, cap_c)
+            packed, parts = ops.compact_cands(cand_idx, partials, tile, L,
+                                              out_cap, k_pad)
+        else:
+            cand_idx, partials, cand_counts, word_counts = \
+                pw.sweep_extract_fused(planes, thr_j, jnp.asarray(bcoords),
+                                       tile, L, cap_w, cap_c)
+            k_pad = K
+            packed, parts = pw.compact_cands(cand_idx, partials, tile,
+                                             out_cap)
+        return (s, e, out_cap, cand_idx, partials, packed, parts,
+                cand_counts, word_counts, k_pad)
+
+    retries = []
+
+    def collect(job):
+        nonlocal seen_tiles, seen_cands
+        (s, e, out_cap, cand_idx, partials, packed, parts_dev,
+         cand_counts, word_counts, k_pad) = job
+        t0 = time.perf_counter()
+        cand_counts = np.asarray(cand_counts)[:e - s]
+        word_counts = np.asarray(word_counts)[:e - s]
+        seen_tiles += e - s
+        seen_cands += int(cand_counts.sum())
+        over = (cand_counts > cap_c) | (word_counts > cap_w)
+        retries.extend((s + t, int(cand_counts[t]), int(word_counts[t]))
+                       for t in np.flatnonzero(over))
+        kept = np.minimum(cand_counts, cap_c)
+        kept[over] = 0
+        if ops is not None:
+            padded = np.zeros(k_pad, dtype=np.int64)
+            padded[:e - s] = kept
+            needed = ops.block_total_max(padded)
+        else:
+            needed = int(kept.sum())
+        if needed > out_cap:
+            # shortfall: re-run ONLY the light compaction over the still-
+            # resident heavy buffers at the exact (quantized) size
+            out_cap = ((needed + 16383) // 16384) * 16384
+            if ops is not None:
+                packed, parts_dev = ops.compact_cands(
+                    cand_idx, partials, tile, L, out_cap, k_pad)
+            else:
+                packed, parts_dev = pw.compact_cands(cand_idx, partials,
+                                                     tile, out_cap)
+        packed = np.asarray(packed)
+        parts_h = np.asarray(parts_dev)
+        _acc("extract_ms", t0)
+        valid = packed >= 0
+        pk = packed[valid].astype(np.int64)
+        t_of = pk // (tile * tile)
+        local = pk % (tile * tile)
+        parts_h = parts_h[valid]
+        if over.any():
+            keep = ~over[t_of]
+            t_of, local, parts_h = t_of[keep], local[keep], parts_h[keep]
+        dots = pw.combine_plane_partials(parts_h.T, L)
+        finalize_dots(row_base[s + t_of] + local // tile,
+                      col_base[s + t_of] + local % tile, dots)
+
+    pending = None
+    for s in range(0, T, K):
+        t0 = time.perf_counter()
+        job = dispatch(s)
+        _acc("extract_ms", t0)
+        if pending is not None:
+            collect(pending)
+        pending = job
+    collect(pending)
+    return retries
+
+
+def _compute_device_resident_two_phase(db, norms_sq, total, begin_row,
+                                       end_row, tile, L, d, exact_filter,
+                                       verbose, max_abs, ops=None,
+                                       finalize: str = "host"):
     npad = ((total + tile - 1) // tile) * tile
     # V stays host-resident: exact candidate dots are recomputed here with
     # float64 BLAS (pw.exact_dots_host) so only 4 bytes/candidate cross D2H
@@ -324,7 +540,7 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
             f"{int(counts.sum())} candidates")
 
     device_ctx = (planes, L) if finalize == "device" else None
-    parts, finalize_globals = _make_finalizer(
+    parts, finalize_globals, _ = _make_finalizer(
         V, norms_sq, begin_row, end_row, total, d, exact_filter, max_abs,
         device_ctx)
     row_base = coords[:, 0].astype(np.int64) * tile
@@ -341,39 +557,55 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
 
 def _make_finalizer(V, norms_sq, begin_row, end_row, total, d, exact_filter,
                     max_abs, device_ctx=None):
-    """-> (parts list, finalize(r_glob, c_glob)): exact finalization of
-    candidate coordinate arrays — recompute dots, apply the reference
-    retention semantics, append surviving (rows, cols, dots) to parts.
-
-    Dots come from the host-resident (or memory-mapped) vectors in float64
-    BLAS by default; with device_ctx=(planes, L) they are recomputed ON
-    DEVICE from the resident int8 limbs (exact int32 partials, O(K) host
-    combine) — finalize='device', for hosts that are slow relative to the
-    device link."""
+    """-> (parts list, finalize_globals(r, c), finalize_dots(r, c, dots)):
+    exact finalization of candidate coordinate arrays — apply the
+    reference retention semantics, append surviving (rows, cols, dots) to
+    parts. finalize_globals recomputes the exact dots first (float64 host
+    BLAS from the resident/memory-mapped vectors, or ON DEVICE from the
+    resident int8 limbs with device_ctx=(planes, L)); finalize_dots takes
+    already-exact int64 dots (the fused engine computes them in-kernel)."""
     parts: list = []
 
-    def finalize_globals(r_glob, c_glob):
+    def finalize_dots(r_glob, c_glob, dots):
         t0 = time.perf_counter()
         if LAST_STAGES:
             LAST_STAGES["candidates"] += len(r_glob)
         keep_range = ((r_glob >= begin_row) & (r_glob < end_row)
                       & (c_glob < total))
-        r_glob, c_glob = r_glob[keep_range], c_glob[keep_range]
+        if not keep_range.all():
+            r_glob, c_glob = r_glob[keep_range], c_glob[keep_range]
+            dots = dots[keep_range]
         if len(r_glob) == 0:
             _acc("finalize_ms", t0)
             return
-        if device_ctx is not None:
-            planes_dev, L_dev = device_ctx
-            dots = pw.exact_dots_device(planes_dev, L_dev, r_glob, c_glob)
-        else:
-            dots = pw.exact_dots_host(V, r_glob, c_glob, max_abs)
         thr_exact = 0.05 * (norms_sq[r_glob] + norms_sq[c_glob])
         keep = exact_filter(dots, thr_exact, d)
         if keep.any():
             parts.append((r_glob[keep], c_glob[keep], dots[keep]))
         _acc("finalize_ms", t0)
 
-    return parts, finalize_globals
+    def finalize_globals(r_glob, c_glob):
+        t0 = time.perf_counter()
+        keep_range = ((r_glob >= begin_row) & (r_glob < end_row)
+                      & (c_glob < total))
+        kept_r, kept_c = r_glob[keep_range], c_glob[keep_range]
+        if len(kept_r) == 0:
+            if LAST_STAGES:
+                LAST_STAGES["candidates"] += len(r_glob)
+            _acc("finalize_ms", t0)
+            return
+        if device_ctx is not None:
+            planes_dev, L_dev = device_ctx
+            dots = pw.exact_dots_device(planes_dev, L_dev, kept_r, kept_c)
+        else:
+            dots = pw.exact_dots_host(V, kept_r, kept_c, max_abs)
+        _acc("finalize_ms", t0)
+        # range filter already applied; count the dropped ones here
+        if LAST_STAGES:
+            LAST_STAGES["candidates"] += int(len(r_glob) - len(kept_r))
+        finalize_dots(kept_r, kept_c, dots)
+
+    return parts, finalize_globals, finalize_dots
 
 
 def _extract_tiles(planes, thr_j, tile, coords, counts, row_base, col_base,
@@ -564,7 +796,7 @@ def _compute_streaming(db, norms_sq, total, begin_row, end_row, tile_rows,
     # about a third of the budget
     window_tiles = max(1, int(max(budget // 3, 2 * bytes_per_tile)
                               // bytes_per_tile) - 1)
-    parts, finalize_globals = _make_finalizer(
+    parts, finalize_globals, _ = _make_finalizer(
         Vmm, norms_sq, begin_row, end_row, total, d, exact_filter, max_abs)
 
     def stage(start, end, n_rows):

@@ -468,6 +468,210 @@ def sweep_compact_words(planes, thr, coords, tile: int, cap_words: int,
     return packed, vals, cand_counts, word_counts
 
 
+def _pack_words_fns(tile: int):
+    """Mask (tile, tile) bool -> (tile*tile//32,) uint32 packer. MXU path
+    when tile % 32 == 0 (two exact f32 matmuls; each word column sums
+    <= 16 bits < 2^16), VPU shift-sum otherwise."""
+    if tile % 32 == 0:
+        wpt_row = tile // 32
+        m_lo = np.zeros((tile, wpt_row), dtype=np.float32)
+        m_hi = np.zeros((tile, wpt_row), dtype=np.float32)
+        for cc in range(tile):
+            if cc % 32 < 16:
+                m_lo[cc, cc // 32] = float(1 << (cc % 32))
+            else:
+                m_hi[cc, cc // 32] = float(1 << (cc % 32 - 16))
+        m_lo = jnp.asarray(m_lo)
+        m_hi = jnp.asarray(m_hi)
+
+        def pack(passes):
+            pf = passes.astype(jnp.float32)
+            lo = jax.lax.dot_general(pf, m_lo, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            hi = jax.lax.dot_general(pf, m_hi, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            return ((hi.astype(jnp.uint32) << 16)
+                    | lo.astype(jnp.uint32)).reshape(-1)
+        return pack
+
+    lane = jnp.arange(32, dtype=jnp.uint32)
+
+    def pack(passes):
+        grouped = passes.reshape(-1, 32).astype(jnp.uint32)
+        return jnp.sum(grouped << lane, axis=1).astype(jnp.uint32)
+    return pack
+
+
+def _first_k_nonzero(mask_i32, k: int):
+    """Indices of the FIRST k true entries of a 1-D int32 0/1 mask, in
+    ascending order (-1 padding), via top_k over descending index scores
+    (2.75x faster than jnp.nonzero(size=...) on v5e). Returns (idx (k,)
+    int32, valid (k,) bool)."""
+    n = mask_i32.shape[0]
+    scores = jnp.where(mask_i32 > 0,
+                       jnp.int32(n) - jnp.arange(n, dtype=jnp.int32),
+                       jnp.int32(0))
+    k_eff = min(k, n)
+    s, idx = jax.lax.top_k(scores, k_eff)
+    valid = s > 0
+    idx = jnp.where(valid, idx.astype(jnp.int32), -1)
+    if k_eff < k:
+        idx = jnp.pad(idx, (0, k - k_eff), constant_values=-1)
+        valid = jnp.pad(valid, (0, k - k_eff))
+    return idx, valid
+
+
+# direct word-level top_k is cheap enough below this word count; above it
+# the superword funnel (select 32-word groups first) keeps every top_k at
+# <= max(wpt/32, 32*cap) elements instead of wpt (131072 at tile=2048)
+_SUPERWORD_MIN_WPT = 8192
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "L", "cap_w", "cap_c"))
+def sweep_extract_fused(planes, thr, coords, tile: int, L: int,
+                        cap_w: int, cap_c: int):
+    """SINGLE-PASS sweep + extraction + exact finalize partials (the
+    round-3 engine): one scan over tile coordinates that fuses
+
+      1. the L(L+1)/2 int8 plane matmuls + float32 threshold (the sweep),
+      2. hierarchical survivor compaction — mask bits packed to uint32
+         words on the MXU, then superword -> word -> slot selection where
+         every top_k runs over at most max(wpt/32, 32*cap) elements (the
+         round-2 extraction cost was ONE top_k over all wpt words/tile),
+      3. exact per-candidate limb-pair dot partials, recomputed in-kernel
+         from the ALREADY-SLICED tile operands (the round-2 engine paid a
+         third pass over the planes + an extra dispatch per chunk for
+         this — ops.pairwise.exact_dots_device gathers over all N rows).
+
+    The host turns partials into exact int64 dots with an O(L^2) weighted
+    combine (:func:`combine_plane_partials`) — it never touches vectors.
+
+    Replaces (for the device-resident engine) the reference's chunked
+    compute + threshold loop, pairwise_comp_optimized.cpp:949-990.
+
+    Args:
+      planes: (P, Npad, d) int8 Karatsuba planes; first L are the limbs.
+      thr: (Npad,) float32 squared-norm thresholds (+inf padding rows).
+      coords: (K, 3) int32 (row_tile, col_tile, valid).
+      cap_w: static per-tile nonzero-WORD capacity.
+      cap_c: static per-tile candidate capacity.
+
+    Returns per tile (scan-stacked):
+      cand_idx (K, cap_c) int32 — in-tile flat indices i*tile+j, ascending,
+        -1 padding; TRUNCATED to the first cap_c when the tile overflows
+        (the counts say so; the engine retries those tiles at exact caps).
+      partials (K, cap_c, L(L+1)/2) int32 — exact limb-pair partials
+        (diagonal terms first, then symmetrized cross terms, the
+        :func:`combine_plane_partials` order).
+      cand_counts (K,) int32 — TRUE survivor count (authoritative).
+      word_counts (K,) int32 — TRUE nonzero-word count.
+    """
+    P, npad, d = planes.shape
+    PL = num_planes(L)
+    wpt = (tile * tile) // 32
+    assert (tile * tile) % 32 == 0
+    pack = _pack_words_fns(tile)
+    lane32 = jnp.arange(32, dtype=jnp.int32)
+    use_funnel = wpt > _SUPERWORD_MIN_WPT and wpt % 32 == 0
+
+    def one(carry, rc):
+        r, c, valid = rc[0], rc[1], rc[2]
+        vi = jax.lax.dynamic_slice(planes, (0, r * tile, 0), (P, tile, d))
+        vj = jax.lax.dynamic_slice(planes, (0, c * tile, 0), (P, tile, d))
+        thr_i = jax.lax.dynamic_slice(thr, (r * tile,), (tile,))
+        thr_j = jax.lax.dynamic_slice(thr, (c * tile,), (tile,))
+        approx = approx_dot_f32(vi, vj)
+        passes = (approx / np.float32(d) >
+                  0.05 * (thr_i[:, None] + thr_j[None, :]) * SLACK_REL
+                  - SLACK_ABS) & (valid > 0)
+        words = pack(passes)                               # (wpt,) uint32
+        nzw = (words != jnp.uint32(0)).astype(jnp.int32)
+        word_count = jnp.sum(nzw)
+        cand_count = jnp.sum(passes.astype(jnp.int32))
+
+        if use_funnel:
+            # level 1: first cap_w nonzero superwords (32-word groups).
+            # #nonzero superwords <= #nonzero words, so cap_w superwords
+            # always cover the first cap_w nonzero words.
+            sw_nz = jnp.max(nzw.reshape(-1, 32), axis=1)   # (wpt/32,)
+            sw_idx, sw_valid = _first_k_nonzero(sw_nz, cap_w)
+            # level 2: gather each selected superword's 32 words, then
+            # select the first cap_w nonzero words among them
+            grid_widx = jnp.maximum(sw_idx, 0)[:, None] * 32 + lane32[None, :]
+            grid_w = words[grid_widx.reshape(-1)]          # (cap_w*32,)
+            grid_w = jnp.where(jnp.repeat(sw_valid, 32), grid_w,
+                               jnp.uint32(0))
+            pos, w_valid = _first_k_nonzero(
+                (grid_w != jnp.uint32(0)).astype(jnp.int32), cap_w)
+            widx = jnp.where(w_valid, grid_widx.reshape(-1)[
+                jnp.maximum(pos, 0)], -1)
+            wvals = jnp.where(w_valid, grid_w[jnp.maximum(pos, 0)],
+                              jnp.uint32(0))
+        else:
+            widx, w_valid = _first_k_nonzero(nzw, cap_w)
+            wvals = jnp.where(w_valid, words[jnp.maximum(widx, 0)],
+                              jnp.uint32(0))
+
+        # level 3: expand selected words into slots, select first cap_c
+        # surviving slots (ascending because widx is ascending)
+        slot_bits = ((wvals[:, None] >> lane32[None, :].astype(jnp.uint32))
+                     & jnp.uint32(1)).astype(jnp.int32)    # (cap_w, 32)
+        slot_flat = jnp.maximum(widx, 0)[:, None] * 32 + lane32[None, :]
+        sel, c_valid = _first_k_nonzero(slot_bits.reshape(-1), cap_c)
+        cand = jnp.where(c_valid, slot_flat.reshape(-1)[
+            jnp.maximum(sel, 0)], -1)                      # (cap_c,)
+
+        # exact limb-pair partials for the selected candidates, from the
+        # tile operands already in registers (first L planes = the limbs)
+        ii = jnp.maximum(cand, 0) // tile
+        jj = jnp.maximum(cand, 0) % tile
+        x = jnp.transpose(vi[:L, ii, :], (1, 0, 2))        # (cap_c, L, d)
+        y = jnp.transpose(vj[:L, jj, :], (1, 0, 2))
+        D = jax.lax.dot_general(
+            x, y, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)              # (cap_c, L, L)
+        cols = [D[:, a, a] for a in range(L)]
+        cols += [D[:, a, b] + D[:, b, a] for a in range(L)
+                 for b in range(a + 1, L)]
+        partials = jnp.stack(cols, axis=1)                 # (cap_c, PL)
+        partials = jnp.where(c_valid[:, None], partials, 0)
+        return carry, (cand, partials, cand_count, word_count)
+
+    _, (cand_idx, partials, cand_counts, word_counts) = \
+        jax.lax.scan(one, None, coords)
+    return cand_idx, partials, cand_counts, word_counts
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "out_cap"))
+def compact_cands(cand_idx, partials, tile: int, out_cap: int):
+    """(K, cap_c) per-tile candidate indices + (K, cap_c, PL) partials ->
+    ONE flat exactly-sized (packed, partials) pair: packed = t*tile^2 +
+    in-tile idx (int32, -1 tail padding), row-major per tile."""
+    K, cap_c = cand_idx.shape
+    PL = partials.shape[2]
+    assert K * tile * tile <= 2**31 - 1, "packed index would overflow int32"
+    t_ids = jnp.arange(K, dtype=jnp.int32)[:, None]
+    packed = jnp.where(cand_idx >= 0, t_ids * (tile * tile) + cand_idx,
+                       -1).reshape(-1)
+    pos, valid = _first_k_nonzero((packed >= 0).astype(jnp.int32), out_cap)
+    safe = jnp.maximum(pos, 0)
+    out_packed = jnp.where(valid, packed[safe], -1)
+    out_parts = jnp.where(valid[:, None],
+                          partials.reshape(K * cap_c, PL)[safe], 0)
+    return out_packed, out_parts
+
+
+def sweep_extract_compact(planes, thr, coords, tile: int, L: int,
+                          cap_w: int, cap_c: int, out_cap: int):
+    """sweep_extract_fused + compact_cands: all K tiles' candidates leave
+    the device as one exactly-sized (packed int32, partials int32) pair
+    plus the authoritative per-tile counts."""
+    cand_idx, partials, cand_counts, word_counts = sweep_extract_fused(
+        planes, thr, coords, tile, L, cap_w, cap_c)
+    packed, parts = compact_cands(cand_idx, partials, tile, out_cap)
+    return packed, parts, cand_counts, word_counts
+
+
 @functools.partial(jax.jit, static_argnames=("L",))
 def plane_partial_dots(planes, r_idx, c_idx, L: int):
     """Exact per-candidate limb-pair dot partials, on device.

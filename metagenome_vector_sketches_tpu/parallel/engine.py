@@ -78,6 +78,30 @@ def _compact_words_fn(mesh, tile: int, cap_words: int, out_cap: int):
                                         P(DATA_AXIS), P(DATA_AXIS))))
 
 
+@functools.lru_cache(maxsize=None)
+def _extract_fused_heavy_fn(mesh, tile: int, L: int, cap_w: int,
+                            cap_c: int):
+    def local(planes, thr, coords):
+        return pw.sweep_extract_fused.__wrapped__(planes, thr, coords,
+                                                  tile, L, cap_w, cap_c)
+
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=(P(), P(), P(DATA_AXIS, None)),
+                             out_specs=(P(DATA_AXIS), P(DATA_AXIS),
+                                        P(DATA_AXIS), P(DATA_AXIS))))
+
+
+@functools.lru_cache(maxsize=None)
+def _compact_cands_fn(mesh, tile: int, out_cap: int):
+    def local(cand_idx, partials):
+        return pw.compact_cands.__wrapped__(cand_idx, partials, tile,
+                                            out_cap)
+
+    return jax.jit(shard_map(local, mesh=mesh,
+                             in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                             out_specs=(P(DATA_AXIS), P(DATA_AXIS))))
+
+
 class MeshSweepOps:
     """Mesh-parallel drop-in for the engine's device calls.
 
@@ -156,6 +180,37 @@ class MeshSweepOps:
         packed = np.where(packed >= 0, packed + offs, -1).reshape(-1)
         return (packed, np.asarray(vals).reshape(-1),
                 np.asarray(cand_counts)[:k], np.asarray(word_counts)[:k])
+
+    def sweep_extract_fused(self, planes, thr, bcoords, tile: int,
+                            L: int, cap_w: int, cap_c: int):
+        """Mesh version of the round-3 FUSED single-pass heavy program:
+        tile coordinates sharded; returns DEVICE-RESIDENT (cand_idx,
+        partials) (for compact_cands) plus counts and the padded tile
+        count (counts still device-resident — the caller reads them
+        when it needs them)."""
+        cp, k = self._pad(bcoords)
+        cand_idx, partials, cand_counts, word_counts = \
+            _extract_fused_heavy_fn(self.mesh, tile, L, cap_w, cap_c)(
+                planes, thr, jnp.asarray(cp))
+        return cand_idx, partials, cand_counts, word_counts, k
+
+    def compact_cands(self, cand_idx, partials, tile: int, L: int,
+                      out_cap: int, k_pad: int):
+        """Light compaction of resident fused buffers -> HOST arrays in
+        the GLOBAL single-device layout (packed int64 = t*tile^2+local,
+        -1 padding; partials (n_devices*out_cap, PL)). out_cap bounds
+        each DEVICE's compacted output."""
+        packed, parts = _compact_cands_fn(self.mesh, tile, out_cap)(
+            cand_idx, partials)
+        k_loc = k_pad // self.n_devices
+        packed = np.asarray(packed).astype(np.int64) \
+            .reshape(self.n_devices, out_cap)
+        offs = (np.arange(self.n_devices, dtype=np.int64)
+                * (k_loc * tile * tile))[:, None]
+        packed = np.where(packed >= 0, packed + offs, -1).reshape(-1)
+        PL = pw.num_planes(L)
+        parts = np.asarray(parts).reshape(self.n_devices * out_cap, PL)
+        return packed, parts
 
     def block_total_max(self, per_tile_counts) -> int:
         """Max over devices of the summed counts in that device's
