@@ -203,7 +203,7 @@ def compute_pairwise_shard(db_folder: str, output_folder: str,
     else:
         rows, cols, vals = _compute_streaming(
             db, norms_sq, total, begin_row, end_row, tile_rows, tile_cols,
-            L, d, exact_filter, device_budget_bytes, max_abs, ops)
+            L, d, exact_filter, device_budget_bytes, max_abs, ops, engine)
 
     if verbose:
         dt = (time.perf_counter() - t0) * 1000
@@ -339,47 +339,94 @@ def _compute_device_resident_fused(db, norms_sq, total, begin_row, end_row,
         V, norms_sq, begin_row, end_row, total, d, exact_filter, max_abs,
         device_ctx=(planes, L))
 
-    cap = min(FUSED_CAP_FLOOR, tile * tile)
-    retries = _run_fused_extraction(planes, thr_j, tile, L, coords,
-                                    row_base, col_base, cap, cap,
-                                    finalize_dots, ops)
-
-    # overflow tiles: retry at exact pow2 capacities; ultra-dense tiles
-    # (count > tile^2/32) route to the bitmap path (the payload per
-    # candidate would dwarf a density-independent bitmap there)
-    if retries:
-        dense_cut = (tile * tile) // 32
-        bitmap_ks = [t for t, cc, wc in retries if cc > dense_cut]
-        buckets: dict = {}
-        for t, cc, wc in retries:
-            if cc <= dense_cut:
-                key = (_next_pow2(max(int(wc), 1)), _next_pow2(int(cc)))
-                buckets.setdefault(key, []).append(t)
-        for (cw, ccap), ks in buckets.items():
-            ks = np.asarray(ks)
-            again = _run_fused_extraction(
-                planes, thr_j, tile, L, coords[ks], row_base[ks],
-                col_base[ks], min(cw, (tile * tile) // 32),
-                min(ccap, tile * tile), finalize_dots, ops)
-            assert not again, "fused retry at exact capacity overflowed"
-        if bitmap_ks:
-            ks = np.asarray(bitmap_ks)
-            counts = np.asarray([cc for t, cc, wc in retries
-                                 if cc > dense_cut])
-            _extract_tiles(planes, thr_j, tile, coords[ks], counts,
-                           row_base[ks], col_base[ks], finalize_globals,
-                           ops)
+    _fused_extract_with_retries(planes, thr_j, tile, L, coords, row_base,
+                                col_base, finalize_dots, finalize_globals,
+                                ops)
     return _concat(parts)
 
 
+def _fused_extract_with_retries(planes, thr, tile, L, coords, row_base,
+                                col_base, finalize_dots, finalize_globals,
+                                ops=None, col_planes=None, col_thr=None):
+    """Fused extraction at the floor capacity, then: overflow tiles retry
+    at exact pow2 capacities; ultra-dense tiles (count > tile^2/32) route
+    to the density-independent bitmap path (the per-candidate payload
+    would dwarf a bitmap there), finalized via finalize_globals."""
+    cap = min(FUSED_CAP_FLOOR, tile * tile)
+    retries = _run_fused_extraction(planes, thr, tile, L, coords,
+                                    row_base, col_base, cap, cap,
+                                    finalize_dots, ops, col_planes,
+                                    col_thr)
+    if not retries:
+        return
+    dense_cut = (tile * tile) // 32
+    bitmap_ks = [t for t, cc, wc in retries if cc > dense_cut]
+    buckets: dict = {}
+    for t, cc, wc in retries:
+        if cc <= dense_cut:
+            key = (_next_pow2(max(int(wc), 1)), _next_pow2(int(cc)))
+            buckets.setdefault(key, []).append(t)
+    for (cw, ccap), ks in buckets.items():
+        ks = np.asarray(ks)
+        again = _run_fused_extraction(
+            planes, thr, tile, L, coords[ks], row_base[ks],
+            col_base[ks], min(cw, (tile * tile) // 32),
+            min(ccap, tile * tile), finalize_dots, ops, col_planes,
+            col_thr)
+        assert not again, "fused retry at exact capacity overflowed"
+    if bitmap_ks:
+        ks = np.asarray(bitmap_ks)
+        _dense_bitmap_extract(planes, thr, tile, coords[ks], row_base[ks],
+                              col_base[ks], finalize_globals, ops,
+                              col_planes, col_thr)
+
+
+def _dense_bitmap_extract(planes, thr, tile, coords, row_base, col_base,
+                          finalize_globals, ops=None, col_planes=None,
+                          col_thr=None):
+    """Bitmap extraction for ultra-dense tiles (tile^2/8 bytes D2H per
+    tile regardless of density); exact dots recomputed by
+    finalize_globals. Supports the rectangular (streaming) operand form."""
+    scale = ops.max_tiles_scale() if ops is not None else 1
+    DENSE_CHUNK = 64 * scale
+    for s in range(0, len(coords), DENSE_CHUNK):
+        chunk = coords[s:s + DENSE_CHUNK]
+        kc = len(chunk)
+        K_pad = _next_pow2(kc)
+        bcoords = np.zeros((K_pad, 3), dtype=np.int32)
+        bcoords[:kc, :2] = chunk[:, :2]
+        bcoords[:kc, 2] = 1
+        if ops is not None:
+            words = ops.sweep_mask_bits(planes, thr, bcoords, tile,
+                                        col_planes, col_thr)
+        else:
+            pj = planes if col_planes is None else col_planes
+            tj = thr if col_thr is None else col_thr
+            words = np.asarray(pw.sweep_mask_bits_ij(
+                planes, thr, pj, tj, jnp.asarray(bcoords), tile))
+        sub = max(1, (256 << 20) // (tile * tile))
+        for u in range(0, kc, sub):
+            ue = min(u + sub, kc)
+            bits = np.unpackbits(
+                words[u:ue].view(np.uint8).reshape(ue - u, -1),
+                axis=1, bitorder="little")
+            t_of, local = np.nonzero(bits)
+            finalize_globals(row_base[s + u + t_of] + local // tile,
+                             col_base[s + u + t_of] + local % tile)
+
+
 def _run_fused_extraction(planes, thr_j, tile, L, coords, row_base,
-                          col_base, cap_w, cap_c, finalize_dots, ops=None):
+                          col_base, cap_w, cap_c, finalize_dots, ops=None,
+                          col_planes=None, col_thr=None):
     """Chunked, pipelined fused extraction over a tile coordinate list.
 
     Dispatches chunk i+1's device programs before reading chunk i's
     results (JAX async dispatch keeps the device busy while the host
-    combines/filters). Returns [(tile_idx, cand_count, word_count)] for
-    tiles that overflowed (cap_w/cap_c) and must be retried."""
+    combines/filters). With col_planes/col_thr the tile space is
+    RECTANGULAR: row tiles slice (planes, thr_j), column tiles the col
+    operands (the streaming engine's shape). Returns
+    [(tile_idx, cand_count, word_count)] for tiles that overflowed
+    (cap_w/cap_c) and must be retried."""
     T = len(coords)
     if T == 0:
         return []
@@ -415,13 +462,16 @@ def _run_fused_extraction(planes, thr_j, tile, L, coords, row_base,
         if ops is not None:
             cand_idx, partials, cand_counts, word_counts, k_pad = \
                 ops.sweep_extract_fused(planes, thr_j, bcoords, tile, L,
-                                        cap_w, cap_c)
+                                        cap_w, cap_c, col_planes, col_thr)
             packed, parts = ops.compact_cands(cand_idx, partials, tile, L,
                                               out_cap, k_pad)
         else:
+            pj = planes if col_planes is None else col_planes
+            tj = thr_j if col_thr is None else col_thr
             cand_idx, partials, cand_counts, word_counts = \
-                pw.sweep_extract_fused(planes, thr_j, jnp.asarray(bcoords),
-                                       tile, L, cap_w, cap_c)
+                pw.sweep_extract_fused_ij(planes, thr_j, pj, tj,
+                                          jnp.asarray(bcoords), tile, L,
+                                          cap_w, cap_c)
             k_pad = K
             packed, parts = pw.compact_cands(cand_idx, partials, tile,
                                              out_cap)
@@ -775,14 +825,114 @@ def _extract_tiles(planes, thr_j, tile, coords, counts, row_base, col_base,
 
 def _compute_streaming(db, norms_sq, total, begin_row, end_row, tile_rows,
                        tile_cols, L, d, exact_filter, budget, max_abs,
-                       ops=None):
+                       ops=None, engine: str = "fused"):
     """Column-streaming fallback for databases too large for device
-    residency: one row tile plus a budget-sized WINDOW of column tiles is
-    staged as a single device tensor, then the sweep + shared hot-tile
-    extraction (_extract_tiles: bitmap/index routing, 4 bytes/candidate)
-    runs over the whole window in batched programs. Exact dots come from a
-    memory-map of vectors.bin (a database exceeding HBM should not be fully
-    host-resident either)."""
+    residency (the reference's --max_memory_gb chunked operation,
+    pairwise_comp_optimized.cpp:903-906, 949-982): the SHARD ROWS are
+    staged once per shard (when they fit a third of the budget) and a
+    budget-sized WINDOW of column tiles streams past them; the FUSED
+    single-pass engine (rectangular operand form) sweeps, compacts and
+    emits exact partials per (row tile x window tile). Exact dots for the
+    rare ultra-dense bitmap tiles come from a memory-map of vectors.bin
+    (a database exceeding HBM should not be fully host-resident either).
+
+    When even one shard's rows exceed the budget share, row tiles are
+    staged in budget-sized groups (extra column-window re-uploads, still
+    each column window staged once per ROW GROUP, not per row tile)."""
+    if engine == "fused" and (tile_rows * tile_rows) % 32 == 0:
+        return _compute_streaming_fused(
+            db, norms_sq, total, begin_row, end_row, tile_rows, L, d,
+            exact_filter, budget, max_abs, ops)
+    return _compute_streaming_two_phase(
+        db, norms_sq, total, begin_row, end_row, tile_rows, tile_cols, L,
+        d, exact_filter, budget, max_abs, ops)
+
+
+def _streaming_stager(db, norms_sq, total, d, L, max_abs):
+    """-> (Vmm, thr_f32, stage(start, end, n_rows)) shared by both
+    streaming engines; stage() trust-but-verifies the cached max component
+    against every block it loads (ADVICE r2)."""
+    vec_dt = np.int16 if db.dtype == "int16" else np.int32
+    Vmm = np.memmap(os.path.join(db.path, "vectors.bin"), dtype=vec_dt,
+                    mode="r", shape=(total, d))
+    margin = pw.extra_threshold_margin(L, max_abs, d)
+    thr_f32 = (norms_sq - margin).astype(np.float32)
+
+    def stage(start, end, n_rows):
+        """Load rows [start, end) padded to n_rows (thr=+inf padding)."""
+        block = np.zeros((n_rows, d), dtype=np.int32)
+        block[:end - start] = db.load_vectors(start, end).astype(np.int32)
+        if end > start:
+            true_max = int(np.max(np.abs(
+                block[:end - start].astype(np.int64))))
+            if true_max > max_abs:
+                raise ValueError(
+                    f"max_component.txt ({max_abs}) is stale: vectors.bin "
+                    f"holds |component| up to {true_max}. Delete "
+                    f"{os.path.join(db.path, 'max_component.txt')} or "
+                    "rebuild the db folder.")
+        thr = np.full(n_rows, np.float32(1e30), dtype=np.float32)
+        thr[:end - start] = thr_f32[start:end]
+        return pw.decompose_planes(jnp.asarray(block), L), jnp.asarray(thr)
+
+    return Vmm, thr_f32, stage
+
+
+def _compute_streaming_fused(db, norms_sq, total, begin_row, end_row,
+                             tile, L, d, exact_filter, budget, max_abs,
+                             ops=None):
+    if LAST_STAGES:
+        LAST_STAGES["mode"] = "fused-streaming"
+    Vmm, thr_f32, stage = _streaming_stager(db, norms_sq, total, d, L,
+                                            max_abs)
+    parts, finalize_globals, finalize_dots = _make_finalizer(
+        Vmm, norms_sq, begin_row, end_row, total, d, exact_filter, max_abs)
+
+    P = pw.num_planes(L)
+    bytes_per_tile = P * tile * d
+    # budget thirds: one for the resident row planes, one for the column
+    # window, one for staging temporaries (decompose_planes concat peaks)
+    share = max(budget // 3, 2 * bytes_per_tile)
+    R = end_row - begin_row
+    rg_tiles = max(1, min((R + tile - 1) // tile, share // bytes_per_tile))
+    window_tiles = max(1, int(share // bytes_per_tile))
+
+    for rg in range(begin_row, end_row, rg_tiles * tile):
+        rg_end = min(rg + rg_tiles * tile, end_row)
+        n_r = (rg_end - rg + tile - 1) // tile
+        ts = time.perf_counter()
+        planes_r, thr_r = stage(rg, rg_end, n_r * tile)
+        if ops is not None:
+            planes_r, thr_r = ops.replicate(planes_r, thr_r)
+        _acc("stage_ms", ts)
+        row_base_tiles = rg + np.arange(n_r, dtype=np.int64) * tile
+        for ws in range(0, total, window_tiles * tile):
+            we = min(ws + window_tiles * tile, total)
+            n_w = (we - ws + tile - 1) // tile
+            ts = time.perf_counter()
+            planes_w, thr_w = stage(ws, we, n_w * tile)
+            if ops is not None:
+                planes_w, thr_w = ops.replicate(planes_w, thr_w)
+            _acc("stage_ms", ts)
+            coords = np.array([(ri, wj) for ri in range(n_r)
+                               for wj in range(n_w)], dtype=np.int32)
+            row_base = np.repeat(row_base_tiles, n_w)
+            col_base = np.tile(ws + np.arange(n_w, dtype=np.int64) * tile,
+                               n_r)
+            _fused_extract_with_retries(
+                planes_r, thr_r, tile, L, coords, row_base, col_base,
+                finalize_dots, finalize_globals, ops,
+                col_planes=planes_w, col_thr=thr_w)
+    return _concat(parts)
+
+
+def _compute_streaming_two_phase(db, norms_sq, total, begin_row, end_row,
+                                 tile_rows, tile_cols, L, d, exact_filter,
+                                 budget, max_abs, ops=None):
+    """The round-2 streaming engine (kept for engine='two_phase' and
+    non-32-divisible tiles): one row tile plus a budget-sized window of
+    column tiles staged as a single concatenated device tensor, counts
+    sweep + shared hot-tile extraction per (window x row tile)."""
     tile = tile_rows
     vec_dt = np.int16 if db.dtype == "int16" else np.int32
     Vmm = np.memmap(os.path.join(db.path, "vectors.bin"), dtype=vec_dt,

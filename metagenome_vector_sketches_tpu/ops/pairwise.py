@@ -304,8 +304,11 @@ def compact_indices(idx, tile: int, out_cap: int):
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
-def sweep_mask_bits(planes, thr, coords, tile: int):
-    """Batched candidate extraction as BITMAPS: one packed uint32 word per
+def sweep_mask_bits_ij(planes_i, thr_i_all, planes_j, thr_j_all, coords,
+                       tile: int):
+    """Batched candidate extraction as BITMAPS over a rectangular tile
+    space (row tiles from planes_i, column tiles from planes_j — pass the
+    same array twice for the symmetric case): one packed uint32 word per
     32 tile slots (tile^2/8 bytes per tile D2H, independent of density) —
     cheaper than 4-byte indices whenever more than 1/32 of a tile survives
     (dense regions: clusters of near-identical accessions).
@@ -317,15 +320,15 @@ def sweep_mask_bits(planes, thr, coords, tile: int):
     32*w + n in row-major (ti, tj) order — np.unpackbits(bitorder='little')
     on the byte view restores the flat mask.
     """
-    P, npad, d = planes.shape
+    P, _, d = planes_i.shape
     lane = jnp.arange(32, dtype=jnp.uint32)
 
     def one(carry, rc):
         r, c, valid = rc[0], rc[1], rc[2]
-        vi = jax.lax.dynamic_slice(planes, (0, r * tile, 0), (P, tile, d))
-        vj = jax.lax.dynamic_slice(planes, (0, c * tile, 0), (P, tile, d))
-        thr_i = jax.lax.dynamic_slice(thr, (r * tile,), (tile,))
-        thr_j = jax.lax.dynamic_slice(thr, (c * tile,), (tile,))
+        vi = jax.lax.dynamic_slice(planes_i, (0, r * tile, 0), (P, tile, d))
+        vj = jax.lax.dynamic_slice(planes_j, (0, c * tile, 0), (P, tile, d))
+        thr_i = jax.lax.dynamic_slice(thr_i_all, (r * tile,), (tile,))
+        thr_j = jax.lax.dynamic_slice(thr_j_all, (c * tile,), (tile,))
         approx = approx_dot_f32(vi, vj)
         passes = (approx / np.float32(d) >
                   0.05 * (thr_i[:, None] + thr_j[None, :]) * SLACK_REL
@@ -336,6 +339,11 @@ def sweep_mask_bits(planes, thr, coords, tile: int):
 
     _, words = jax.lax.scan(one, None, coords)
     return words
+
+
+def sweep_mask_bits(planes, thr, coords, tile: int):
+    """Symmetric (all-vs-all) wrapper of :func:`sweep_mask_bits_ij`."""
+    return sweep_mask_bits_ij(planes, thr, planes, thr, coords, tile)
 
 
 def sweep_compact(planes, thr, coords, tile: int, cap: int, out_cap: int):
@@ -528,10 +536,18 @@ _SUPERWORD_MIN_WPT = 8192
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "L", "cap_w", "cap_c"))
-def sweep_extract_fused(planes, thr, coords, tile: int, L: int,
-                        cap_w: int, cap_c: int):
+def sweep_extract_fused_ij(planes_i, thr_i_all, planes_j, thr_j_all,
+                           coords, tile: int, L: int, cap_w: int,
+                           cap_c: int):
     """SINGLE-PASS sweep + extraction + exact finalize partials (the
-    round-3 engine): one scan over tile coordinates that fuses
+    round-3 engine) over a RECTANGULAR tile space: row tiles come from
+    planes_i, column tiles from planes_j (pass the same array twice for
+    the symmetric device-resident case — no copy is made). The split
+    operands are what the beyond-HBM streaming engine needs: shard rows
+    staged once per shard, column windows streamed past them, no
+    per-window concatenation.
+
+    One scan over tile coordinates that fuses
 
       1. the L(L+1)/2 int8 plane matmuls + float32 threshold (the sweep),
       2. hierarchical survivor compaction — mask bits packed to uint32
@@ -550,9 +566,12 @@ def sweep_extract_fused(planes, thr, coords, tile: int, L: int,
     compute + threshold loop, pairwise_comp_optimized.cpp:949-990.
 
     Args:
-      planes: (P, Npad, d) int8 Karatsuba planes; first L are the limbs.
-      thr: (Npad,) float32 squared-norm thresholds (+inf padding rows).
-      coords: (K, 3) int32 (row_tile, col_tile, valid).
+      planes_i/planes_j: (P, Ni/Nj, d) int8 Karatsuba planes; first L are
+        the limbs. Row tiles slice planes_i, column tiles planes_j.
+      thr_i_all/thr_j_all: (Ni,)/(Nj,) float32 squared-norm thresholds
+        (+inf padding rows).
+      coords: (K, 3) int32 (row_tile into planes_i, col_tile into
+        planes_j, valid).
       cap_w: static per-tile nonzero-WORD capacity.
       cap_c: static per-tile candidate capacity.
 
@@ -566,7 +585,7 @@ def sweep_extract_fused(planes, thr, coords, tile: int, L: int,
       cand_counts (K,) int32 — TRUE survivor count (authoritative).
       word_counts (K,) int32 — TRUE nonzero-word count.
     """
-    P, npad, d = planes.shape
+    P, _, d = planes_i.shape
     PL = num_planes(L)
     wpt = (tile * tile) // 32
     assert (tile * tile) % 32 == 0
@@ -576,10 +595,10 @@ def sweep_extract_fused(planes, thr, coords, tile: int, L: int,
 
     def one(carry, rc):
         r, c, valid = rc[0], rc[1], rc[2]
-        vi = jax.lax.dynamic_slice(planes, (0, r * tile, 0), (P, tile, d))
-        vj = jax.lax.dynamic_slice(planes, (0, c * tile, 0), (P, tile, d))
-        thr_i = jax.lax.dynamic_slice(thr, (r * tile,), (tile,))
-        thr_j = jax.lax.dynamic_slice(thr, (c * tile,), (tile,))
+        vi = jax.lax.dynamic_slice(planes_i, (0, r * tile, 0), (P, tile, d))
+        vj = jax.lax.dynamic_slice(planes_j, (0, c * tile, 0), (P, tile, d))
+        thr_i = jax.lax.dynamic_slice(thr_i_all, (r * tile,), (tile,))
+        thr_j = jax.lax.dynamic_slice(thr_j_all, (c * tile,), (tile,))
         approx = approx_dot_f32(vi, vj)
         passes = (approx / np.float32(d) >
                   0.05 * (thr_i[:, None] + thr_j[None, :]) * SLACK_REL
@@ -640,6 +659,14 @@ def sweep_extract_fused(planes, thr, coords, tile: int, L: int,
     _, (cand_idx, partials, cand_counts, word_counts) = \
         jax.lax.scan(one, None, coords)
     return cand_idx, partials, cand_counts, word_counts
+
+
+def sweep_extract_fused(planes, thr, coords, tile: int, L: int,
+                        cap_w: int, cap_c: int):
+    """Symmetric (all-vs-all) wrapper of :func:`sweep_extract_fused_ij` —
+    row and column tiles slice the same device-resident planes array."""
+    return sweep_extract_fused_ij(planes, thr, planes, thr, coords, tile,
+                                  L, cap_w, cap_c)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "out_cap"))

@@ -43,11 +43,14 @@ def _counts_fn(mesh, tile: int):
 
 @functools.lru_cache(maxsize=None)
 def _mask_fn(mesh, tile: int):
-    def local(planes, thr, coords):
-        return pw.sweep_mask_bits.__wrapped__(planes, thr, coords, tile)
+    def local(planes_i, thr_i, planes_j, thr_j, coords):
+        return pw.sweep_mask_bits_ij.__wrapped__(planes_i, thr_i,
+                                                 planes_j, thr_j, coords,
+                                                 tile)
 
     return jax.jit(shard_map(local, mesh=mesh,
-                             in_specs=(P(), P(), P(DATA_AXIS, None)),
+                             in_specs=(P(), P(), P(), P(),
+                                       P(DATA_AXIS, None)),
                              out_specs=P(DATA_AXIS)))
 
 
@@ -81,12 +84,14 @@ def _compact_words_fn(mesh, tile: int, cap_words: int, out_cap: int):
 @functools.lru_cache(maxsize=None)
 def _extract_fused_heavy_fn(mesh, tile: int, L: int, cap_w: int,
                             cap_c: int):
-    def local(planes, thr, coords):
-        return pw.sweep_extract_fused.__wrapped__(planes, thr, coords,
-                                                  tile, L, cap_w, cap_c)
+    def local(planes_i, thr_i, planes_j, thr_j, coords):
+        return pw.sweep_extract_fused_ij.__wrapped__(
+            planes_i, thr_i, planes_j, thr_j, coords, tile, L, cap_w,
+            cap_c)
 
     return jax.jit(shard_map(local, mesh=mesh,
-                             in_specs=(P(), P(), P(DATA_AXIS, None)),
+                             in_specs=(P(), P(), P(), P(),
+                                       P(DATA_AXIS, None)),
                              out_specs=(P(DATA_AXIS), P(DATA_AXIS),
                                         P(DATA_AXIS), P(DATA_AXIS))))
 
@@ -138,9 +143,13 @@ class MeshSweepOps:
         out = _counts_fn(self.mesh, tile)(planes, thr, jnp.asarray(cp))
         return np.asarray(out)[:t]
 
-    def sweep_mask_bits(self, planes, thr, bcoords, tile: int) -> np.ndarray:
+    def sweep_mask_bits(self, planes, thr, bcoords, tile: int,
+                        planes_j=None, thr_j=None) -> np.ndarray:
         cp, k = self._pad(bcoords)
-        out = _mask_fn(self.mesh, tile)(planes, thr, jnp.asarray(cp))
+        if planes_j is None:
+            planes_j, thr_j = planes, thr
+        out = _mask_fn(self.mesh, tile)(planes, thr, planes_j, thr_j,
+                                        jnp.asarray(cp))
         return np.asarray(out)[:k]
 
     def sweep_compact(self, planes, thr, bcoords, tile: int, cap: int,
@@ -182,16 +191,20 @@ class MeshSweepOps:
                 np.asarray(cand_counts)[:k], np.asarray(word_counts)[:k])
 
     def sweep_extract_fused(self, planes, thr, bcoords, tile: int,
-                            L: int, cap_w: int, cap_c: int):
+                            L: int, cap_w: int, cap_c: int,
+                            planes_j=None, thr_j=None):
         """Mesh version of the round-3 FUSED single-pass heavy program:
         tile coordinates sharded; returns DEVICE-RESIDENT (cand_idx,
         partials) (for compact_cands) plus counts and the padded tile
         count (counts still device-resident — the caller reads them
-        when it needs them)."""
+        when it needs them). planes_j/thr_j give the rectangular
+        (streaming) form; default is the symmetric all-vs-all one."""
         cp, k = self._pad(bcoords)
+        if planes_j is None:
+            planes_j, thr_j = planes, thr
         cand_idx, partials, cand_counts, word_counts = \
             _extract_fused_heavy_fn(self.mesh, tile, L, cap_w, cap_c)(
-                planes, thr, jnp.asarray(cp))
+                planes, thr, planes_j, thr_j, jnp.asarray(cp))
         return cand_idx, partials, cand_counts, word_counts, k
 
     def compact_cands(self, cand_idx, partials, tile: int, L: int,

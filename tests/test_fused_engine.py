@@ -193,3 +193,67 @@ def test_fused_multi_shard_resume(tmp_path):
     rr, cc, qq = MatrixReader(str(tmp_path / "m")).decode_all_triples(n)
     assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
         set(zip(er.tolist(), ec.tolist(), eq.tolist()))
+
+
+def test_fused_streaming_oracle(tmp_path):
+    """Beyond-HBM path: tiny budget forces _compute_streaming_fused with
+    multiple row groups AND column windows; oracle-equal output."""
+    rng = np.random.default_rng(96)
+    n, d = 160, 64
+    V = rng.integers(-250, 251, size=(n, d)).astype(np.int32)
+    V[30:40] = V[29] + rng.integers(-1, 2, size=(10, d)).astype(np.int32)
+    db = DbFolder.write(str(tmp_path / "db"), [f"S{i}" for i in range(n)],
+                        V, d)
+    mc.compute_pairwise_shard(db.path, str(tmp_path / "m"), tile_rows=16,
+                              device_budget_bytes=0, verbose=False)
+    assert mc.LAST_STAGES.get("mode") == "fused-streaming"
+    _, norms = db.names_and_norms()
+    ns = norms * norms
+    er, ec, ev = mc.compute_pairwise_oracle(V, ns, d)
+    eq = quantize_jaccard(ev, er, ec, ns, d)
+    rr, cc, qq = MatrixReader(str(tmp_path / "m")).decode_all_triples(n)
+    assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
+        set(zip(er.tolist(), ec.tolist(), eq.tolist()))
+
+
+def test_fused_streaming_mesh_oracle(tmp_path):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from metagenome_vector_sketches_tpu.parallel.mesh import make_mesh
+    rng = np.random.default_rng(97)
+    n, d = 128, 64
+    V = rng.integers(-250, 251, size=(n, d)).astype(np.int32)
+    db = DbFolder.write(str(tmp_path / "db"), [f"S{i}" for i in range(n)],
+                        V, d)
+    mc.compute_pairwise_shard(db.path, str(tmp_path / "m"), tile_rows=16,
+                              device_budget_bytes=0, verbose=False,
+                              mesh=make_mesh(8))
+    _, norms = db.names_and_norms()
+    ns = norms * norms
+    er, ec, ev = mc.compute_pairwise_oracle(V, ns, d)
+    eq = quantize_jaccard(ev, er, ec, ns, d)
+    rr, cc, qq = MatrixReader(str(tmp_path / "m")).decode_all_triples(n)
+    assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
+        set(zip(er.tolist(), ec.tolist(), eq.tolist()))
+
+
+def test_fused_streaming_dense_fallback_oracle(tmp_path, monkeypatch):
+    """Streaming + a db dense enough that tiles exceed tile^2/32 survivors:
+    the rectangular bitmap path (sweep_mask_bits_ij + memmap host finalize)
+    must fire and stay oracle-equal."""
+    monkeypatch.setattr(mc, "FUSED_CAP_FLOOR", 4)
+    n, d = 64, 32
+    rng = np.random.default_rng(98)
+    base = rng.integers(-40, 41, size=d).astype(np.int32)
+    V = base + rng.integers(-1, 2, size=(n, d)).astype(np.int32)  # all similar
+    db = DbFolder.write(str(tmp_path / "db"), [f"S{i}" for i in range(n)],
+                        V, d)
+    mc.compute_pairwise_shard(db.path, str(tmp_path / "m"), tile_rows=16,
+                              device_budget_bytes=0, verbose=False)
+    _, norms = db.names_and_norms()
+    ns = norms * norms
+    er, ec, ev = mc.compute_pairwise_oracle(V, ns, d)
+    eq = quantize_jaccard(ev, er, ec, ns, d)
+    rr, cc, qq = MatrixReader(str(tmp_path / "m")).decode_all_triples(n)
+    assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
+        set(zip(er.tolist(), ec.tolist(), eq.tolist()))
