@@ -294,12 +294,14 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
 
 
 # fused-engine tuning: per-tile capacity floor (word + candidate). Small
-# keeps every funnel top_k cheap; tiles that overflow are retried at their
-# exact pow2 capacity (the counts are returned by the same program).
+# keeps the per-tile first-k selections cheap; tiles that overflow are
+# retried at their exact pow2 capacity (counts come from the same program).
 FUSED_CAP_FLOOR = 512
-# fixed tile-batch size (one compiled program shape); bounded by the int32
-# packed-index limit _max_tiles_per_batch
-FUSED_CHUNK_TILES = 512
+# fixed tile-batch size (one compiled program shape). The combined-buffer
+# compaction emits GLOBAL coordinates, so there is no packed-index limit;
+# bigger chunks amortize the per-transfer device->host fixed latency
+# (~45 ms on tunneled chips). Bounded at runtime by the HBM buffer rule.
+FUSED_CHUNK_TILES = 2048
 
 
 def _compute_device_resident_fused(db, norms_sq, total, begin_row, end_row,
@@ -431,12 +433,13 @@ def _run_fused_extraction(planes, thr_j, tile, L, coords, row_base,
     if T == 0:
         return []
     scale = ops.max_tiles_scale() if ops is not None else 1
-    K = min(FUSED_CHUNK_TILES, _max_tiles_per_batch(tile),
-            max(64, _next_pow2(T))) * scale
+    K = min(FUSED_CHUNK_TILES, max(64, _next_pow2(T))) * scale
     PL = pw.num_planes(L)
     # bound the (K, cap_c, PL+1) int32 chunk buffers to ~512 MB per device
     K = max(scale, min(K, (((512 << 20) // ((PL + 1) * 4 * cap_c))
                            // scale) * scale))
+    assert row_base.max(initial=0) + tile <= 2**31 - 1, \
+        "global row exceeds int32 (raise tile batching to int64 coords)"
 
     # out_cap estimate: running mean density with 2x headroom (the light
     # compact program is re-dispatched at the exact size on shortfall —
@@ -453,18 +456,26 @@ def _run_fused_extraction(planes, thr_j, tile, L, coords, row_base,
                           max(16384, per_tile * (K // scale))))
         return ((per_dev + 16383) // 16384) * 16384
 
+    def make_bases(s, e):
+        bases = np.zeros((K, 2), dtype=np.int32)
+        bases[:e - s, 0] = row_base[s:e]
+        bases[:e - s, 1] = col_base[s:e]
+        return bases
+
     def dispatch(s):
         e = min(s + K, T)
         bcoords = np.zeros((K, 3), dtype=np.int32)
         bcoords[:e - s, :2] = coords[s:e]
         bcoords[:e - s, 2] = 1
+        bases = make_bases(s, e)
         out_cap = estimate()
         if ops is not None:
             cand_idx, partials, cand_counts, word_counts, k_pad = \
                 ops.sweep_extract_fused(planes, thr_j, bcoords, tile, L,
                                         cap_w, cap_c, col_planes, col_thr)
-            packed, parts = ops.compact_cands(cand_idx, partials, tile, L,
-                                              out_cap, k_pad)
+            buf = ops.compact_cands_combined(
+                cand_counts, word_counts, cand_idx, partials, bases, tile,
+                out_cap, cap_w, k_pad)
         else:
             pj = planes if col_planes is None else col_planes
             tj = thr_j if col_thr is None else col_thr
@@ -473,26 +484,34 @@ def _run_fused_extraction(planes, thr_j, tile, L, coords, row_base,
                                           jnp.asarray(bcoords), tile, L,
                                           cap_w, cap_c)
             k_pad = K
-            packed, parts = pw.compact_cands(cand_idx, partials, tile,
-                                             out_cap)
-        return (s, e, out_cap, cand_idx, partials, packed, parts,
-                cand_counts, word_counts, k_pad)
+            buf = pw.compact_cands_combined(
+                cand_counts, word_counts, cand_idx, partials,
+                jnp.asarray(bases), tile, out_cap, cap_w)
+        return (s, e, out_cap, cand_idx, partials, cand_counts,
+                word_counts, bases, buf, k_pad)
 
     retries = []
 
+    def read_split(buf, k_pad, out_cap):
+        """ONE host read of the combined buffer (the whole chunk crosses
+        D2H in a single transfer), then the per-device split."""
+        if ops is not None:
+            return ops.split_combined(np.asarray(buf), k_pad, out_cap, PL)
+        return pw.split_combined(np.asarray(buf), k_pad, out_cap, PL)
+
     def collect(job):
         nonlocal seen_tiles, seen_cands
-        (s, e, out_cap, cand_idx, partials, packed, parts_dev,
-         cand_counts, word_counts, k_pad) = job
+        (s, e, out_cap, cand_idx, partials, cand_counts, word_counts,
+         bases, buf, k_pad) = job
         t0 = time.perf_counter()
-        cand_counts = np.asarray(cand_counts)[:e - s]
-        word_counts = np.asarray(word_counts)[:e - s]
+        cc, wc, r_glob, c_glob, parts_h = read_split(buf, k_pad, out_cap)
+        cc, wc = cc[:e - s], wc[:e - s]
         seen_tiles += e - s
-        seen_cands += int(cand_counts.sum())
-        over = (cand_counts > cap_c) | (word_counts > cap_w)
-        retries.extend((s + t, int(cand_counts[t]), int(word_counts[t]))
+        seen_cands += int(cc.sum())
+        over = (cc > cap_c) | (wc > cap_w)
+        retries.extend((s + t, int(cc[t]), int(wc[t]))
                        for t in np.flatnonzero(over))
-        kept = np.minimum(cand_counts, cap_c)
+        kept = np.minimum(cc.astype(np.int64), cap_c)
         kept[over] = 0
         if ops is not None:
             padded = np.zeros(k_pad, dtype=np.int64)
@@ -505,25 +524,17 @@ def _run_fused_extraction(planes, thr_j, tile, L, coords, row_base,
             # resident heavy buffers at the exact (quantized) size
             out_cap = ((needed + 16383) // 16384) * 16384
             if ops is not None:
-                packed, parts_dev = ops.compact_cands(
-                    cand_idx, partials, tile, L, out_cap, k_pad)
+                buf = ops.compact_cands_combined(
+                    cand_counts, word_counts, cand_idx, partials, bases,
+                    tile, out_cap, cap_w, k_pad)
             else:
-                packed, parts_dev = pw.compact_cands(cand_idx, partials,
-                                                     tile, out_cap)
-        packed = np.asarray(packed)
-        parts_h = np.asarray(parts_dev)
+                buf = pw.compact_cands_combined(
+                    cand_counts, word_counts, cand_idx, partials,
+                    jnp.asarray(bases), tile, out_cap, cap_w)
+            _, _, r_glob, c_glob, parts_h = read_split(buf, k_pad, out_cap)
         _acc("extract_ms", t0)
-        valid = packed >= 0
-        pk = packed[valid].astype(np.int64)
-        t_of = pk // (tile * tile)
-        local = pk % (tile * tile)
-        parts_h = parts_h[valid]
-        if over.any():
-            keep = ~over[t_of]
-            t_of, local, parts_h = t_of[keep], local[keep], parts_h[keep]
         dots = pw.combine_plane_partials(parts_h.T, L)
-        finalize_dots(row_base[s + t_of] + local // tile,
-                      col_base[s + t_of] + local % tile, dots)
+        finalize_dots(r_glob, c_glob, dots)
 
     pending = None
     for s in range(0, T, K):

@@ -512,27 +512,17 @@ def _pack_words_fns(tile: int):
 
 def _first_k_nonzero(mask_i32, k: int):
     """Indices of the FIRST k true entries of a 1-D int32 0/1 mask, in
-    ascending order (-1 padding), via top_k over descending index scores
-    (2.75x faster than jnp.nonzero(size=...) on v5e). Returns (idx (k,)
-    int32, valid (k,) bool)."""
-    n = mask_i32.shape[0]
-    scores = jnp.where(mask_i32 > 0,
-                       jnp.int32(n) - jnp.arange(n, dtype=jnp.int32),
-                       jnp.int32(0))
-    k_eff = min(k, n)
-    s, idx = jax.lax.top_k(scores, k_eff)
-    valid = s > 0
-    idx = jnp.where(valid, idx.astype(jnp.int32), -1)
-    if k_eff < k:
-        idx = jnp.pad(idx, (0, k - k_eff), constant_values=-1)
-        valid = jnp.pad(valid, (0, k - k_eff))
-    return idx, valid
-
-
-# direct word-level top_k is cheap enough below this word count; above it
-# the superword funnel (select 32-word groups first) keeps every top_k at
-# <= max(wpt/32, 32*cap) elements instead of wpt (131072 at tile=2048)
-_SUPERWORD_MIN_WPT = 8192
+    ascending order (-1 padding), via cumsum + searchsorted: the index of
+    the j-th set bit is the first position whose prefix sum reaches j+1.
+    O(n) VPU work — measured ~5x cheaper than the round-2 top_k-over-
+    descending-scores selection inside the fused scan on v5e (top_k is
+    sort-backed at these k). Returns (idx (k,) int32, valid (k,) bool)."""
+    pos = jnp.cumsum(mask_i32)
+    total = pos[-1]
+    j = jnp.arange(k, dtype=jnp.int32)
+    idx = jnp.searchsorted(pos, j + 1, side="left").astype(jnp.int32)
+    valid = j < total
+    return jnp.where(valid, idx, -1), valid
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "L", "cap_w", "cap_c"))
@@ -550,10 +540,10 @@ def sweep_extract_fused_ij(planes_i, thr_i_all, planes_j, thr_j_all,
     One scan over tile coordinates that fuses
 
       1. the L(L+1)/2 int8 plane matmuls + float32 threshold (the sweep),
-      2. hierarchical survivor compaction — mask bits packed to uint32
-         words on the MXU, then superword -> word -> slot selection where
-         every top_k runs over at most max(wpt/32, 32*cap) elements (the
-         round-2 extraction cost was ONE top_k over all wpt words/tile),
+      2. survivor compaction — mask bits packed to uint32 words on the
+         MXU, then word -> slot first-k selection via cumsum+searchsorted
+         (:func:`_first_k_nonzero`; the round-2 extraction cost was a
+         sort-backed top_k over all wpt words per tile),
       3. exact per-candidate limb-pair dot partials, recomputed in-kernel
          from the ALREADY-SLICED tile operands (the round-2 engine paid a
          third pass over the planes + an extra dispatch per chunk for
@@ -587,11 +577,9 @@ def sweep_extract_fused_ij(planes_i, thr_i_all, planes_j, thr_j_all,
     """
     P, _, d = planes_i.shape
     PL = num_planes(L)
-    wpt = (tile * tile) // 32
     assert (tile * tile) % 32 == 0
     pack = _pack_words_fns(tile)
     lane32 = jnp.arange(32, dtype=jnp.int32)
-    use_funnel = wpt > _SUPERWORD_MIN_WPT and wpt % 32 == 0
 
     def one(carry, rc):
         r, c, valid = rc[0], rc[1], rc[2]
@@ -608,28 +596,11 @@ def sweep_extract_fused_ij(planes_i, thr_i_all, planes_j, thr_j_all,
         word_count = jnp.sum(nzw)
         cand_count = jnp.sum(passes.astype(jnp.int32))
 
-        if use_funnel:
-            # level 1: first cap_w nonzero superwords (32-word groups).
-            # #nonzero superwords <= #nonzero words, so cap_w superwords
-            # always cover the first cap_w nonzero words.
-            sw_nz = jnp.max(nzw.reshape(-1, 32), axis=1)   # (wpt/32,)
-            sw_idx, sw_valid = _first_k_nonzero(sw_nz, cap_w)
-            # level 2: gather each selected superword's 32 words, then
-            # select the first cap_w nonzero words among them
-            grid_widx = jnp.maximum(sw_idx, 0)[:, None] * 32 + lane32[None, :]
-            grid_w = words[grid_widx.reshape(-1)]          # (cap_w*32,)
-            grid_w = jnp.where(jnp.repeat(sw_valid, 32), grid_w,
-                               jnp.uint32(0))
-            pos, w_valid = _first_k_nonzero(
-                (grid_w != jnp.uint32(0)).astype(jnp.int32), cap_w)
-            widx = jnp.where(w_valid, grid_widx.reshape(-1)[
-                jnp.maximum(pos, 0)], -1)
-            wvals = jnp.where(w_valid, grid_w[jnp.maximum(pos, 0)],
-                              jnp.uint32(0))
-        else:
-            widx, w_valid = _first_k_nonzero(nzw, cap_w)
-            wvals = jnp.where(w_valid, words[jnp.maximum(widx, 0)],
-                              jnp.uint32(0))
+        # first cap_w nonzero words, ascending (cumsum selection is cheap
+        # even over all tile^2/32 words — no hierarchical funnel needed)
+        widx, w_valid = _first_k_nonzero(nzw, cap_w)
+        wvals = jnp.where(w_valid, words[jnp.maximum(widx, 0)],
+                          jnp.uint32(0))
 
         # level 3: expand selected words into slots, select first cap_c
         # surviving slots (ascending because widx is ascending)
@@ -673,19 +644,89 @@ def sweep_extract_fused(planes, thr, coords, tile: int, L: int,
 def compact_cands(cand_idx, partials, tile: int, out_cap: int):
     """(K, cap_c) per-tile candidate indices + (K, cap_c, PL) partials ->
     ONE flat exactly-sized (packed, partials) pair: packed = t*tile^2 +
-    in-tile idx (int32, -1 tail padding), row-major per tile."""
+    in-tile idx (int32, -1 tail padding), row-major per tile.
+
+    Valid entries form a PREFIX of each tile row (sweep_extract_fused's
+    first-k selection packs them at the front), so the flatten is a
+    cumsum + searchsorted GATHER — O(out_cap log K) — instead of a
+    top_k/sort over K*cap_c elements (which at production sizes was a
+    ~100k-deep sort over 262k elements and dominated the whole fused
+    engine: ~1.1 s/chunk measured on v5e vs ~1 ms for this form)."""
     K, cap_c = cand_idx.shape
     PL = partials.shape[2]
     assert K * tile * tile <= 2**31 - 1, "packed index would overflow int32"
-    t_ids = jnp.arange(K, dtype=jnp.int32)[:, None]
-    packed = jnp.where(cand_idx >= 0, t_ids * (tile * tile) + cand_idx,
-                       -1).reshape(-1)
-    pos, valid = _first_k_nonzero((packed >= 0).astype(jnp.int32), out_cap)
-    safe = jnp.maximum(pos, 0)
-    out_packed = jnp.where(valid, packed[safe], -1)
-    out_parts = jnp.where(valid[:, None],
-                          partials.reshape(K * cap_c, PL)[safe], 0)
+    kept = jnp.sum((cand_idx >= 0).astype(jnp.int32), axis=1)   # (K,)
+    ends = jnp.cumsum(kept)
+    starts = ends - kept
+    total = ends[-1]
+    i = jnp.arange(out_cap, dtype=jnp.int32)
+    t_of = jnp.searchsorted(ends, i, side="right").astype(jnp.int32)
+    t_safe = jnp.minimum(t_of, K - 1)
+    j = jnp.clip(i - starts[t_safe], 0, cap_c - 1)
+    valid = i < total
+    vals = cand_idx[t_safe, j]
+    out_packed = jnp.where(valid, t_safe * (tile * tile) + vals, -1)
+    out_parts = jnp.where(valid[:, None], partials[t_safe, j], 0)
     return out_packed, out_parts
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "out_cap", "cap_w"))
+def compact_cands_combined(cand_counts, word_counts, cand_idx, partials,
+                           bases, tile: int, out_cap: int, cap_w: int):
+    """Single-buffer chunk compaction: everything the host needs from one
+    fused chunk as ONE int32 array, so ONE device->host transfer moves it
+    (the tunnel charges ~45 ms of fixed latency per transfer; three reads
+    per chunk dominated the round-2-style flow).
+
+    Layout (all int32):
+      [0,   K)                cand_counts
+      [K,  2K)                word_counts
+      [2K, 2K+out_cap)        r_glob  (global row; -1 tail padding)
+      [.., ..+out_cap)        c_glob  (global column)
+      [.., ..+out_cap*PL)     partials, candidate-major (PL per candidate)
+
+    bases: (K, 2) int32 — per-tile (row_base, col_base) GLOBAL element
+    offsets (the caller's tile->global mapping, moved in-kernel so the
+    host does zero index arithmetic). Valid candidates are a PREFIX of
+    each tile row, so the flatten is cumsum + searchsorted (no sort).
+    """
+    K, cap_c = cand_idx.shape
+    PL = partials.shape[2]
+    kept = jnp.sum((cand_idx >= 0).astype(jnp.int32), axis=1)   # (K,)
+    # tiles that overflowed either capacity are dropped HERE (their counts
+    # in the header route them to the engine's exact-capacity retry; their
+    # truncated candidates must not be emitted)
+    over = (cand_counts > cap_c) | (word_counts > cap_w)
+    kept = jnp.where(over, 0, kept)
+    ends = jnp.cumsum(kept)
+    starts = ends - kept
+    total = ends[-1]
+    i = jnp.arange(out_cap, dtype=jnp.int32)
+    t_of = jnp.searchsorted(ends, i, side="right").astype(jnp.int32)
+    t_safe = jnp.minimum(t_of, K - 1)
+    j = jnp.clip(i - starts[t_safe], 0, cap_c - 1)
+    valid = i < total
+    local = cand_idx[t_safe, j]
+    r_glob = jnp.where(valid, bases[t_safe, 0] + local // tile, -1)
+    c_glob = jnp.where(valid, bases[t_safe, 1] + local % tile, -1)
+    parts = jnp.where(valid[:, None], partials[t_safe, j], 0)
+    return jnp.concatenate([
+        cand_counts.astype(jnp.int32), word_counts.astype(jnp.int32),
+        r_glob, c_glob, parts.reshape(-1)])
+
+
+def split_combined(buf: np.ndarray, K: int, out_cap: int, PL: int):
+    """Host-side view split of one compact_cands_combined buffer ->
+    (cand_counts (K,), word_counts (K,), r_glob, c_glob, partials
+    (n_valid, PL)) with padding rows removed."""
+    cand_counts = buf[:K]
+    word_counts = buf[K:2 * K]
+    r_glob = buf[2 * K:2 * K + out_cap]
+    c_glob = buf[2 * K + out_cap:2 * K + 2 * out_cap]
+    parts = buf[2 * K + 2 * out_cap:].reshape(out_cap, PL)
+    valid = r_glob >= 0
+    return (cand_counts, word_counts, r_glob[valid].astype(np.int64),
+            c_glob[valid].astype(np.int64), parts[valid])
 
 
 def sweep_extract_compact(planes, thr, coords, tile: int, L: int,

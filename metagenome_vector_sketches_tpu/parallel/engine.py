@@ -97,14 +97,17 @@ def _extract_fused_heavy_fn(mesh, tile: int, L: int, cap_w: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _compact_cands_fn(mesh, tile: int, out_cap: int):
-    def local(cand_idx, partials):
-        return pw.compact_cands.__wrapped__(cand_idx, partials, tile,
-                                            out_cap)
+def _compact_combined_fn(mesh, tile: int, out_cap: int, cap_w: int):
+    def local(cand_counts, word_counts, cand_idx, partials, bases):
+        return pw.compact_cands_combined.__wrapped__(
+            cand_counts, word_counts, cand_idx, partials, bases, tile,
+            out_cap, cap_w)
 
     return jax.jit(shard_map(local, mesh=mesh,
-                             in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
-                             out_specs=(P(DATA_AXIS), P(DATA_AXIS))))
+                             in_specs=(P(DATA_AXIS), P(DATA_AXIS),
+                                       P(DATA_AXIS), P(DATA_AXIS),
+                                       P(DATA_AXIS)),
+                             out_specs=P(DATA_AXIS)))
 
 
 class MeshSweepOps:
@@ -207,23 +210,34 @@ class MeshSweepOps:
                 planes, thr, planes_j, thr_j, jnp.asarray(cp))
         return cand_idx, partials, cand_counts, word_counts, k
 
-    def compact_cands(self, cand_idx, partials, tile: int, L: int,
-                      out_cap: int, k_pad: int):
-        """Light compaction of resident fused buffers -> HOST arrays in
-        the GLOBAL single-device layout (packed int64 = t*tile^2+local,
-        -1 padding; partials (n_devices*out_cap, PL)). out_cap bounds
-        each DEVICE's compacted output."""
-        packed, parts = _compact_cands_fn(self.mesh, tile, out_cap)(
-            cand_idx, partials)
-        k_loc = k_pad // self.n_devices
-        packed = np.asarray(packed).astype(np.int64) \
-            .reshape(self.n_devices, out_cap)
-        offs = (np.arange(self.n_devices, dtype=np.int64)
-                * (k_loc * tile * tile))[:, None]
-        packed = np.where(packed >= 0, packed + offs, -1).reshape(-1)
-        PL = pw.num_planes(L)
-        parts = np.asarray(parts).reshape(self.n_devices * out_cap, PL)
-        return packed, parts
+    def compact_cands_combined(self, cand_counts, word_counts, cand_idx,
+                               partials, bases, tile: int, out_cap: int,
+                               cap_w: int, k_pad: int):
+        """Light combined compaction of resident fused buffers: each
+        device emits its own single int32 buffer (counts + global
+        coordinates + partials); the stacked result still crosses D2H as
+        ONE transfer. out_cap bounds each DEVICE's compacted output."""
+        bases_pad = np.zeros((k_pad, 2), dtype=np.int32)
+        bases_pad[:len(bases)] = bases[:k_pad]
+        return _compact_combined_fn(self.mesh, tile, out_cap, cap_w)(
+            cand_counts, word_counts, cand_idx, partials,
+            jnp.asarray(bases_pad))
+
+    def split_combined(self, buf: np.ndarray, k_pad: int, out_cap: int,
+                       PL: int):
+        """Host split of the device-stacked combined buffers back into
+        the single-device layout (counts in global tile order, candidate
+        arrays concatenated)."""
+        n = self.n_devices
+        k_loc = k_pad // n
+        seg = buf.reshape(n, -1)
+        parts = [pw.split_combined(seg[dev], k_loc, out_cap, PL)
+                 for dev in range(n)]
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]),
+                np.concatenate([p[2] for p in parts]),
+                np.concatenate([p[3] for p in parts]),
+                np.concatenate([p[4] for p in parts]))
 
     def block_total_max(self, per_tile_counts) -> int:
         """Max over devices of the summed counts in that device's
