@@ -293,9 +293,9 @@ def _compute_device_resident(db, norms_sq, total, begin_row, end_row, tile,
         verbose, max_abs, ops, finalize)
 
 
-# fused-engine tuning: per-tile capacity floor (word + candidate). Small
-# keeps the per-tile first-k selections cheap; tiles that overflow are
-# retried at their exact pow2 capacity (counts come from the same program).
+# fused-engine tuning: per-tile candidate capacity floor. Small keeps the
+# per-tile rank-lookup arrays small; tiles that overflow are retried at
+# their exact pow2 capacity (counts come from the same program).
 FUSED_CAP_FLOOR = 512
 # fixed tile-batch size (one compiled program shape). The combined-buffer
 # compaction emits GLOBAL coordinates, so there is no packed-index limit;
@@ -341,6 +341,14 @@ def _compute_device_resident_fused(db, norms_sq, total, begin_row, end_row,
         V, norms_sq, begin_row, end_row, total, d, exact_filter, max_abs,
         device_ctx=(planes, L))
 
+    # self-pairs (masked out of the kernel so diagonal tiles stay at
+    # ordinary density) are emitted directly from the exact self dots;
+    # the exact retention + quantization path treats them like any pair
+    # (the reference keeps them, pairwise_comp_optimized.cpp:659)
+    self_rows = np.arange(begin_row, end_row, dtype=np.int64)
+    finalize_dots(self_rows, self_rows.copy(),
+                  pw.exact_dots_host(V, self_rows, self_rows, max_abs))
+
     _fused_extract_with_retries(planes, thr_j, tile, L, coords, row_base,
                                 col_base, finalize_dots, finalize_globals,
                                 ops)
@@ -353,28 +361,30 @@ def _fused_extract_with_retries(planes, thr, tile, L, coords, row_base,
     """Fused extraction at the floor capacity, then: overflow tiles retry
     at exact pow2 capacities; ultra-dense tiles (count > tile^2/32) route
     to the density-independent bitmap path (the per-candidate payload
-    would dwarf a bitmap there), finalized via finalize_globals."""
+    would dwarf a bitmap there), finalized via finalize_globals.
+
+    SELF-pairs are masked in-kernel (sweep_extract_fused_ij) — the
+    caller emits them directly from exact self dots — so diagonal tiles
+    stay at ordinary density and the capacity floor applies uniformly."""
     cap = min(FUSED_CAP_FLOOR, tile * tile)
     retries = _run_fused_extraction(planes, thr, tile, L, coords,
-                                    row_base, col_base, cap, cap,
+                                    row_base, col_base, cap,
                                     finalize_dots, ops, col_planes,
                                     col_thr)
     if not retries:
         return
     dense_cut = (tile * tile) // 32
-    bitmap_ks = [t for t, cc, wc in retries if cc > dense_cut]
+    bitmap_ks = [t for t, cc in retries if cc > dense_cut]
     buckets: dict = {}
-    for t, cc, wc in retries:
+    for t, cc in retries:
         if cc <= dense_cut:
-            key = (_next_pow2(max(int(wc), 1)), _next_pow2(int(cc)))
-            buckets.setdefault(key, []).append(t)
-    for (cw, ccap), ks in buckets.items():
+            buckets.setdefault(_next_pow2(int(cc)), []).append(t)
+    for ccap, ks in buckets.items():
         ks = np.asarray(ks)
         again = _run_fused_extraction(
             planes, thr, tile, L, coords[ks], row_base[ks],
-            col_base[ks], min(cw, (tile * tile) // 32),
-            min(ccap, tile * tile), finalize_dots, ops, col_planes,
-            col_thr)
+            col_base[ks], min(ccap, tile * tile), finalize_dots, ops,
+            col_planes, col_thr)
         assert not again, "fused retry at exact capacity overflowed"
     if bitmap_ks:
         ks = np.asarray(bitmap_ks)
@@ -413,12 +423,16 @@ def _dense_bitmap_extract(planes, thr, tile, coords, row_base, col_base,
                 words[u:ue].view(np.uint8).reshape(ue - u, -1),
                 axis=1, bitorder="little")
             t_of, local = np.nonzero(bits)
-            finalize_globals(row_base[s + u + t_of] + local // tile,
-                             col_base[s + u + t_of] + local % tile)
+            r_glob = row_base[s + u + t_of] + local // tile
+            c_glob = col_base[s + u + t_of] + local % tile
+            # self-pairs are emitted separately by the fused drivers —
+            # the bitmap recompute must not double-count them
+            keep = r_glob != c_glob
+            finalize_globals(r_glob[keep], c_glob[keep])
 
 
 def _run_fused_extraction(planes, thr_j, tile, L, coords, row_base,
-                          col_base, cap_w, cap_c, finalize_dots, ops=None,
+                          col_base, cap_c, finalize_dots, ops=None,
                           col_planes=None, col_thr=None):
     """Chunked, pipelined fused extraction over a tile coordinate list.
 
@@ -427,8 +441,8 @@ def _run_fused_extraction(planes, thr_j, tile, L, coords, row_base,
     combines/filters). With col_planes/col_thr the tile space is
     RECTANGULAR: row tiles slice (planes, thr_j), column tiles the col
     operands (the streaming engine's shape). Returns
-    [(tile_idx, cand_count, word_count)] for tiles that overflowed
-    (cap_w/cap_c) and must be retried."""
+    [(tile_idx, cand_count)] for tiles that overflowed cap_c and must be
+    retried."""
     T = len(coords)
     if T == 0:
         return []
@@ -462,33 +476,54 @@ def _run_fused_extraction(planes, thr_j, tile, L, coords, row_base,
         bases[:e - s, 1] = col_base[s:e]
         return bases
 
+    def exact_out_cap(cand_counts, e_minus_s, k_pad):
+        """Exact per-device out_cap from the authoritative counts — a
+        TINY (4 bytes/tile) device read. Used for the FIRST chunk, where
+        the running density estimate has no data and a shortfall would
+        cost a full second transfer of the big buffer."""
+        cc = np.asarray(cand_counts)[:e_minus_s]
+        kept = np.minimum(cc.astype(np.int64), cap_c)
+        kept[cc > cap_c] = 0
+        if ops is not None:
+            padded = np.zeros(k_pad, dtype=np.int64)
+            padded[:e_minus_s] = kept
+            per_dev = ops.block_total_max(padded)
+        else:
+            per_dev = int(kept.sum())
+        return ((max(per_dev, 1) + 16383) // 16384) * 16384
+
     def dispatch(s):
         e = min(s + K, T)
         bcoords = np.zeros((K, 3), dtype=np.int32)
         bcoords[:e - s, :2] = coords[s:e]
         bcoords[:e - s, 2] = 1
         bases = make_bases(s, e)
-        out_cap = estimate()
         if ops is not None:
-            cand_idx, partials, cand_counts, word_counts, k_pad = \
-                ops.sweep_extract_fused(planes, thr_j, bcoords, tile, L,
-                                        cap_w, cap_c, col_planes, col_thr)
-            buf = ops.compact_cands_combined(
-                cand_counts, word_counts, cand_idx, partials, bases, tile,
-                out_cap, cap_w, k_pad)
+            cand_idx, partials, cand_counts, k_pad = \
+                ops.sweep_extract_fused(planes, thr_j, bcoords, bases,
+                                        tile, L, cap_c, col_planes,
+                                        col_thr)
         else:
             pj = planes if col_planes is None else col_planes
             tj = thr_j if col_thr is None else col_thr
-            cand_idx, partials, cand_counts, word_counts = \
+            cand_idx, partials, cand_counts = \
                 pw.sweep_extract_fused_ij(planes, thr_j, pj, tj,
-                                          jnp.asarray(bcoords), tile, L,
-                                          cap_w, cap_c)
+                                          jnp.asarray(bcoords),
+                                          jnp.asarray(bases), tile, L,
+                                          cap_c)
             k_pad = K
+        out_cap = exact_out_cap(cand_counts, e - s, k_pad) \
+            if seen_tiles == 0 else estimate()
+        if ops is not None:
+            buf = ops.compact_cands_combined(
+                cand_counts, cand_idx, partials, bases, tile, out_cap,
+                k_pad)
+        else:
             buf = pw.compact_cands_combined(
-                cand_counts, word_counts, cand_idx, partials,
-                jnp.asarray(bases), tile, out_cap, cap_w)
-        return (s, e, out_cap, cand_idx, partials, cand_counts,
-                word_counts, bases, buf, k_pad)
+                cand_counts, cand_idx, partials, jnp.asarray(bases), tile,
+                out_cap)
+        return (s, e, out_cap, cand_idx, partials, cand_counts, bases,
+                buf, k_pad)
 
     retries = []
 
@@ -501,16 +536,15 @@ def _run_fused_extraction(planes, thr_j, tile, L, coords, row_base,
 
     def collect(job):
         nonlocal seen_tiles, seen_cands
-        (s, e, out_cap, cand_idx, partials, cand_counts, word_counts,
-         bases, buf, k_pad) = job
+        (s, e, out_cap, cand_idx, partials, cand_counts, bases, buf,
+         k_pad) = job
         t0 = time.perf_counter()
-        cc, wc, r_glob, c_glob, parts_h = read_split(buf, k_pad, out_cap)
-        cc, wc = cc[:e - s], wc[:e - s]
+        cc, r_glob, c_glob, parts_h = read_split(buf, k_pad, out_cap)
+        cc = cc[:e - s]
         seen_tiles += e - s
         seen_cands += int(cc.sum())
-        over = (cc > cap_c) | (wc > cap_w)
-        retries.extend((s + t, int(cc[t]), int(wc[t]))
-                       for t in np.flatnonzero(over))
+        over = cc > cap_c
+        retries.extend((s + t, int(cc[t])) for t in np.flatnonzero(over))
         kept = np.minimum(cc.astype(np.int64), cap_c)
         kept[over] = 0
         if ops is not None:
@@ -525,13 +559,13 @@ def _run_fused_extraction(planes, thr_j, tile, L, coords, row_base,
             out_cap = ((needed + 16383) // 16384) * 16384
             if ops is not None:
                 buf = ops.compact_cands_combined(
-                    cand_counts, word_counts, cand_idx, partials, bases,
-                    tile, out_cap, cap_w, k_pad)
+                    cand_counts, cand_idx, partials, bases, tile, out_cap,
+                    k_pad)
             else:
                 buf = pw.compact_cands_combined(
-                    cand_counts, word_counts, cand_idx, partials,
-                    jnp.asarray(bases), tile, out_cap, cap_w)
-            _, _, r_glob, c_glob, parts_h = read_split(buf, k_pad, out_cap)
+                    cand_counts, cand_idx, partials, jnp.asarray(bases),
+                    tile, out_cap)
+            _, r_glob, c_glob, parts_h = read_split(buf, k_pad, out_cap)
         _acc("extract_ms", t0)
         dots = pw.combine_plane_partials(parts_h.T, L)
         finalize_dots(r_glob, c_glob, dots)
@@ -898,6 +932,12 @@ def _compute_streaming_fused(db, norms_sq, total, begin_row, end_row,
                                             max_abs)
     parts, finalize_globals, finalize_dots = _make_finalizer(
         Vmm, norms_sq, begin_row, end_row, total, d, exact_filter, max_abs)
+
+    # self-pairs: masked in-kernel, emitted directly (see the resident
+    # engine) — exact self dots from the vectors memmap
+    self_rows = np.arange(begin_row, end_row, dtype=np.int64)
+    finalize_dots(self_rows, self_rows.copy(),
+                  pw.exact_dots_host(Vmm, self_rows, self_rows, max_abs))
 
     P = pw.num_planes(L)
     bytes_per_tile = P * tile * d

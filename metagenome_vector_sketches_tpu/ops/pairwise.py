@@ -381,35 +381,10 @@ def sweep_words(planes, thr, coords, tile: int, cap_words: int):
              word_counts (K,) int32 true nonzero-word counts).
     """
     P, npad, d = planes.shape
-    if tile % 32 == 0:
-        # bit packing as two exact f32 MATMULS on the MXU (each word column
-        # has <= 16 contributing bits, so partial sums stay < 2^16 —
-        # exactly representable): ~20% faster than the VPU packbits
-        wpt_row = tile // 32
-        m_lo = np.zeros((tile, wpt_row), dtype=np.float32)
-        m_hi = np.zeros((tile, wpt_row), dtype=np.float32)
-        for cc in range(tile):
-            if cc % 32 < 16:
-                m_lo[cc, cc // 32] = float(1 << (cc % 32))
-            else:
-                m_hi[cc, cc // 32] = float(1 << (cc % 32 - 16))
-        m_lo = jnp.asarray(m_lo)
-        m_hi = jnp.asarray(m_hi)
-
-        def pack(passes):
-            pf = passes.astype(jnp.float32)
-            lo = jax.lax.dot_general(pf, m_lo, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            hi = jax.lax.dot_general(pf, m_hi, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            return ((hi.astype(jnp.uint32) << 16)
-                    | lo.astype(jnp.uint32)).reshape(-1)
-    else:
-        lane = jnp.arange(32, dtype=jnp.uint32)
-
-        def pack(passes):
-            grouped = passes.reshape(-1, 32).astype(jnp.uint32)
-            return jnp.sum(grouped << lane, axis=1).astype(jnp.uint32)
+    # bit packing as two exact f32 MATMULS on the MXU when tile % 32 == 0
+    # (each word column has <= 16 contributing bits, so partial sums stay
+    # < 2^16 — exactly representable): ~20% faster than the VPU packbits
+    pack = _pack_words_fns(tile)
 
     def one(carry, rc):
         r, c, valid = rc[0], rc[1], rc[2]
@@ -476,23 +451,46 @@ def sweep_compact_words(planes, thr, coords, tile: int, cap_words: int,
     return packed, vals, cand_counts, word_counts
 
 
+def _group_count_fn(tile: int, g: int):
+    """(tile, tile) bool -> (tile, tile//g) float32 per-(row, g-column-
+    group) survivor counts as ONE exact f32 MXU matmul (counts <= g <= 32
+    < 2^24). Operand generated from iota — no HLO literals."""
+    ng = tile // g
+
+    def counts(passes):
+        cc = jnp.arange(tile, dtype=jnp.int32)
+        w = jnp.arange(ng, dtype=jnp.int32)
+        onehot = (cc[:, None] // g == w[None, :]).astype(jnp.float32)
+        return jax.lax.dot_general(
+            passes.astype(jnp.float32), onehot,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (tile, ng)
+    return counts
+
+
 def _pack_words_fns(tile: int):
     """Mask (tile, tile) bool -> (tile*tile//32,) uint32 packer. MXU path
     when tile % 32 == 0 (two exact f32 matmuls; each word column sums
     <= 16 bits < 2^16), VPU shift-sum otherwise."""
     if tile % 32 == 0:
         wpt_row = tile // 32
-        m_lo = np.zeros((tile, wpt_row), dtype=np.float32)
-        m_hi = np.zeros((tile, wpt_row), dtype=np.float32)
-        for cc in range(tile):
-            if cc % 32 < 16:
-                m_lo[cc, cc // 32] = float(1 << (cc % 32))
-            else:
-                m_hi[cc, cc // 32] = float(1 << (cc % 32 - 16))
-        m_lo = jnp.asarray(m_lo)
-        m_hi = jnp.asarray(m_hi)
+
+        def masks():
+            # generated from iota (NOT literal arrays): a (tile, tile/32)
+            # f32 literal pair is ~0.5 MB each in the serialized HLO,
+            # which can exceed remote-compile request-size limits
+            cc = jnp.arange(tile, dtype=jnp.int32)
+            w = jnp.arange(wpt_row, dtype=jnp.int32)
+            onehot = (cc[:, None] // 32 == w[None, :]).astype(jnp.float32)
+            bit = cc % 32
+            lo_w = jnp.where(bit < 16, (1 << jnp.minimum(bit, 15))
+                             .astype(jnp.float32), 0.0)
+            hi_w = jnp.where(bit >= 16, (1 << jnp.maximum(bit - 16, 0))
+                             .astype(jnp.float32), 0.0)
+            return onehot * lo_w[:, None], onehot * hi_w[:, None]
 
         def pack(passes):
+            m_lo, m_hi = masks()
             pf = passes.astype(jnp.float32)
             lo = jax.lax.dot_general(pf, m_lo, (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
@@ -525,10 +523,9 @@ def _first_k_nonzero(mask_i32, k: int):
     return jnp.where(valid, idx, -1), valid
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "L", "cap_w", "cap_c"))
+@functools.partial(jax.jit, static_argnames=("tile", "L", "cap_c"))
 def sweep_extract_fused_ij(planes_i, thr_i_all, planes_j, thr_j_all,
-                           coords, tile: int, L: int, cap_w: int,
-                           cap_c: int):
+                           coords, bases, tile: int, L: int, cap_c: int):
     """SINGLE-PASS sweep + extraction + exact finalize partials (the
     round-3 engine) over a RECTANGULAR tile space: row tiles come from
     planes_i, column tiles from planes_j (pass the same array twice for
@@ -540,10 +537,12 @@ def sweep_extract_fused_ij(planes_i, thr_i_all, planes_j, thr_j_all,
     One scan over tile coordinates that fuses
 
       1. the L(L+1)/2 int8 plane matmuls + float32 threshold (the sweep),
-      2. survivor compaction — mask bits packed to uint32 words on the
-         MXU, then word -> slot first-k selection via cumsum+searchsorted
-         (:func:`_first_k_nonzero`; the round-2 extraction cost was a
-         sort-backed top_k over all wpt words per tile),
+      2. survivor compaction by DIRECT RANK LOOKUP: per-(row, 32-column-
+         group) survivor counts come from one exact f32 MXU matmul; the
+         k-th survivor's (row, group, bit) is then found with a cumsum
+         over tile rows + tiny per-candidate cumsums — no sort, no
+         top_k, no bit-packing pass (each measured as tens of us/tile on
+         v5e in the round-3 bisect; this whole stage is ~15 us),
       3. exact per-candidate limb-pair dot partials, recomputed in-kernel
          from the ALREADY-SLICED tile operands (the round-2 engine paid a
          third pass over the planes + an extra dispatch per chunk for
@@ -562,7 +561,12 @@ def sweep_extract_fused_ij(planes_i, thr_i_all, planes_j, thr_j_all,
         (+inf padding rows).
       coords: (K, 3) int32 (row_tile into planes_i, col_tile into
         planes_j, valid).
-      cap_w: static per-tile nonzero-WORD capacity.
+      bases: (K, 2) int32 per-tile (row_base, col_base) GLOBAL element
+        offsets. Used to mask SELF-pairs (global row == global column)
+        out of the survivor set: the engine emits them directly from the
+        exact self dots instead, which keeps diagonal tiles at ordinary
+        density (every diagonal tile would otherwise carry >= tile
+        guaranteed survivors and overflow any reasonable capacity floor).
       cap_c: static per-tile candidate capacity.
 
     Returns per tile (scan-stacked):
@@ -573,46 +577,59 @@ def sweep_extract_fused_ij(planes_i, thr_i_all, planes_j, thr_j_all,
         (diagonal terms first, then symmetrized cross terms, the
         :func:`combine_plane_partials` order).
       cand_counts (K,) int32 — TRUE survivor count (authoritative).
-      word_counts (K,) int32 — TRUE nonzero-word count.
     """
     P, _, d = planes_i.shape
     PL = num_planes(L)
-    assert (tile * tile) % 32 == 0
-    pack = _pack_words_fns(tile)
-    lane32 = jnp.arange(32, dtype=jnp.int32)
+    g = 32 if tile % 32 == 0 else tile     # column-group width
+    ng = tile // g
+    gcount = _group_count_fn(tile, g)
+    gi = jnp.arange(g, dtype=jnp.int32)
 
-    def one(carry, rc):
+    def one(carry, rcb):
+        rc, tb = rcb
         r, c, valid = rc[0], rc[1], rc[2]
         vi = jax.lax.dynamic_slice(planes_i, (0, r * tile, 0), (P, tile, d))
         vj = jax.lax.dynamic_slice(planes_j, (0, c * tile, 0), (P, tile, d))
         thr_i = jax.lax.dynamic_slice(thr_i_all, (r * tile,), (tile,))
         thr_j = jax.lax.dynamic_slice(thr_j_all, (c * tile,), (tile,))
         approx = approx_dot_f32(vi, vj)
+        ti_g = tb[0] + jax.lax.iota(jnp.int32, tile)      # global rows
+        tj_g = tb[1] + jax.lax.iota(jnp.int32, tile)      # global cols
         passes = (approx / np.float32(d) >
                   0.05 * (thr_i[:, None] + thr_j[None, :]) * SLACK_REL
-                  - SLACK_ABS) & (valid > 0)
-        words = pack(passes)                               # (wpt,) uint32
-        nzw = (words != jnp.uint32(0)).astype(jnp.int32)
-        word_count = jnp.sum(nzw)
-        cand_count = jnp.sum(passes.astype(jnp.int32))
+                  - SLACK_ABS) & (valid > 0) \
+            & (ti_g[:, None] != tj_g[None, :])            # self-pairs out
 
-        # first cap_w nonzero words, ascending (cumsum selection is cheap
-        # even over all tile^2/32 words — no hierarchical funnel needed)
-        widx, w_valid = _first_k_nonzero(nzw, cap_w)
-        wvals = jnp.where(w_valid, words[jnp.maximum(widx, 0)],
-                          jnp.uint32(0))
+        # ---- direct rank lookup: the k-th survivor's (row, group, bit)
+        wcounts = gcount(passes).astype(jnp.int32)         # (tile, ng)
+        row_counts = jnp.sum(wcounts, axis=1)              # (tile,)
+        cand_count = jnp.sum(row_counts)
+        cum_rows = jnp.cumsum(row_counts)
+        starts = cum_rows - row_counts
+        j = jnp.arange(cap_c, dtype=jnp.int32)
+        row = jnp.searchsorted(cum_rows, j, side="right").astype(jnp.int32)
+        row_s = jnp.minimum(row, tile - 1)
+        local = j - starts[row_s]
+        wrow = wcounts[row_s]                              # (cap_c, ng)
+        cumw = jnp.cumsum(wrow, axis=1)
+        grp = jnp.sum((cumw <= local[:, None]).astype(jnp.int32), axis=1)
+        grp_s = jnp.minimum(grp, ng - 1)
+        before = jnp.where(
+            grp_s > 0,
+            jnp.take_along_axis(cumw, jnp.maximum(grp_s - 1, 0)[:, None],
+                                axis=1)[:, 0], 0)
+        q2 = local - before
+        flat = passes.reshape(-1).astype(jnp.int32)
+        base = row_s * tile + grp_s * g
+        seg = flat[base[:, None] + gi[None, :]]            # (cap_c, g)
+        cumb = jnp.cumsum(seg, axis=1)
+        bit = jnp.sum((cumb <= q2[:, None]).astype(jnp.int32), axis=1)
+        valid_c = j < cand_count
+        cand = jnp.where(valid_c,
+                         base + jnp.minimum(bit, g - 1), -1)   # (cap_c,)
 
-        # level 3: expand selected words into slots, select first cap_c
-        # surviving slots (ascending because widx is ascending)
-        slot_bits = ((wvals[:, None] >> lane32[None, :].astype(jnp.uint32))
-                     & jnp.uint32(1)).astype(jnp.int32)    # (cap_w, 32)
-        slot_flat = jnp.maximum(widx, 0)[:, None] * 32 + lane32[None, :]
-        sel, c_valid = _first_k_nonzero(slot_bits.reshape(-1), cap_c)
-        cand = jnp.where(c_valid, slot_flat.reshape(-1)[
-            jnp.maximum(sel, 0)], -1)                      # (cap_c,)
-
-        # exact limb-pair partials for the selected candidates, from the
-        # tile operands already in registers (first L planes = the limbs)
+        # ---- exact limb-pair partials for the selected candidates, from
+        # the tile operands already on hand (first L planes = the limbs)
         ii = jnp.maximum(cand, 0) // tile
         jj = jnp.maximum(cand, 0) % tile
         x = jnp.transpose(vi[:L, ii, :], (1, 0, 2))        # (cap_c, L, d)
@@ -624,20 +641,22 @@ def sweep_extract_fused_ij(planes_i, thr_i_all, planes_j, thr_j_all,
         cols += [D[:, a, b] + D[:, b, a] for a in range(L)
                  for b in range(a + 1, L)]
         partials = jnp.stack(cols, axis=1)                 # (cap_c, PL)
-        partials = jnp.where(c_valid[:, None], partials, 0)
-        return carry, (cand, partials, cand_count, word_count)
+        partials = jnp.where(valid_c[:, None], partials, 0)
+        return carry, (cand, partials, cand_count)
 
-    _, (cand_idx, partials, cand_counts, word_counts) = \
-        jax.lax.scan(one, None, coords)
-    return cand_idx, partials, cand_counts, word_counts
+    _, (cand_idx, partials, cand_counts) = \
+        jax.lax.scan(one, None, (coords, bases))
+    return cand_idx, partials, cand_counts
 
 
 def sweep_extract_fused(planes, thr, coords, tile: int, L: int,
-                        cap_w: int, cap_c: int):
+                        cap_c: int):
     """Symmetric (all-vs-all) wrapper of :func:`sweep_extract_fused_ij` —
-    row and column tiles slice the same device-resident planes array."""
-    return sweep_extract_fused_ij(planes, thr, planes, thr, coords, tile,
-                                  L, cap_w, cap_c)
+    row and column tiles slice the same device-resident planes array,
+    bases derived from the tile coordinates."""
+    bases = coords[:, :2].astype(jnp.int32) * tile
+    return sweep_extract_fused_ij(planes, thr, planes, thr, coords,
+                                  bases, tile, L, cap_c)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "out_cap"))
@@ -670,18 +689,17 @@ def compact_cands(cand_idx, partials, tile: int, out_cap: int):
     return out_packed, out_parts
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "out_cap", "cap_w"))
-def compact_cands_combined(cand_counts, word_counts, cand_idx, partials,
-                           bases, tile: int, out_cap: int, cap_w: int):
+@functools.partial(jax.jit, static_argnames=("tile", "out_cap"))
+def compact_cands_combined(cand_counts, cand_idx, partials,
+                           bases, tile: int, out_cap: int):
     """Single-buffer chunk compaction: everything the host needs from one
     fused chunk as ONE int32 array, so ONE device->host transfer moves it
     (the tunnel charges ~45 ms of fixed latency per transfer; three reads
     per chunk dominated the round-2-style flow).
 
     Layout (all int32):
-      [0,   K)                cand_counts
-      [K,  2K)                word_counts
-      [2K, 2K+out_cap)        r_glob  (global row; -1 tail padding)
+      [0,  K)                 cand_counts
+      [K,  K+out_cap)         r_glob  (global row; -1 tail padding)
       [.., ..+out_cap)        c_glob  (global column)
       [.., ..+out_cap*PL)     partials, candidate-major (PL per candidate)
 
@@ -693,11 +711,10 @@ def compact_cands_combined(cand_counts, word_counts, cand_idx, partials,
     K, cap_c = cand_idx.shape
     PL = partials.shape[2]
     kept = jnp.sum((cand_idx >= 0).astype(jnp.int32), axis=1)   # (K,)
-    # tiles that overflowed either capacity are dropped HERE (their counts
-    # in the header route them to the engine's exact-capacity retry; their
+    # tiles that overflowed cap_c are dropped HERE (their counts in the
+    # header route them to the engine's exact-capacity retry; their
     # truncated candidates must not be emitted)
-    over = (cand_counts > cap_c) | (word_counts > cap_w)
-    kept = jnp.where(over, 0, kept)
+    kept = jnp.where(cand_counts > cap_c, 0, kept)
     ends = jnp.cumsum(kept)
     starts = ends - kept
     total = ends[-1]
@@ -711,33 +728,32 @@ def compact_cands_combined(cand_counts, word_counts, cand_idx, partials,
     c_glob = jnp.where(valid, bases[t_safe, 1] + local % tile, -1)
     parts = jnp.where(valid[:, None], partials[t_safe, j], 0)
     return jnp.concatenate([
-        cand_counts.astype(jnp.int32), word_counts.astype(jnp.int32),
-        r_glob, c_glob, parts.reshape(-1)])
+        cand_counts.astype(jnp.int32), r_glob, c_glob, parts.reshape(-1)])
 
 
 def split_combined(buf: np.ndarray, K: int, out_cap: int, PL: int):
     """Host-side view split of one compact_cands_combined buffer ->
-    (cand_counts (K,), word_counts (K,), r_glob, c_glob, partials
-    (n_valid, PL)) with padding rows removed."""
+    (cand_counts (K,), r_glob, c_glob, partials (n_valid, PL)) with
+    padding rows removed."""
     cand_counts = buf[:K]
-    word_counts = buf[K:2 * K]
-    r_glob = buf[2 * K:2 * K + out_cap]
-    c_glob = buf[2 * K + out_cap:2 * K + 2 * out_cap]
-    parts = buf[2 * K + 2 * out_cap:].reshape(out_cap, PL)
+    r_glob = buf[K:K + out_cap]
+    c_glob = buf[K + out_cap:K + 2 * out_cap]
+    parts = buf[K + 2 * out_cap:].reshape(out_cap, PL)
     valid = r_glob >= 0
-    return (cand_counts, word_counts, r_glob[valid].astype(np.int64),
+    return (cand_counts, r_glob[valid].astype(np.int64),
             c_glob[valid].astype(np.int64), parts[valid])
 
 
 def sweep_extract_compact(planes, thr, coords, tile: int, L: int,
-                          cap_w: int, cap_c: int, out_cap: int):
-    """sweep_extract_fused + compact_cands: all K tiles' candidates leave
-    the device as one exactly-sized (packed int32, partials int32) pair
-    plus the authoritative per-tile counts."""
-    cand_idx, partials, cand_counts, word_counts = sweep_extract_fused(
-        planes, thr, coords, tile, L, cap_w, cap_c)
+                          cap_c: int, out_cap: int):
+    """sweep_extract_fused + compact_cands: all K tiles' candidates
+    (self-pairs excluded) leave the device as one exactly-sized
+    (packed int32, partials int32) pair plus the authoritative per-tile
+    counts."""
+    cand_idx, partials, cand_counts = sweep_extract_fused(
+        planes, thr, coords, tile, L, cap_c)
     packed, parts = compact_cands(cand_idx, partials, tile, out_cap)
-    return packed, parts, cand_counts, word_counts
+    return packed, parts, cand_counts
 
 
 @functools.partial(jax.jit, static_argnames=("L",))

@@ -82,31 +82,29 @@ def _compact_words_fn(mesh, tile: int, cap_words: int, out_cap: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _extract_fused_heavy_fn(mesh, tile: int, L: int, cap_w: int,
-                            cap_c: int):
-    def local(planes_i, thr_i, planes_j, thr_j, coords):
+def _extract_fused_heavy_fn(mesh, tile: int, L: int, cap_c: int):
+    def local(planes_i, thr_i, planes_j, thr_j, coords, bases):
         return pw.sweep_extract_fused_ij.__wrapped__(
-            planes_i, thr_i, planes_j, thr_j, coords, tile, L, cap_w,
+            planes_i, thr_i, planes_j, thr_j, coords, bases, tile, L,
             cap_c)
 
     return jax.jit(shard_map(local, mesh=mesh,
                              in_specs=(P(), P(), P(), P(),
+                                       P(DATA_AXIS, None),
                                        P(DATA_AXIS, None)),
                              out_specs=(P(DATA_AXIS), P(DATA_AXIS),
-                                        P(DATA_AXIS), P(DATA_AXIS))))
+                                        P(DATA_AXIS))))
 
 
 @functools.lru_cache(maxsize=None)
-def _compact_combined_fn(mesh, tile: int, out_cap: int, cap_w: int):
-    def local(cand_counts, word_counts, cand_idx, partials, bases):
+def _compact_combined_fn(mesh, tile: int, out_cap: int):
+    def local(cand_counts, cand_idx, partials, bases):
         return pw.compact_cands_combined.__wrapped__(
-            cand_counts, word_counts, cand_idx, partials, bases, tile,
-            out_cap, cap_w)
+            cand_counts, cand_idx, partials, bases, tile, out_cap)
 
     return jax.jit(shard_map(local, mesh=mesh,
                              in_specs=(P(DATA_AXIS), P(DATA_AXIS),
-                                       P(DATA_AXIS), P(DATA_AXIS),
-                                       P(DATA_AXIS)),
+                                       P(DATA_AXIS), P(DATA_AXIS)),
                              out_specs=P(DATA_AXIS)))
 
 
@@ -193,35 +191,37 @@ class MeshSweepOps:
         return (packed, np.asarray(vals).reshape(-1),
                 np.asarray(cand_counts)[:k], np.asarray(word_counts)[:k])
 
-    def sweep_extract_fused(self, planes, thr, bcoords, tile: int,
-                            L: int, cap_w: int, cap_c: int,
+    def sweep_extract_fused(self, planes, thr, bcoords, bases, tile: int,
+                            L: int, cap_c: int,
                             planes_j=None, thr_j=None):
         """Mesh version of the round-3 FUSED single-pass heavy program:
-        tile coordinates sharded; returns DEVICE-RESIDENT (cand_idx,
-        partials) (for compact_cands) plus counts and the padded tile
-        count (counts still device-resident — the caller reads them
-        when it needs them). planes_j/thr_j give the rectangular
-        (streaming) form; default is the symmetric all-vs-all one."""
+        tile coordinates + global bases sharded; returns DEVICE-RESIDENT
+        (cand_idx, partials) (for compact_cands_combined) plus counts
+        and the padded tile count (counts still device-resident — the
+        caller reads them when it needs them). planes_j/thr_j give the
+        rectangular (streaming) form; default is symmetric all-vs-all."""
         cp, k = self._pad(bcoords)
+        bp = np.zeros((cp.shape[0], 2), dtype=np.int32)
+        bp[:len(bases)] = bases[:cp.shape[0]]
         if planes_j is None:
             planes_j, thr_j = planes, thr
-        cand_idx, partials, cand_counts, word_counts = \
-            _extract_fused_heavy_fn(self.mesh, tile, L, cap_w, cap_c)(
-                planes, thr, planes_j, thr_j, jnp.asarray(cp))
-        return cand_idx, partials, cand_counts, word_counts, k
+        cand_idx, partials, cand_counts = \
+            _extract_fused_heavy_fn(self.mesh, tile, L, cap_c)(
+                planes, thr, planes_j, thr_j, jnp.asarray(cp),
+                jnp.asarray(bp))
+        return cand_idx, partials, cand_counts, k
 
-    def compact_cands_combined(self, cand_counts, word_counts, cand_idx,
-                               partials, bases, tile: int, out_cap: int,
-                               cap_w: int, k_pad: int):
+    def compact_cands_combined(self, cand_counts, cand_idx, partials,
+                               bases, tile: int, out_cap: int,
+                               k_pad: int):
         """Light combined compaction of resident fused buffers: each
         device emits its own single int32 buffer (counts + global
         coordinates + partials); the stacked result still crosses D2H as
         ONE transfer. out_cap bounds each DEVICE's compacted output."""
         bases_pad = np.zeros((k_pad, 2), dtype=np.int32)
         bases_pad[:len(bases)] = bases[:k_pad]
-        return _compact_combined_fn(self.mesh, tile, out_cap, cap_w)(
-            cand_counts, word_counts, cand_idx, partials,
-            jnp.asarray(bases_pad))
+        return _compact_combined_fn(self.mesh, tile, out_cap)(
+            cand_counts, cand_idx, partials, jnp.asarray(bases_pad))
 
     def split_combined(self, buf: np.ndarray, k_pad: int, out_cap: int,
                        PL: int):
@@ -236,8 +236,7 @@ class MeshSweepOps:
         return (np.concatenate([p[0] for p in parts]),
                 np.concatenate([p[1] for p in parts]),
                 np.concatenate([p[2] for p in parts]),
-                np.concatenate([p[3] for p in parts]),
-                np.concatenate([p[4] for p in parts]))
+                np.concatenate([p[3] for p in parts]))
 
     def block_total_max(self, per_tile_counts) -> int:
         """Max over devices of the summed counts in that device's

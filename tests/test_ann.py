@@ -260,3 +260,30 @@ def test_mvsflatip_backcompat_load(tmp_path):
     idx = FlatIPIndex.load(path)
     assert (idx.ntotal, idx.d) == (9, 4)
     np.testing.assert_array_equal(idx.vectors, V)
+
+
+def test_scan_topk_matches_loop_and_bf16_rescore():
+    """The single-program scan search must equal the per-chunk loop path
+    exactly (f32), and bf16_rescore must achieve full recall at toy scale
+    with exactly-rescored scores."""
+    rng = np.random.default_rng(75)
+    n, d, k = 1000, 64, 10
+    V = normalize_l2(rng.normal(size=(n, d)).astype(np.float32))
+    Q = normalize_l2(rng.normal(size=(17, d)).astype(np.float32))
+    ref = FlatIPIndex(V, chunk_rows=128)
+    ref._chunk_stack = lambda: None          # force the loop path
+    Dl, Il = ref.search(Q, k)
+    scan = FlatIPIndex(V, chunk_rows=128)    # scan path (stack)
+    Ds, Is = scan.search(Q, k)
+    np.testing.assert_array_equal(Is, Il)
+    np.testing.assert_allclose(Ds, Dl, rtol=1e-6, atol=1e-7)
+    fast = FlatIPIndex(V, chunk_rows=128, precision="bf16_rescore")
+    Df, If = fast.search(Q, k)
+    # exact rescoring: scores of the common neighbors match f32 exactly
+    for b in range(17):
+        common = set(If[b].tolist()) & set(Il[b].tolist())
+        assert len(common) >= k - 1          # bf16 pool recall
+        ref_scores = dict(zip(Il[b].tolist(), Dl[b].tolist()))
+        for j, idx in enumerate(If[b].tolist()):
+            if idx in ref_scores:
+                assert abs(Df[b, j] - ref_scores[idx]) < 1e-6

@@ -20,15 +20,20 @@ from metagenome_vector_sketches_tpu.matrix.writer import quantize_jaccard
 
 def _mask_oracle(V, norms_sq, tile, r, c, d):
     """Float32-sweep survivor mask for tile (r, c) — same float32 math the
-    kernel applies, computed densely in numpy."""
+    kernel applies (self-pairs excluded, as the kernel masks them),
+    computed densely in numpy."""
     L = pw.pick_limbs(int(np.max(np.abs(V))) or 1)
     dots = V[r * tile:(r + 1) * tile].astype(np.float64) @ \
         V[c * tile:(c + 1) * tile].astype(np.float64).T
     ti = norms_sq[r * tile:(r + 1) * tile].astype(np.float32)
     tj = norms_sq[c * tile:(c + 1) * tile].astype(np.float32)
     # the kernel's threshold (float32 approx == exact here for small dots)
-    return (dots.astype(np.float32) / np.float32(d) >
-            0.05 * (ti[:, None] + tj[None, :]) * pw.SLACK_REL - pw.SLACK_ABS)
+    mask = (dots.astype(np.float32) / np.float32(d) >
+            0.05 * (ti[:, None] + tj[None, :]) * pw.SLACK_REL
+            - pw.SLACK_ABS)
+    gi = r * tile + np.arange(tile)
+    gj = c * tile + np.arange(tile)
+    return mask & (gi[:, None] != gj[None, :])
 
 
 def test_sweep_extract_fused_kernel_exact():
@@ -47,8 +52,8 @@ def test_sweep_extract_fused_kernel_exact():
     coords = np.array([(r, c, 1) for r in range(nt) for c in range(nt)],
                       dtype=np.int32)
     cap = tile * tile  # no truncation
-    cand, parts, ccnt, wcnt = pw.sweep_extract_fused(
-        planes, thr, jnp.asarray(coords), tile, L, min(cap, 1024), cap)
+    cand, parts, ccnt = pw.sweep_extract_fused(
+        planes, thr, jnp.asarray(coords), tile, L, cap)
     cand, parts = np.asarray(cand), np.asarray(parts)
     ccnt = np.asarray(ccnt)
     for k, (r, c, _) in enumerate(coords):
@@ -80,13 +85,17 @@ def test_fused_kernel_truncation_and_counts():
     thr = jnp.asarray(norms_sq.astype(np.float32))
     coords = np.array([(0, 0, 1)], dtype=np.int32)
     cap_c = 64
-    cand, parts, ccnt, wcnt = pw.sweep_extract_fused(
-        planes, thr, jnp.asarray(coords), tile, L, 8, cap_c)
-    assert int(np.asarray(ccnt)[0]) == tile * tile       # true count
+    cand, parts, ccnt = pw.sweep_extract_fused(
+        planes, thr, jnp.asarray(coords), tile, L, cap_c)
+    # true count excludes the tile's self-pair diagonal (masked in-kernel)
+    assert int(np.asarray(ccnt)[0]) == tile * tile - tile
     got = np.asarray(cand)[0]
     assert (got >= 0).sum() <= cap_c
     valid = got[got >= 0]
-    np.testing.assert_array_equal(valid, np.arange(len(valid)))  # first-k
+    # first-k in ascending row-major order, skipping the diagonal slots
+    full = np.arange(tile * tile)
+    expect = full[(full // tile) != (full % tile)][:len(valid)]
+    np.testing.assert_array_equal(valid, expect)
 
 
 @pytest.mark.parametrize("floor", [4, 512])
