@@ -342,12 +342,13 @@ def _compute_device_resident_fused(db, norms_sq, total, begin_row, end_row,
         device_ctx=(planes, L))
 
     # self-pairs (masked out of the kernel so diagonal tiles stay at
-    # ordinary density) are emitted directly from the exact self dots;
-    # the exact retention + quantization path treats them like any pair
+    # ordinary density) are emitted directly from the exact self dots —
+    # via finalize_globals so they ride the DEVICE exact-dot path (an
+    # O(R*d) float64 host pass was seconds on a single-vCPU host); the
+    # exact retention + quantization path treats them like any pair
     # (the reference keeps them, pairwise_comp_optimized.cpp:659)
     self_rows = np.arange(begin_row, end_row, dtype=np.int64)
-    finalize_dots(self_rows, self_rows.copy(),
-                  pw.exact_dots_host(V, self_rows, self_rows, max_abs))
+    finalize_globals(self_rows, self_rows.copy())
 
     _fused_extract_with_retries(planes, thr_j, tile, L, coords, row_base,
                                 col_base, finalize_dots, finalize_globals,
@@ -934,10 +935,10 @@ def _compute_streaming_fused(db, norms_sq, total, begin_row, end_row,
         Vmm, norms_sq, begin_row, end_row, total, d, exact_filter, max_abs)
 
     # self-pairs: masked in-kernel, emitted directly (see the resident
-    # engine) — exact self dots from the vectors memmap
+    # engine) — exact self dots from the vectors memmap, timed under
+    # finalize_ms
     self_rows = np.arange(begin_row, end_row, dtype=np.int64)
-    finalize_dots(self_rows, self_rows.copy(),
-                  pw.exact_dots_host(Vmm, self_rows, self_rows, max_abs))
+    finalize_globals(self_rows, self_rows.copy())
 
     P = pw.num_planes(L)
     bytes_per_tile = P * tile * d
