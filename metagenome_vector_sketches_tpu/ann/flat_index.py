@@ -210,11 +210,28 @@ class FlatIPIndex:
     def _chunk_stack(self):
         """(C, R, d) device-resident stacked chunks (zero-padded rows are
         masked by n_total inside _scan_topk). Built lazily from the host
-        vectors; None when the index was built from heterogeneous
-        device chunks (from_device_chunks) — those use the loop path."""
-        if self._stack is None and self._device_chunks is None \
-                and self.ntotal > 0:
-            n, d = self._shape
+        vectors, or by stacking UNIFORM device chunks in place
+        (from_device_chunks); heterogeneous/non-contiguous device chunks
+        fall back to the per-chunk loop path (stack stays None)."""
+        if self._stack is not None or self.ntotal == 0:
+            return self._stack
+        n, d = self._shape
+        if self._device_chunks is not None:
+            chunks = self._device_chunks
+            R = int(chunks[0][1].shape[0])
+            uniform = all(int(c.shape[0]) == R for _, c in chunks[:-1]) \
+                and int(chunks[-1][1].shape[0]) <= R \
+                and all(int(b) == i * R for i, (b, _) in enumerate(chunks))
+            if not uniform:
+                return None
+            arrs = [c for _, c in chunks]
+            last = arrs[-1]
+            if int(last.shape[0]) < R:
+                arrs[-1] = jnp.concatenate(
+                    [last, jnp.zeros((R - int(last.shape[0]), d),
+                                     jnp.float32)])
+            self._stack = jnp.stack(arrs)
+        else:
             R = min(self.chunk_rows, n)
             C = (n + R - 1) // R
             pad = C * R - n

@@ -508,6 +508,26 @@ def _pack_words_fns(tile: int):
     return pack
 
 
+def _count_le(a, q):
+    """Per-query count of elements of SORTED a (n,) that are <= q —
+    identical to jnp.searchsorted(a, q, side='right') but as an UNROLLED
+    branchless binary search (log2(n) gather+select steps on registers).
+    jnp.searchsorted's lowering measured ~50 us per scan step at n=2048
+    inside the fused kernel; this form is ~5 us."""
+    n = a.shape[0]
+    pos = jnp.zeros(q.shape, jnp.int32)
+    step = 1
+    while step < n:
+        step <<= 1
+    step >>= 1
+    while step:
+        cand = pos + step
+        ok = (cand <= n) & (a[jnp.minimum(cand, n) - 1] <= q)
+        pos = jnp.where(ok, cand, pos)
+        step >>= 1
+    return pos
+
+
 def _first_k_nonzero(mask_i32, k: int):
     """Indices of the FIRST k true entries of a 1-D int32 0/1 mask, in
     ascending order (-1 padding), via cumsum + searchsorted: the index of
@@ -583,6 +603,7 @@ def sweep_extract_fused_ij(planes_i, thr_i_all, planes_j, thr_j_all,
     g = 32 if tile % 32 == 0 else tile     # column-group width
     ng = tile // g
     gcount = _group_count_fn(tile, g)
+    pack = _pack_words_fns(tile) if g == 32 else None
     gi = jnp.arange(g, dtype=jnp.int32)
 
     def one(carry, rcb):
@@ -600,15 +621,19 @@ def sweep_extract_fused_ij(planes_i, thr_i_all, planes_j, thr_j_all,
                   - SLACK_ABS) & (valid > 0) \
             & (ti_g[:, None] != tj_g[None, :])            # self-pairs out
 
-        # ---- direct rank lookup: the k-th survivor's (row, group, bit)
+        # ---- direct rank lookup: the k-th survivor's (row, group, bit).
+        # Every step is either an MXU matmul over the mask or a small
+        # register-resident lookup — the round-3 bisect killed the two
+        # costly forms here (jnp.searchsorted lowering ~50 us/tile, and a
+        # scattered (cap_c, 32) element gather from the tile^2 mask
+        # ~120 us/tile; both are now a few us).
         wcounts = gcount(passes).astype(jnp.int32)         # (tile, ng)
         row_counts = jnp.sum(wcounts, axis=1)              # (tile,)
         cand_count = jnp.sum(row_counts)
         cum_rows = jnp.cumsum(row_counts)
         starts = cum_rows - row_counts
         j = jnp.arange(cap_c, dtype=jnp.int32)
-        row = jnp.searchsorted(cum_rows, j, side="right").astype(jnp.int32)
-        row_s = jnp.minimum(row, tile - 1)
+        row_s = jnp.minimum(_count_le(cum_rows, j), tile - 1)
         local = j - starts[row_s]
         wrow = wcounts[row_s]                              # (cap_c, ng)
         cumw = jnp.cumsum(wrow, axis=1)
@@ -619,27 +644,39 @@ def sweep_extract_fused_ij(planes_i, thr_i_all, planes_j, thr_j_all,
             jnp.take_along_axis(cumw, jnp.maximum(grp_s - 1, 0)[:, None],
                                 axis=1)[:, 0], 0)
         q2 = local - before
-        flat = passes.reshape(-1).astype(jnp.int32)
         base = row_s * tile + grp_s * g
-        seg = flat[base[:, None] + gi[None, :]]            # (cap_c, g)
-        cumb = jnp.cumsum(seg, axis=1)
-        bit = jnp.sum((cumb <= q2[:, None]).astype(jnp.int32), axis=1)
+        if pack is not None:
+            # one uint32 word per candidate from the MXU-packed mask
+            # (128 KB, VMEM-resident), then a 32-step register bit-rank
+            words = pack(passes)                           # (tile*ng,)
+            w = words[row_s * ng + grp_s]                  # (cap_c,)
+            cum = jnp.zeros_like(q2)
+            bit = jnp.zeros_like(q2)
+            for n in range(32):
+                b_n = ((w >> jnp.uint32(n)) & jnp.uint32(1)).astype(jnp.int32)
+                cum = cum + b_n
+                bit = bit + (cum <= q2).astype(jnp.int32)
+        else:
+            flat = passes.reshape(-1).astype(jnp.int32)
+            seg = flat[base[:, None] + gi[None, :]]        # (cap_c, g)
+            cumb = jnp.cumsum(seg, axis=1)
+            bit = jnp.sum((cumb <= q2[:, None]).astype(jnp.int32), axis=1)
         valid_c = j < cand_count
         cand = jnp.where(valid_c,
                          base + jnp.minimum(bit, g - 1), -1)   # (cap_c,)
 
         # ---- exact limb-pair partials for the selected candidates, from
-        # the tile operands already on hand (first L planes = the limbs)
+        # the tile operands already on hand (first L planes = the limbs).
+        # Per-limb row gathers + elementwise multiply-reduce: the batched
+        # (cap_c, L, d) x (cap_c, L, d) dot_general lowered to cap_c tiny
+        # matmuls (~165 us/tile); the explicit form is VPU-parallel.
         ii = jnp.maximum(cand, 0) // tile
         jj = jnp.maximum(cand, 0) % tile
-        x = jnp.transpose(vi[:L, ii, :], (1, 0, 2))        # (cap_c, L, d)
-        y = jnp.transpose(vj[:L, jj, :], (1, 0, 2))
-        D = jax.lax.dot_general(
-            x, y, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32)              # (cap_c, L, L)
-        cols = [D[:, a, a] for a in range(L)]
-        cols += [D[:, a, b] + D[:, b, a] for a in range(L)
-                 for b in range(a + 1, L)]
+        xs = [vi[a][ii].astype(jnp.int32) for a in range(L)]  # (cap_c, d)
+        ys = [vj[b][jj].astype(jnp.int32) for b in range(L)]
+        cols = [jnp.sum(xs[a] * ys[a], axis=1) for a in range(L)]
+        cols += [jnp.sum(xs[a] * ys[b] + xs[b] * ys[a], axis=1)
+                 for a in range(L) for b in range(a + 1, L)]
         partials = jnp.stack(cols, axis=1)                 # (cap_c, PL)
         partials = jnp.where(valid_c[:, None], partials, 0)
         return carry, (cand, partials, cand_count)
@@ -679,8 +716,7 @@ def compact_cands(cand_idx, partials, tile: int, out_cap: int):
     starts = ends - kept
     total = ends[-1]
     i = jnp.arange(out_cap, dtype=jnp.int32)
-    t_of = jnp.searchsorted(ends, i, side="right").astype(jnp.int32)
-    t_safe = jnp.minimum(t_of, K - 1)
+    t_safe = jnp.minimum(_count_le(ends, i), K - 1)
     j = jnp.clip(i - starts[t_safe], 0, cap_c - 1)
     valid = i < total
     vals = cand_idx[t_safe, j]
@@ -719,8 +755,7 @@ def compact_cands_combined(cand_counts, cand_idx, partials,
     starts = ends - kept
     total = ends[-1]
     i = jnp.arange(out_cap, dtype=jnp.int32)
-    t_of = jnp.searchsorted(ends, i, side="right").astype(jnp.int32)
-    t_safe = jnp.minimum(t_of, K - 1)
+    t_safe = jnp.minimum(_count_le(ends, i), K - 1)
     j = jnp.clip(i - starts[t_safe], 0, cap_c - 1)
     valid = i < total
     local = cand_idx[t_safe, j]
