@@ -180,15 +180,47 @@ class FlatIPIndex:
 
     @classmethod
     def from_device_chunks(cls, chunks, d: int,
-                           recall_target: float = 1.0) -> "FlatIPIndex":
+                           recall_target: float = 1.0,
+                           store: str | None = None) -> "FlatIPIndex":
         """Build an index over ALREADY-DEVICE-RESIDENT normalized chunks
         [(base_row, (rows, d) jnp float32), ...] — the TPU-first
-        construction path (no host copy; save() is unavailable)."""
+        construction path (no host copy; save() is unavailable).
+
+        store='bf16' re-stores the index as a bfloat16 chunk stack,
+        casting chunk by chunk and FREEING each float32 original (peak
+        HBM ~1.5x instead of 2x — an 8 GB float32 index cannot otherwise
+        be stacked on a 16 GB chip). The PASSED LIST IS CONSUMED in this
+        mode (emptied in place) — the caller must hold no other
+        references to the chunk arrays, or the originals cannot be
+        freed. Search is then forced to bf16_rescore: scores AND the
+        exact-math rescoring read the bf16 store, so results are exact
+        inner products of the bf16-rounded vectors (measured recall@50
+        vs full-f32 is ~1.0; not certified byte-exact to FAISS)."""
         self = cls(np.empty((0, d), dtype=np.float32),
-                   recall_target=recall_target)
-        self._device_chunks = list(chunks)
-        n = sum(int(c.shape[0]) for _, c in self._device_chunks)
+                   recall_target=recall_target,
+                   precision="bf16_rescore" if store == "bf16" else "f32")
+        if store != "bf16":
+            chunks = list(chunks)
+        n = sum(int(c.shape[0]) for _, c in chunks)
         self._shape = (n, d)
+        if store == "bf16":
+            R = int(chunks[0][1].shape[0])
+            assert all(int(c.shape[0]) == R for _, c in chunks[:-1]) \
+                and all(int(b) == i * R for i, (b, _) in enumerate(chunks)), \
+                "bf16 store requires uniform contiguous chunks"
+            cast = []
+            while chunks:
+                base, c = chunks.pop(0)
+                if int(c.shape[0]) < R:
+                    c = jnp.concatenate(
+                        [c, jnp.zeros((R - int(c.shape[0]), d),
+                                      jnp.float32)])
+                cast.append(c.astype(jnp.bfloat16))
+                del c                      # free the f32 original
+            self._stack = jnp.stack(cast)
+            self._device_chunks = None
+        else:
+            self._device_chunks = chunks
         return self
 
     @property
@@ -222,7 +254,10 @@ class FlatIPIndex:
             uniform = all(int(c.shape[0]) == R for _, c in chunks[:-1]) \
                 and int(chunks[-1][1].shape[0]) <= R \
                 and all(int(b) == i * R for i, (b, _) in enumerate(chunks))
-            if not uniform:
+            # stacking copies: originals + stack live together transiently,
+            # so a big device-built f32 index must stay on the loop path
+            # (or be built with store='bf16')
+            if not uniform or 2 * n * d * 4 > (12 << 30):
                 return None
             arrs = [c for _, c in chunks]
             last = arrs[-1]
@@ -251,11 +286,22 @@ class FlatIPIndex:
         B = queries_dev.shape[0]
         k_eff = min(k, max(1, self.ntotal))
         stack = self._chunk_stack()
+        if stack is None and self.precision == "bf16_rescore":
+            raise ValueError(
+                "bf16_rescore needs a chunk stack; a large device-built "
+                "f32 index cannot be stacked in HBM — build it with "
+                "from_device_chunks(..., store='bf16')")
         if stack is not None:
             if self.precision == "bf16_rescore":
                 kc = min(max(4 * k_eff, 64), self.ntotal)
+                # candidate selection rides approx_max_k (the TPU-native
+                # PartialReduce — a per-chunk exact top_k at the pool
+                # size measured SLOWER than the whole f32 search); the
+                # 4x pool + exact-math rescoring absorbs its recall slack
+                rt = 0.95 if self.recall_target >= 1.0 else \
+                    self.recall_target
                 _, cand = _scan_topk(queries_dev, stack, self.ntotal, kc,
-                                     recall_target=self.recall_target,
+                                     recall_target=rt,
                                      precision="bf16")
                 return _rescore_exact(queries_dev, stack, cand,
                                       self.ntotal, k_eff)

@@ -287,3 +287,23 @@ def test_scan_topk_matches_loop_and_bf16_rescore():
         for j, idx in enumerate(If[b].tolist()):
             if idx in ref_scores:
                 assert abs(Df[b, j] - ref_scores[idx]) < 1e-6
+
+
+def test_from_device_chunks_bf16_store():
+    """store='bf16': stacked bfloat16 store, scan search + f32-math
+    rescoring; near-perfect recall vs the f32 index at toy scale."""
+    import jax.numpy as jnp
+    from metagenome_vector_sketches_tpu.ann.flat_index import (
+        FlatIPIndex, normalize_l2)
+    rng = np.random.default_rng(76)
+    n, d, k = 700, 32, 10
+    V = normalize_l2(rng.normal(size=(n, d)).astype(np.float32))
+    R = 256
+    chunks = [(s, jnp.asarray(V[s:s + R])) for s in range(0, n, R)]
+    idx = FlatIPIndex.from_device_chunks(chunks, d, store="bf16")
+    assert idx.precision == "bf16_rescore"
+    Q = normalize_l2(rng.normal(size=(9, d)).astype(np.float32))
+    Db, Ib = idx.search(Q, k)
+    Df, If = FlatIPIndex(V).search(Q, k)
+    for b in range(9):
+        assert len(set(Ib[b].tolist()) & set(If[b].tolist())) >= k - 1
