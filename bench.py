@@ -311,10 +311,11 @@ def bench_e2e_pairwise(N=65536, d=2048, n_clusters=32768, tile=2048, seed=4):
     extraction + exact host finalize + shard write), with the per-stage
     split from matrix.compute.LAST_STAGES.
 
-    Note for reading the numbers on the tunneled bench chip: D2H of
-    device-produced buffers runs at ~30 KB/s here (measured), so the
-    extract stage is transfer-dominated in a way a locally-attached TPU
-    host would not be; the sweep/finalize/write stages are representative.
+    Note for reading the numbers on the tunneled bench chip: each
+    device->host transfer pays ~45 ms fixed latency plus ~22 MB/s
+    (measured r3), so the fused-extract stage carries transfer overhead a
+    locally-attached TPU host would not see; compute/write stages are
+    representative.
     """
     import shutil
     import tempfile
@@ -348,6 +349,7 @@ def bench_e2e_pairwise(N=65536, d=2048, n_clusters=32768, tile=2048, seed=4):
         mc.clear_device_cache()
         shutil.rmtree(tmp, ignore_errors=True)
     out = {"N": N, "d": d, "tile": tile,
+           "mode": st.get("mode"),
            "e2e_wall_s": round(wall, 2),
            "e2e_walls_s": [round(w, 2) for w in walls],
            "pairs_per_sec_e2e": round(float(N) * N / wall, 1),
@@ -450,6 +452,11 @@ def main():
         proj = bench_projection()
         topk = bench_topk()
         e2e = bench_e2e_pairwise()
+        # the production-scale headline: quarter-million rows, 6.9e10 pairs
+        try:
+            e2e["N262k"] = bench_e2e_pairwise(N=262144, n_clusters=131072)
+        except Exception as err:  # pragma: no cover
+            e2e["N262k_error"] = str(err)[:200]
 
     conf = bench_conformance()
     if "pallas_eq_xla" in pair_extras:
