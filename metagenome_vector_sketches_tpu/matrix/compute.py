@@ -251,26 +251,42 @@ def _stage_database(db, norms_sq, total, tile, L, d, max_abs, ops=None):
     if _RESIDENT.get("key") == key:
         return _RESIDENT["value"]
     npad = ((total + tile - 1) // tile) * tile
-    V = np.zeros((npad, d), dtype=np.int32)
-    V[:total] = db.load_vectors().astype(np.int32)
-    # trust-but-verify the (possibly sidecar-cached) max component against
-    # the data actually loaded — a stale max_component.txt surviving an
-    # mtime tie (coarse-mtime filesystems) would silently wrap the int8
-    # limb decomposition and corrupt every similarity
-    true_max = int(np.max(np.abs(V[:total].astype(np.int64)))) if total else 0
-    if true_max > max_abs:
-        raise ValueError(
-            f"max_component.txt ({max_abs}) is stale: vectors.bin holds "
-            f"|component| up to {true_max}. Delete "
-            f"{os.path.join(db.path, 'max_component.txt')} or rebuild the "
-            "db folder.")
+    # V stays a HOST MEMORY-MAP (the exact host-finalize path gathers rows
+    # from it); the device sees only the int8 planes, built chunk-by-chunk
+    # with in-place (donated) updates so peak HBM is planes + one chunk.
+    # Round-2 staging uploaded the full int32 array next to its planes —
+    # 8.6 GB + 6.4 GB at N=1M x 2048 — and OOMed a 16 GB v5e.
+    vec_dt = np.int16 if db.dtype == "int16" else np.int32
+    V = np.memmap(vec_path, dtype=vec_dt, mode="r", shape=(total, d))
+    P = pw.num_planes(L)
+    planes = jnp.zeros((P, npad, d), dtype=jnp.int8)  # pad rows stay zero
+    chunk = max(tile, ((256 << 20) // max(1, L * d)) // tile * tile)
+    true_max = 0
+    for s in range(0, total, chunk):
+        e = min(s + chunk, total)
+        block = np.asarray(V[s:e]).astype(np.int32)
+        # trust-but-verify the (possibly sidecar-cached) max component
+        # against the data actually loaded — a stale max_component.txt
+        # surviving an mtime tie (coarse-mtime filesystems) would silently
+        # wrap the int8 limb decomposition and corrupt every similarity
+        true_max = max(true_max, int(np.max(np.abs(
+            block.astype(np.int64)))))
+        if true_max > max_abs:
+            raise ValueError(
+                f"max_component.txt ({max_abs}) is stale: vectors.bin holds "
+                f"|component| up to {true_max}. Delete "
+                f"{os.path.join(db.path, 'max_component.txt')} or rebuild "
+                "the db folder.")
+        # upload int8 limbs (L B/element) instead of int32 (4 B/element)
+        limbs = pw.decompose_limbs_host(block, L)
+        planes = pw.planes_update(planes, jnp.asarray(limbs),
+                                  jnp.int32(s))
     thr = np.full(npad, np.float32(1e30), dtype=np.float32)
     # widen the sweep threshold when the certified float32 combine error of
     # this (L, max_abs, d) exceeds the fixed SLACK_ABS (extreme int16-range
     # components) — guarantees no false-negative pair vs the exact re-filter
     margin = pw.extra_threshold_margin(L, max_abs, d)
     thr[:total] = (norms_sq - margin).astype(np.float32)
-    planes = pw.decompose_planes(jnp.asarray(V), L)
     thr_dev = jnp.asarray(thr)
     if ops is not None:
         planes, thr_dev = ops.replicate(planes, thr_dev)
@@ -919,7 +935,11 @@ def _streaming_stager(db, norms_sq, total, d, L, max_abs):
                     "rebuild the db folder.")
         thr = np.full(n_rows, np.float32(1e30), dtype=np.float32)
         thr[:end - start] = thr_f32[start:end]
-        return pw.decompose_planes(jnp.asarray(block), L), jnp.asarray(thr)
+        # upload int8 limbs (L B/element H2D) and form the pairwise limb
+        # sums on device — streaming re-stages the whole database once per
+        # shard, so H2D volume is the staging cost that matters
+        limbs = pw.decompose_limbs_host(block, L)
+        return pw.planes_from_limbs(jnp.asarray(limbs)), jnp.asarray(thr)
 
     return Vmm, thr_f32, stage
 
@@ -1019,7 +1039,8 @@ def _compute_streaming_two_phase(db, norms_sq, total, begin_row, end_row,
                     "rebuild the db folder.")
         thr = np.full(n_rows, np.float32(1e30), dtype=np.float32)
         thr[:end - start] = thr_f32[start:end]
-        return pw.decompose_planes(jnp.asarray(block), L), thr
+        limbs = pw.decompose_limbs_host(block, L)
+        return pw.planes_from_limbs(jnp.asarray(limbs)), thr
 
     # windows outer, row tiles inner: each column window is uploaded and
     # decomposed exactly ONCE per shard (the column side dominates staging)

@@ -139,6 +139,35 @@ def decompose_planes(v, L: int):
     return karatsuba_planes(decompose_limbs.__wrapped__(v, L))
 
 
+def decompose_limbs_host(v: np.ndarray, L: int) -> np.ndarray:
+    """numpy mirror of :func:`decompose_limbs` — staging uploads the L int8
+    limbs (L bytes/element H2D) instead of the int32 vectors (4 B/element),
+    halving host->device traffic for the common L=2 databases; the device
+    only forms the pairwise limb sums (:func:`planes_from_limbs`)."""
+    cur = v.astype(np.int32, copy=True)
+    limbs = np.empty((L,) + v.shape, dtype=np.int8)
+    for k in range(L - 1):
+        digit = ((cur + 64) & 127) - 64   # balanced remainder in [-64, 63]
+        limbs[k] = digit.astype(np.int8)
+        cur -= digit
+        cur >>= 7                         # exact arithmetic shift
+    limbs[L - 1] = cur.astype(np.int8)
+    return limbs
+
+
+planes_from_limbs = jax.jit(karatsuba_planes)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def planes_update(buf, limbs, start):
+    """Write one chunk's planes into the big (P, Npad, d) int8 buffer IN
+    PLACE (donated) at row `start`. Chunked staging keeps peak device
+    memory at planes + one chunk — materializing the full int32 array next
+    to its planes (round-2 staging) OOMed 16 GB HBM at N=1M x 2048."""
+    return jax.lax.dynamic_update_slice(
+        buf, karatsuba_planes(limbs), (0, start, 0))
+
+
 def approx_dot_f32(vi_planes, vj_planes):
     """float32 approximation of the exact integer dot tile from Karatsuba
     planes, in L(L+1)/2 plain int8 MXU matmuls (no elementwise work).
