@@ -236,6 +236,10 @@ def _concat(parts):
 # plane-decomposed database instead of re-staging it per shard
 _RESIDENT: dict = {}
 
+# staging granularity: ~bytes of int8 limbs per H2D chunk (tests shrink it
+# to exercise multi-chunk staging on toy databases)
+STAGE_CHUNK_BYTES = 256 << 20
+
 
 def clear_device_cache() -> None:
     _RESIDENT.clear()
@@ -260,7 +264,7 @@ def _stage_database(db, norms_sq, total, tile, L, d, max_abs, ops=None):
     V = np.memmap(vec_path, dtype=vec_dt, mode="r", shape=(total, d))
     P = pw.num_planes(L)
     planes = jnp.zeros((P, npad, d), dtype=jnp.int8)  # pad rows stay zero
-    chunk = max(tile, ((256 << 20) // max(1, L * d)) // tile * tile)
+    chunk = max(tile, (STAGE_CHUNK_BYTES // max(1, L * d)) // tile * tile)
     true_max = 0
     for s in range(0, total, chunk):
         e = min(s + chunk, total)

@@ -50,6 +50,34 @@ def test_streaming_stale_max_component_raises(tmp_path):
                                device_budget_bytes=0, verbose=False)
 
 
+def test_multi_chunk_staging_oracle_equal(tmp_path, monkeypatch):
+    """Shrinking STAGE_CHUNK_BYTES forces the device-resident stager to
+    build its int8 plane stack across several H2D chunks (the production
+    path at N=1M); the decoded shard must still equal the float64 oracle."""
+    from metagenome_vector_sketches_tpu.matrix import compute
+    from metagenome_vector_sketches_tpu.matrix.reader import MatrixReader
+    from metagenome_vector_sketches_tpu.matrix.writer import quantize_jaccard
+    rng = np.random.default_rng(11)
+    n, d, tile = 40, 64, 8
+    V = rng.integers(-500, 501, size=(n, d)).astype(np.int32)
+    db = DbFolder.write(str(tmp_path / "db"), [f"S{i}" for i in range(n)],
+                        V, d)
+    # chunk resolves to one tile (8 rows) -> 5 staging chunks for n=40
+    monkeypatch.setattr(compute, "STAGE_CHUNK_BYTES", 1024)
+    compute.clear_device_cache()
+    out = str(tmp_path / "m")
+    compute.compute_pairwise_shard(db.path, out, tile_rows=tile,
+                                   verbose=False)
+    _, norms = db.names_and_norms()
+    ns = norms * norms
+    er, ec, ev = compute.compute_pairwise_oracle(V, ns, d, "int32")
+    eq = quantize_jaccard(ev, er, ec, ns, d)
+    rr, cc, qq = MatrixReader(out).decode_all_triples(n)
+    assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
+        set(zip(er.tolist(), ec.tolist(), eq.tolist()))
+    compute.clear_device_cache()
+
+
 def test_device_resident_stale_max_component_raises(tmp_path):
     """Same guard on the device-resident path (regression pin for the
     round-2 check at matrix/compute._stage_database)."""
