@@ -131,6 +131,89 @@ def main():
     out["adaptive_queries"] = nq
     out["adaptive_hits"] = len(hits_a)
 
+    # --- int8-plane exact engine (ann/int_index.py): the TPU-first serving
+    # path for INTEGER sketch dbs — P plain int8 Karatsuba matmuls per chunk
+    # (the pairwise sweep's representation) + exact int64/f64 finalize over
+    # a pooled candidate set. Measures the device scan (marginal chain) and
+    # the full host-finalized path separately: the latter pays the tunnel's
+    # ~45 ms fixed + ~22 MB/s D2H per batch, which a locally-attached host
+    # would not.
+    from metagenome_vector_sketches_tpu.ann.int_index import (
+        IntExactIndex, _int_scan_pool, _host_planes)
+    index = None                          # free the bf16 stack first
+
+    @functools.partial(jax.jit, static_argnames=("rows", "dd", "mag"))
+    def synth_int_chunk(key, rows, dd, mag):
+        return jax.random.randint(key, (rows, dd), -mag, mag + 1, jnp.int32)
+
+    mag = 1200                            # realistic sketch magnitude, L=2
+    ikeys = jax.random.split(jax.random.PRNGKey(5), (N + CHUNK - 1) // CHUNK)
+    t0 = time.perf_counter()
+    ichunks = []
+    s = 0
+    while s < N:
+        rows = min(CHUNK, N - s)
+        ichunks.append((s, synth_int_chunk(ikeys[len(ichunks)], rows, d,
+                                           mag)))
+        s += rows
+    qbase = np.asarray(ichunks[0][1][:B])  # host copy before consumption
+    iidx = IntExactIndex.from_device_chunks(ichunks, d)
+    out["int8_build_s"] = round(time.perf_counter() - t0, 2)
+    out["int8_L"] = iidx.L
+    out["int8_stack_bytes"] = int(np.prod(iidx._stack.shape))
+    rngq = np.random.default_rng(8)
+    qi = (qbase + rngq.integers(-40, 41, size=qbase.shape)).astype(np.int32)
+    pool = iidx.pool_for(k)
+    qp0 = jnp.asarray(_host_planes(qi, iidx.L))
+
+    # stack/inv_n MUST be explicit args: a jit closure would embed the 6 GB
+    # stack as an HLO literal (remote-compile 413 — see DESIGN.md traps)
+    @functools.partial(jax.jit, static_argnames=("pool", "rt"))
+    def int_seeded(qp, stack, inv_n, seed, pool, rt):
+        s_, i_, p_ = _int_scan_pool.__wrapped__(
+            qp + (seed * 0).astype(jnp.int8), stack, inv_n,
+            N, pool, recall_target=rt)
+        return (jnp.sum(s_) + jnp.sum(i_).astype(jnp.float32)
+                + jnp.sum(p_).astype(jnp.float32))
+
+    def int_chain(rt):
+        def chain(n):
+            t0 = time.perf_counter()
+            seed = jnp.float32(0)
+            for _ in range(n):
+                seed = int_seeded(qp0, iidx._stack, iidx._inv_n, seed,
+                                  pool, rt)
+            float(np.asarray(seed))
+            return time.perf_counter() - t0
+
+        chain(1)                           # compile + warm
+        margins = []
+        for _ in range(3):
+            d1 = chain(1)
+            dn = chain(4)
+            margins.append((dn - d1) / 3)
+        good = [m for m in margins if m > 0] or margins
+        return float(np.median(good))
+
+    w_int = int_chain(1.0)
+    out["int8_scan_qps_exact"] = round(B / w_int, 1)
+    w_inta = int_chain(0.95)
+    out["int8_scan_qps_approx95"] = round(B / w_inta, 1)
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        D_int, I_int = iidx.search(qi, k)
+        walls.append(time.perf_counter() - t0)
+    out["int8_full_qps_exact"] = round(B / float(np.median(walls)), 1)
+    out["int8_self_in_topk"] = round(
+        float(np.mean([b in set(I_int[b].tolist()) for b in range(B)])), 3)
+    iidx.mode = "approx"
+    D_a, I_a = iidx.search(qi, k)
+    hits = sum(len(set(I_a[b]) & set(I_int[b])) for b in range(B))
+    out["int8_approx95_recall_at_k"] = round(hits / (B * k), 4)
+    iidx.mode = "exact"
+
+
     print(json.dumps(out))
 
 

@@ -64,8 +64,8 @@ def project_queries(hash_sets, dimension: int) -> np.ndarray:
     return vecs / np.sqrt(dimension)
 
 
-def adaptive_search(index: FlatIPIndex, queries_f64: np.ndarray, j: float,
-                    verbose: bool = True, db_norms=None):
+def adaptive_search(index, queries_f64: np.ndarray, j: float,
+                    verbose: bool = True, db_norms=None, queries_int=None):
     """Reference expansion semantics (jaccard.py:120-174), device-state
     execution: per level only (any-above, k-th-score) scalars per query come
     to host; each query's FINAL-level results are filtered + compacted on
@@ -74,6 +74,11 @@ def adaptive_search(index: FlatIPIndex, queries_f64: np.ndarray, j: float,
 
     -> (hits [(query_idx, db_idx, ip_f32)...] in (query, rank) order,
         query_norms (B,) float32).
+
+    queries_int: the UNSCALED integer query vectors; passing them (with an
+    ann.int_index.IntExactIndex) routes each level through the int8-plane
+    exact engine — D values are then float64-exact cosines instead of f32
+    inner products, and the expansion/filter logic is unchanged.
     """
     queries = queries_f64.astype(np.float32)
     query_norms = np.linalg.norm(queries, axis=1)
@@ -142,9 +147,15 @@ def adaptive_search(index: FlatIPIndex, queries_f64: np.ndarray, j: float,
         # would otherwise compile a fresh program per distinct size
         B = len(qidx)
         B_pad = _pow2(B)
-        qbatch = np.zeros((B_pad, queries.shape[1]), dtype=np.float32)
-        qbatch[:B] = queries[qidx]
-        D_dev, I_dev = index.search_device(jnp.asarray(qbatch), nb)
+        if queries_int is not None:
+            qb = np.zeros((B_pad, queries_int.shape[1]), dtype=np.int32)
+            qb[:B] = queries_int[qidx]
+            D_np, I_np = index.search(qb, nb)
+            D_dev, I_dev = jnp.asarray(D_np), jnp.asarray(I_np)
+        else:
+            qbatch = np.zeros((B_pad, queries.shape[1]), dtype=np.float32)
+            qbatch[:B] = queries[qidx]
+            D_dev, I_dev = index.search_device(jnp.asarray(qbatch), nb)
         any_above, kth = (np.asarray(a)[:B]
                           for a in _level_stats(D_dev, min_ip))
         stopped_rows = []
@@ -200,18 +211,36 @@ def rescore(hits, query_norms: np.ndarray, names: list[str],
 
 
 def search_index(index_folder: str, query_file: str, j: float,
-                 verbose: bool = True, recall_target: float = 1.0):
+                 verbose: bool = True, recall_target: float = 1.0,
+                 engine: str = "f32"):
     """Full search pipeline over a db folder with a built faiss.index
     (reference search_index, jaccard.py:63-224). recall_target < 1.0 opts
     into the ~2x-faster approximate per-chunk top-k (no reference
-    counterpart; rescoring stays exact)."""
+    counterpart; rescoring stays exact).
+
+    engine: 'f32' (FAISS-parity FlatIPIndex over the faiss.index artifact)
+    | 'int8' (int8-plane exact engine staged straight from the db folder's
+    integer vectors — no faiss.index needed, float64-exact cosines)
+    | 'int8_approx' (same engine, approx_max_k pooling at recall_target)."""
     db = DbFolder(index_folder)
     d = db.dimension
     sample_names, hash_sets = parse_query_hashes_file(query_file)
-    queries = project_queries(hash_sets, d)
-    index = FlatIPIndex.load(os.path.join(index_folder, "faiss.index"))
-    index.recall_target = recall_target
+    from ..io.ingest import project_hash_lines
+    q_int = project_hash_lines(list(hash_sets), d).astype(np.int32)
+    queries = q_int.astype(np.float64) / np.sqrt(d)
     names, norms = db.names_and_norms()
-    hits, query_norms = adaptive_search(index, queries, j, verbose,
-                                        db_norms=norms)
+    if engine in ("int8", "int8_approx"):
+        from .int_index import IntExactIndex
+        rt = recall_target if recall_target < 1.0 else 0.95
+        index = IntExactIndex.from_dbfolder(
+            index_folder, mode="approx" if engine == "int8_approx"
+            else "exact", recall_target=rt)
+        hits, query_norms = adaptive_search(index, queries, j, verbose,
+                                            db_norms=norms,
+                                            queries_int=q_int)
+    else:
+        index = FlatIPIndex.load(os.path.join(index_folder, "faiss.index"))
+        index.recall_target = recall_target
+        hits, query_norms = adaptive_search(index, queries, j, verbose,
+                                            db_norms=norms)
     return rescore(hits, query_norms, names, norms, j, verbose)

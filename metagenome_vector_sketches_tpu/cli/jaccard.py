@@ -35,6 +35,13 @@ def build_parser() -> argparse.ArgumentParser:
                           help="< 1.0 uses the ~2x-faster approximate TPU "
                                "top-k for candidate selection (final Jaccard "
                                "rescoring stays exact); 1.0 = FAISS-exact")
+    p_search.add_argument("--engine", choices=("f32", "int8", "int8_approx"),
+                          default="f32",
+                          help="f32: FAISS-parity search over faiss.index; "
+                               "int8: int8-plane exact engine staged from "
+                               "the db's integer vectors (float64-exact "
+                               "cosines, no faiss.index needed); "
+                               "int8_approx: same with approx_max_k pooling")
 
     p_test = sub.add_parser(
         "test", help="Ground-truth validation: sample accessions, search the "
@@ -67,7 +74,7 @@ def main(argv=None) -> int:
         if not folder.endswith("/"):
             folder += "/"
         search_index(folder, args.query_file, args.j,
-                     recall_target=args.recall_target)
+                     recall_target=args.recall_target, engine=args.engine)
     elif args.command == "test":
         from ..ann.validate import validate
         validate(args.index_folder, args.hashes_file,

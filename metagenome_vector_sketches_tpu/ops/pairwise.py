@@ -119,6 +119,19 @@ def plane_weights(L: int) -> np.ndarray:
     return np.asarray(w, dtype=np.float32)
 
 
+def plane_weights_int(L: int) -> np.ndarray:
+    """int64 combine weights for Karatsuba plane partials (same derivation
+    as :func:`plane_weights`): given the EXACT int32 per-plane partial dots
+    S_p, ``plane_weights_int(L) @ S`` is the exact int64 dot product. Used
+    by consumers that keep plane partials (the int-exact ANN engine) instead
+    of re-gathering vectors."""
+    w = [(1 << (14 * k)) - sum(1 << (7 * (k + j))
+                               for j in range(L) if j != k)
+         for k in range(L)]
+    w += [1 << (7 * (a + b)) for a in range(L) for b in range(a + 1, L)]
+    return np.asarray(w, dtype=np.int64)
+
+
 def karatsuba_planes(limbs):
     """(L, n, d) int8 balanced limbs -> (L(L+1)/2, n, d) int8 planes: the
     limbs followed by the pairwise limb sums (|sum| <= 128 fits int8 because

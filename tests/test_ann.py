@@ -138,6 +138,32 @@ def test_search_pipeline_recovers_true_neighbors(toy_index_2048, ref_toy_dir,
             assert abs(est - true) < 0.12, (name, nid, est, true)
 
 
+def test_search_pipeline_int8_engine_matches_f32(toy_index_2048,
+                                                 ref_toy_dir, tmp_path):
+    """engine='int8' (int8-plane exact engine, no faiss.index involved)
+    must return the same neighbors as the FAISS-parity f32 path on toy,
+    with jaccards agreeing to f32 accuracy (the int engine's scores are
+    float64-exact; the f32 path's carry HIGHEST-matmul rounding)."""
+    named = parse_hashes_file(str(ref_toy_dir / "all_hashes_toy.txt"))
+    hashes = dict(named)
+    db = DbFolder(toy_index_2048)
+    names, _ = db.names_and_norms()
+    take = names[:5]
+    qf = tmp_path / "q.txt"
+    with open(qf, "w") as f:
+        for n in take:
+            f.write(f"{n}: " + " ".join(str(h) for h in hashes[n]) + "\n")
+    ref = ann_search.search_index(toy_index_2048, str(qf), 0.1,
+                                  verbose=False)
+    got = ann_search.search_index(toy_index_2048, str(qf), 0.1,
+                                  verbose=False, engine="int8")
+    ref_map = {(q, nid): jac for q, nid, jac in ref}
+    got_map = {(q, nid): jac for q, nid, jac in got}
+    assert set(ref_map) == set(got_map)
+    for key in ref_map:
+        assert abs(ref_map[key] - got_map[key]) < 1e-3, key
+
+
 def test_jaccard_cli(toy_index_2048, ref_toy_dir, tmp_path, capsys):
     from metagenome_vector_sketches_tpu.cli.jaccard import main
     named = dict(parse_hashes_file(str(ref_toy_dir / "all_hashes_toy.txt")))

@@ -1,0 +1,151 @@
+"""Int8-plane exact ANN engine (ann/int_index.py): Karatsuba plane-partial
+combine identity, float64-oracle top-k parity across shapes/dtypes/limb
+counts, tie and padding semantics, db-folder construction."""
+
+import numpy as np
+import pytest
+
+from metagenome_vector_sketches_tpu.ops import pairwise as pw
+from metagenome_vector_sketches_tpu.ann.int_index import (
+    IntExactIndex, _host_planes)
+
+
+def _oracle_topk(V, Q, k):
+    """float64-exact cosine top-k with (descending score, ascending index)
+    tie-break — the engine's documented ordering."""
+    dots = Q.astype(np.int64) @ V.astype(np.int64).T
+    ns = np.einsum("ij,ij->i", V.astype(np.int64), V.astype(np.int64))
+    qns = np.einsum("ij,ij->i", Q.astype(np.int64), Q.astype(np.int64))
+    denom = np.sqrt(ns[None, :].astype(np.float64)
+                    * qns[:, None].astype(np.float64))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        score = np.where(denom > 0, dots / np.maximum(denom, 1e-300), 0.0)
+    D = np.zeros((Q.shape[0], k), np.float64)
+    I = np.full((Q.shape[0], k), -1, np.int64)
+    kk = min(k, V.shape[0])
+    for b in range(Q.shape[0]):
+        order = np.lexsort((np.arange(V.shape[0]), -score[b]))[:kk]
+        I[b, :kk] = order
+        D[b, :kk] = score[b][order]
+    return D, I
+
+
+def test_plane_weights_int_exact_combine():
+    rng = np.random.default_rng(0)
+    for L in (1, 2, 3):
+        lim = 60 if L == 1 else (8000 if L == 2 else 30000)
+        v = rng.integers(-lim, lim + 1, size=(5, 96)).astype(np.int32)
+        q = rng.integers(-lim, lim + 1, size=(3, 96)).astype(np.int32)
+        vp = _host_planes(v, L).astype(np.int64)
+        qp = _host_planes(q, L).astype(np.int64)
+        parts = np.einsum("pqd,pnd->pqn", qp, vp)      # (P, 3, 5)
+        dots = np.einsum("p,pqn->qn", pw.plane_weights_int(L), parts)
+        assert np.array_equal(dots, q.astype(np.int64) @ v.astype(np.int64).T)
+
+
+@pytest.mark.parametrize("n,d,mag,chunk", [
+    (37, 64, 300, 16),       # multi-chunk scan, L=2
+    (128, 128, 50, 128),     # single chunk, L=1
+    (60, 64, 20000, 32),     # int16-range magnitudes, L=3
+])
+def test_int_index_oracle_topk(n, d, mag, chunk):
+    rng = np.random.default_rng(n + d)
+    V = rng.integers(-mag, mag + 1, size=(n, d)).astype(np.int32)
+    V[2] = 0                                           # zero row
+    Q = rng.integers(-mag, mag + 1, size=(7, d)).astype(np.int32)
+    idx = IntExactIndex(V, chunk_rows=chunk)
+    k = 10
+    D, I = idx.search(Q, k)
+    oD, oI = _oracle_topk(V, Q, k)
+    # compare by score first (distinct-score prefixes must match exactly;
+    # at exact-tie boundaries any tied index is acceptable — but the
+    # documented tie-break makes them equal anyway)
+    assert np.array_equal(I, oI.astype(np.int32)), (I, oI)
+    assert np.allclose(D, oD, rtol=1e-6, atol=1e-7)
+
+
+def test_int_index_duplicate_tie_break():
+    rng = np.random.default_rng(3)
+    V = rng.integers(-100, 101, size=(20, 32)).astype(np.int32)
+    V[7] = V[3]                                        # exact duplicate
+    Q = V[3][None]
+    idx = IntExactIndex(V, chunk_rows=8)
+    D, I = idx.search(Q, 3)
+    assert I[0, 0] == 3 and I[0, 1] == 7               # lower index first
+    assert D[0, 0] == D[0, 1] == pytest.approx(1.0)
+
+
+def test_int_index_k_exceeds_ntotal():
+    V = np.arange(12, dtype=np.int32).reshape(3, 4) + 1
+    idx = IntExactIndex(V)
+    D, I = idx.search(np.array([[1, 2, 3, 4]], np.int32), 5)
+    assert list(I[0, 3:]) == [-1, -1] and list(D[0, 3:]) == [0.0, 0.0]
+    assert set(I[0, :3].tolist()) == {0, 1, 2}
+
+
+def test_int_index_query_range_guard():
+    V = np.ones((4, 8), np.int32) * 50                 # L=1 index
+    idx = IntExactIndex(V)
+    assert idx.L == 1
+    with pytest.raises(ValueError, match="limb range"):
+        idx.search(np.full((1, 8), 5000, np.int32), 2)
+
+
+def test_int_index_rejects_float_vectors():
+    with pytest.raises(ValueError, match="integer"):
+        IntExactIndex(np.ones((2, 4), np.float32))
+
+
+def test_int_index_from_dbfolder_matches_arrays(tmp_path):
+    from metagenome_vector_sketches_tpu.io.dbfolder import DbFolder
+    rng = np.random.default_rng(9)
+    n, d = 50, 64
+    V = rng.integers(-800, 801, size=(n, d)).astype(np.int32)
+    db = DbFolder.write(str(tmp_path / "db"),
+                        [f"S{i}" for i in range(n)], V, d)
+    Q = rng.integers(-800, 801, size=(4, d)).astype(np.int32)
+    a = IntExactIndex(V, chunk_rows=16)
+    b = IntExactIndex.from_dbfolder(db.path, chunk_rows=16)
+    Da, Ia = a.search(Q, 8)
+    Db, Ib = b.search(Q, 8)
+    assert np.array_equal(Ia, Ib) and np.array_equal(Da, Db)
+    oD, oI = _oracle_topk(V, Q, 8)
+    assert np.array_equal(Ia, oI.astype(np.int32))
+
+
+def test_int_index_from_device_chunks_matches_host():
+    """Device-chunk construction (planes decomposed on device, exact norms
+    recovered from plane self-sums) must equal the host-array index,
+    including a non-full last chunk; the chunk list is consumed."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(13)
+    n, d, R = 70, 64, 32
+    V = rng.integers(-900, 901, size=(n, d)).astype(np.int32)
+    V[5] = 0
+    Q = rng.integers(-900, 901, size=(3, d)).astype(np.int32)
+    host = IntExactIndex(V, chunk_rows=R)
+    chunks = [(s, jnp.asarray(V[s:s + R])) for s in range(0, n, R)]
+    dev = IntExactIndex.from_device_chunks(chunks, d)
+    assert len(chunks) == 0                            # consumed
+    assert dev.ntotal == n and dev.L == host.L
+    assert np.array_equal(dev.ns, host.ns)             # exact |v|^2 match
+    Dh, Ih = host.search(Q, 9)
+    Dd, Id = dev.search(Q, 9)
+    assert np.array_equal(Ih, Id) and np.array_equal(Dh, Dd)
+
+
+def test_int_index_approx_mode_smoke():
+    rng = np.random.default_rng(5)
+    V = rng.integers(-300, 301, size=(96, 64)).astype(np.int32)
+    Q = rng.integers(-300, 301, size=(3, 64)).astype(np.int32)
+    exact = IntExactIndex(V, chunk_rows=32)
+    approx = IntExactIndex(V, chunk_rows=32, mode="approx",
+                           recall_target=0.95)
+    De, Ie = exact.search(Q, 5)
+    Da, Ia = approx.search(Q, 5)
+    # pooled hits are exact-math rescored: any shared index carries the
+    # identical score
+    for b in range(3):
+        common = set(Ie[b].tolist()) & set(Ia[b].tolist())
+        for c in common:
+            assert De[b][Ie[b] == c] == Da[b][Ia[b] == c]
