@@ -88,11 +88,14 @@ def _stack_update_from_ints(buf, chunk, c, L: int):
 
 @functools.partial(jax.jit, static_argnames=("pool", "recall_target"))
 def _int_scan_pool(q_planes, stack, inv_n, n_total, pool: int,
-                   recall_target: float = 1.0):
+                   recall_target: float = 1.0, base0=0):
     """Whole-index candidate pooling as ONE program: lax.scan over the
     (C, P, R, d) plane stack; per chunk P int8 MXU matmuls -> exact int32
     plane partials, f32 weighted combine * 1/|v| ranking scores, top-pool
     selection CARRYING the partials so the host can recombine exactly.
+
+    base0 offsets the emitted global indices (a mesh-sharded caller passes
+    its device's first global row, ann/distributed.py).
 
     Returns (scores (B, pool) f32, indices (B, pool) i32,
              partials (P, B, pool) i32)."""
@@ -135,7 +138,7 @@ def _int_scan_pool(q_planes, stack, inv_n, n_total, pool: int,
     init = (jnp.full((B, pool_eff), -jnp.inf, jnp.float32),
             jnp.full((B, pool_eff), -1, jnp.int32),
             jnp.zeros((P, B, pool_eff), jnp.int32))
-    bases = jnp.arange(C, dtype=jnp.int32) * R
+    bases = base0 + jnp.arange(C, dtype=jnp.int32) * R
     (s, i, p), _ = jax.lax.scan(step, init, (stack, inv_n, bases))
     return s, i, p
 
@@ -324,6 +327,12 @@ class IntExactIndex:
         levels where boundary density rises)."""
         return min(k + max(self.pool_margin, k >> 3), max(1, self.ntotal))
 
+    def _pool(self, qp, pool: int, rt: float):
+        """Device candidate pooling (overridden by the mesh-sharded
+        DistributedIntExactIndex)."""
+        return _int_scan_pool(qp, self._stack, self._inv_n,
+                              self.ntotal, pool, recall_target=rt)
+
     def search(self, queries: np.ndarray, k: int):
         """queries: (B, d) INTEGER vectors (projected query sketches).
         -> (D (B, k) float32 exact-float64 cosines, I (B, k) int32);
@@ -346,8 +355,7 @@ class IntExactIndex:
         pool = self.pool_for(k_eff)
         qp = jnp.asarray(_host_planes(Q.astype(np.int32), self.L))
         rt = self.recall_target if self.mode == "approx" else 1.0
-        s, i, p = _int_scan_pool(qp, self._stack, self._inv_n,
-                                 self.ntotal, pool, recall_target=rt)
+        s, i, p = self._pool(qp, pool, rt)
         idx = np.asarray(i)                            # (B, pool)
         parts = np.asarray(p).astype(np.int64)         # (P, B, pool)
         w = pw.plane_weights_int(self.L)

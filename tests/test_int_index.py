@@ -134,6 +134,51 @@ def test_int_index_from_device_chunks_matches_host():
     assert np.array_equal(Ih, Id) and np.array_equal(Dh, Dd)
 
 
+def test_distributed_int_index_matches_single():
+    """Mesh-sharded pooling (chunk axis over 8 devices, all-gather merge)
+    must return IDENTICAL results to the single-device engine — the host
+    finalize is exact, so any divergence is a sharding bug. Chunk count
+    deliberately not a multiple of the mesh (pad chunks masked)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from metagenome_vector_sketches_tpu.ann.distributed import (
+        DistributedIntExactIndex)
+    from metagenome_vector_sketches_tpu.parallel.mesh import make_mesh
+    rng = np.random.default_rng(17)
+    n, d, R = 150, 64, 16                              # C=10 chunks -> pad to 16
+    V = rng.integers(-700, 701, size=(n, d)).astype(np.int32)
+    Q = rng.integers(-700, 701, size=(5, d)).astype(np.int32)
+    base = IntExactIndex(V, chunk_rows=R)
+    dist = DistributedIntExactIndex.from_index(base, mesh=make_mesh(8))
+    Ds, Is = base.search(Q, 12)
+    Dd, Id = dist.search(Q, 12)
+    assert np.array_equal(Is, Id)
+    assert np.array_equal(Ds, Dd)
+    oD, oI = _oracle_topk(V, Q, 12)
+    assert np.array_equal(Id, oI.astype(np.int32))
+
+
+def test_distributed_int_index_small_shards_fill_pool():
+    """Per-device local pools smaller than the requested pool must still
+    merge to the full candidate set (re-top-k at the merged width)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from metagenome_vector_sketches_tpu.ann.distributed import (
+        DistributedIntExactIndex)
+    from metagenome_vector_sketches_tpu.parallel.mesh import make_mesh
+    rng = np.random.default_rng(19)
+    n, d, R = 64, 32, 8                                # 8 rows/device
+    V = rng.integers(-200, 201, size=(n, d)).astype(np.int32)
+    Q = rng.integers(-200, 201, size=(2, d)).astype(np.int32)
+    base = IntExactIndex(V, chunk_rows=R)
+    dist = DistributedIntExactIndex.from_index(base, mesh=make_mesh(8))
+    Dd, Id = dist.search(Q, 20)                        # k > local 8-row cap
+    oD, oI = _oracle_topk(V, Q, 20)
+    assert np.array_equal(Id, oI.astype(np.int32))
+
+
 def test_int_index_approx_mode_smoke():
     rng = np.random.default_rng(5)
     V = rng.integers(-300, 301, size=(96, 64)).astype(np.int32)
