@@ -300,9 +300,51 @@ def bench_topk(N=65536, d=2048, B=256, k=50):
 
     dt, band = _marginal(chain_for(1.0), band=True)
     dt_approx = _marginal(chain_for(0.95))
-    return {"queries_per_sec": B / dt,
-            "queries_per_sec_recall95": B / dt_approx,
-            "N": N, "B": B, "k": k, "band": band}
+    res = {"queries_per_sec": B / dt,
+           "queries_per_sec_recall95": B / dt_approx,
+           "N": N, "B": B, "k": k, "band": band}
+
+    # int8-plane exact engine (ann/int_index.py) on the same workload:
+    # P int8 MXU matmuls per chunk + pooled exact finalize. Scan qps is
+    # the device-resident serving number (marginal chain); full qps
+    # includes the pool D2H + float64 host finalize (pays the tunnel's
+    # fixed ~45 ms/batch here, which a local host would not).
+    from metagenome_vector_sketches_tpu.ann.int_index import (
+        IntExactIndex, _int_scan_pool, _host_planes)
+    Vi = rng.integers(-1200, 1201, size=(N, d)).astype(np.int32)
+    iidx = IntExactIndex(Vi, chunk_rows=min(65536, N))
+    Qi = (Vi[:B] + rng.integers(-40, 41, size=(B, d))).astype(np.int32)
+    pool = iidx.pool_for(k)
+    qp0 = jnp.asarray(_host_planes(Qi, iidx.L))
+
+    # stack passed as an ARG (a jit closure would embed it as an HLO
+    # literal — remote-compile 413, see DESIGN.md traps)
+    @functools.partial(jax.jit, static_argnames=("pool",))
+    def int_seeded(qp, stack, inv_n, seed, pool):
+        s_, i_, p_ = _int_scan_pool.__wrapped__(
+            qp + (seed * 0).astype(jnp.int8), stack, inv_n, N, pool)
+        return (jnp.sum(s_) + jnp.sum(i_).astype(jnp.float32)
+                + jnp.sum(p_).astype(jnp.float32))
+
+    def ichain(n):
+        t0 = time.perf_counter()
+        seed = jnp.float32(0)
+        for _ in range(n):
+            seed = int_seeded(qp0, iidx._stack, iidx._inv_n, seed, pool)
+        float(np.asarray(seed))
+        return time.perf_counter() - t0
+
+    dt_int = _marginal(ichain)
+    res["int8_scan_qps"] = B / dt_int
+    walls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        D_int, I_int = iidx.search(Qi, k)
+        walls.append(time.perf_counter() - t0)
+    res["int8_full_qps"] = B / float(np.median(walls))
+    res["int8_self_in_topk"] = float(
+        np.mean([b in set(I_int[b].tolist()) for b in range(B)]))
+    return res
 
 
 def bench_e2e_pairwise(N=65536, d=2048, n_clusters=32768, tile=2048, seed=4):
