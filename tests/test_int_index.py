@@ -134,6 +134,43 @@ def test_int_index_from_device_chunks_matches_host():
     assert np.array_equal(Ih, Id) and np.array_equal(Dh, Dd)
 
 
+@pytest.mark.parametrize("seed", range(5))
+def test_int_index_fuzz(seed):
+    """Randomized conformance vs the float64 oracle: shapes, magnitudes
+    (incl. int16-range -> L=3), chunking, duplicates, zero rows,
+    proportional rows (exact cosine ties between DISTINCT vectors), and
+    both input dtypes."""
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(5, 200))
+    d = int(rng.choice([32, 64, 128]))
+    mag = int(np.exp(rng.uniform(np.log(5), np.log(30000))))
+    chunk = int(rng.choice([8, 16, 64]))
+    k = int(rng.choice([1, 5, 17]))
+    dt = np.int16 if mag < 30000 and rng.integers(0, 2) else np.int32
+    V = rng.integers(-mag, mag + 1, size=(n, d)).astype(dt)
+    V[0] = 0
+    if n >= 6:
+        V[3] = V[2]                                     # duplicate
+        V[5] = np.clip(V[4].astype(np.int64) * 2, -mag,
+                       mag).astype(dt)                  # near-proportional
+    nq = int(rng.integers(1, 6))
+    Q = rng.integers(-mag, mag + 1, size=(nq, d)).astype(dt)
+    Q[0] = V[min(2, n - 1)]
+    idx = IntExactIndex(V, chunk_rows=chunk)
+    D, I = idx.search(Q, k)
+    oD, oI = _oracle_topk(V.astype(np.int32), Q.astype(np.int32), k)
+    kk = min(k, n)
+    # the returned D is the float32 cast of the exact float64 score, and
+    # the engine's f64 arithmetic matches the oracle op-for-op — so the
+    # cast must match BIT-exactly
+    assert np.array_equal(D[:, :kk], oD[:, :kk].astype(np.float32))
+    for b in range(nq):
+        if not np.array_equal(I[b, :kk], oI[b, :kk]):
+            # any mismatch must be an exact-tie permutation
+            assert np.array_equal(np.sort(oD[b, :kk]).astype(np.float32),
+                                  np.sort(D[b, :kk]))
+
+
 def test_distributed_int_index_matches_single():
     """Mesh-sharded pooling (chunk axis over 8 devices, all-gather merge)
     must return IDENTICAL results to the single-device engine — the host
