@@ -18,11 +18,13 @@ from .search import search_index
 
 def validate(index_folder: str, hashes_file: str, n_samples: int = 20,
              j: float = 0.05, seed: int | None = None, plot: bool = False,
-             save_plot: str | None = None, verbose: bool = True):
+             save_plot: str | None = None, verbose: bool = True,
+             engine: str = "f32"):
     """Returns [(query_id, neighbor_id, estimated_jaccard, true_jaccard)].
 
-    Requires a built faiss.index in index_folder and the all_hashes.txt-style
-    file the db was built from.
+    Requires the all_hashes.txt-style file the db was built from, and (for
+    engine='f32') a built faiss.index in index_folder; the int8 engines
+    stage straight from the db's integer vectors.
     """
     db = DbFolder(index_folder)
     names, _ = db.names_and_norms()
@@ -41,7 +43,8 @@ def validate(index_folder: str, hashes_file: str, n_samples: int = 20,
         qpath = f.name
     try:
         folder = index_folder if index_folder.endswith("/") else index_folder + "/"
-        neighbors = search_index(folder, qpath, j, verbose=False)
+        neighbors = search_index(folder, qpath, j, verbose=False,
+                                 engine=engine)
     finally:
         os.unlink(qpath)
 

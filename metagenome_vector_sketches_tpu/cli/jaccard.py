@@ -54,6 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
     p_test.add_argument("--seed", type=int, default=None)
     p_test.add_argument("--save_plot", default=None,
                         help="write the estimated-vs-true scatter to this path")
+    p_test.add_argument("--engine", choices=("f32", "int8", "int8_approx"),
+                        default="f32")
     parser.add_argument("-v", "--version", action="store_true")
     return parser
 
@@ -79,7 +81,7 @@ def main(argv=None) -> int:
         from ..ann.validate import validate
         validate(args.index_folder, args.hashes_file,
                  n_samples=args.n_samples, j=args.j, seed=args.seed,
-                 plot=False, save_plot=args.save_plot)
+                 plot=False, save_plot=args.save_plot, engine=args.engine)
     return 0
 
 
