@@ -336,6 +336,38 @@ def bench_topk(N=65536, d=2048, B=256, k=50):
 
     dt_int = _marginal(ichain)
     res["int8_scan_qps"] = B / dt_int
+
+    # A/B the PartialReduce-based exact selector (approx_max_k at
+    # recall_target=1.0) against lax.top_k: must be RESULT-EQUAL (both
+    # exact) — record its speed only when equality holds on this backend
+    s_t, i_t, p_t = _int_scan_pool(qp0, iidx._stack, iidx._inv_n, N, pool)
+    s_p, i_p, p_p = _int_scan_pool(qp0, iidx._stack, iidx._inv_n, N, pool,
+                                   selector="partial")
+    if np.array_equal(np.asarray(i_t), np.asarray(i_p)):
+        iidx.selector = "partial"
+
+        @functools.partial(jax.jit, static_argnames=("pool",))
+        def int_seeded_p(qp, stack, inv_n, seed, pool):
+            s_, i_, p_ = _int_scan_pool.__wrapped__(
+                qp + (seed * 0).astype(jnp.int8), stack, inv_n, N, pool,
+                selector="partial")
+            return (jnp.sum(s_) + jnp.sum(i_).astype(jnp.float32)
+                    + jnp.sum(p_).astype(jnp.float32))
+
+        def pchain(n):
+            t0 = time.perf_counter()
+            seed = jnp.float32(0)
+            for _ in range(n):
+                seed = int_seeded_p(qp0, iidx._stack, iidx._inv_n, seed,
+                                    pool)
+            float(np.asarray(seed))
+            return time.perf_counter() - t0
+
+        res["int8_scan_qps_partial_exact"] = B / _marginal(pchain)
+        res["partial_selector_equal"] = True
+        iidx.selector = "topk"
+    else:
+        res["partial_selector_equal"] = False
     walls = []
     for _ in range(3):
         t0 = time.perf_counter()

@@ -86,9 +86,11 @@ def _stack_update_from_ints(buf, chunk, c, L: int):
         buf, planes[None], (c, 0, 0, 0)), selfs
 
 
-@functools.partial(jax.jit, static_argnames=("pool", "recall_target"))
+@functools.partial(jax.jit, static_argnames=("pool", "recall_target",
+                                             "selector"))
 def _int_scan_pool(q_planes, stack, inv_n, n_total, pool: int,
-                   recall_target: float = 1.0, base0=0):
+                   recall_target: float = 1.0, base0=0,
+                   selector: str = "topk"):
     """Whole-index candidate pooling as ONE program: lax.scan over the
     (C, P, R, d) plane stack; per chunk P int8 MXU matmuls -> exact int32
     plane partials, f32 weighted combine * 1/|v| ranking scores, top-pool
@@ -122,6 +124,14 @@ def _int_scan_pool(q_planes, stack, inv_n, n_total, pool: int,
         if recall_target < 1.0:
             s1, sel = jax.lax.approx_max_k(score, kc,
                                            recall_target=recall_target,
+                                           aggregate_to_topk=True)
+        elif selector == "partial":
+            # ApproxTopK at recall_target=1.0 keeps the full per-partition
+            # top-k before the merge — mathematically exact, and the
+            # PartialReduce lowering can beat lax.top_k's sort on TPU.
+            # bench.py A/Bs this against 'topk' WITH an equality check
+            # before it is ever trusted for serving.
+            s1, sel = jax.lax.approx_max_k(score, kc, recall_target=1.0,
                                            aggregate_to_topk=True)
         else:
             s1, sel = jax.lax.top_k(score, kc)
@@ -165,6 +175,7 @@ class IntExactIndex:
         self.mode = mode
         self.recall_target = float(recall_target)
         self.pool_margin = int(pool_margin)
+        self.selector = "topk"
         self._build_from_host(V)
 
     # -- construction --------------------------------------------------------
@@ -214,6 +225,7 @@ class IntExactIndex:
         self.mode = mode
         self.recall_target = float(recall_target)
         self.pool_margin = 64
+        self.selector = "topk"
         R = self.chunk_rows
         C = (n + R - 1) // R
         # L from the (possibly sidecar-cached) max component, verified
@@ -281,6 +293,7 @@ class IntExactIndex:
         self.mode = mode
         self.recall_target = float(recall_target)
         self.pool_margin = 64
+        self.selector = "topk"
         self.max_abs = max_abs
         self.L = pw.pick_limbs(max(1, max_abs))
         P = pw.num_planes(self.L)
@@ -331,7 +344,8 @@ class IntExactIndex:
         """Device candidate pooling (overridden by the mesh-sharded
         DistributedIntExactIndex)."""
         return _int_scan_pool(qp, self._stack, self._inv_n,
-                              self.ntotal, pool, recall_target=rt)
+                              self.ntotal, pool, recall_target=rt,
+                              selector=self.selector)
 
     def search(self, queries: np.ndarray, k: int):
         """queries: (B, d) INTEGER vectors (projected query sketches).

@@ -171,6 +171,22 @@ def test_int_index_fuzz(seed):
                                   np.sort(D[b, :kk]))
 
 
+def test_partial_selector_matches_topk():
+    """selector='partial' (approx_max_k at recall_target=1.0 — exact
+    per-partition PartialReduce) must return identical results to the
+    lax.top_k selector. bench.py re-checks this equality on the TPU
+    backend before trusting the faster lowering."""
+    rng = np.random.default_rng(23)
+    V = rng.integers(-500, 501, size=(130, 64)).astype(np.int32)
+    Q = rng.integers(-500, 501, size=(4, 64)).astype(np.int32)
+    a = IntExactIndex(V, chunk_rows=32)
+    b = IntExactIndex(V, chunk_rows=32)
+    b.selector = "partial"
+    Da, Ia = a.search(Q, 11)
+    Db, Ib = b.search(Q, 11)
+    assert np.array_equal(Ia, Ib) and np.array_equal(Da, Db)
+
+
 def test_distributed_int_index_matches_single():
     """Mesh-sharded pooling (chunk axis over 8 devices, all-gather merge)
     must return IDENTICAL results to the single-device engine — the host
