@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import jax.numpy as jnp
@@ -966,29 +967,54 @@ def _compute_streaming_fused(db, norms_sq, total, begin_row, end_row,
 
     P = pw.num_planes(L)
     bytes_per_tile = P * tile * d
-    # budget thirds: one for the resident row planes, one for the column
-    # window, one for staging temporaries (decompose_planes concat peaks)
-    share = max(budget // 3, 2 * bytes_per_tile)
+    # budget quarters: the resident row planes, the column window being
+    # swept, the NEXT column window (prefetched on a background thread
+    # while the current one is extracted — staging is disk + limb
+    # decompose + H2D, all of which overlap device compute), and staging
+    # temporaries (decompose/planes_from_limbs peaks)
+    share = max(budget // 4, 2 * bytes_per_tile)
     R = end_row - begin_row
     rg_tiles = max(1, min((R + tile - 1) // tile, share // bytes_per_tile))
     window_tiles = max(1, int(share // bytes_per_tile))
 
-    for rg in range(begin_row, end_row, rg_tiles * tile):
-        rg_end = min(rg + rg_tiles * tile, end_row)
-        n_r = (rg_end - rg + tile - 1) // tile
-        ts = time.perf_counter()
-        planes_r, thr_r = stage(rg, rg_end, n_r * tile)
+    def stage_cols(ws, we):
+        n_w = (we - ws + tile - 1) // tile
+        p, t = stage(ws, we, n_w * tile)
         if ops is not None:
-            planes_r, thr_r = ops.replicate(planes_r, thr_r)
-        _acc("stage_ms", ts)
-        row_base_tiles = rg + np.arange(n_r, dtype=np.int64) * tile
-        for ws in range(0, total, window_tiles * tile):
-            we = min(ws + window_tiles * tile, total)
-            n_w = (we - ws + tile - 1) // tile
+            p, t = ops.replicate(p, t)
+        return p, t, n_w
+
+    windows = [(ws, min(ws + window_tiles * tile, total))
+               for ws in range(0, total, window_tiles * tile)]
+    # flattened (row group, window) schedule so the one-deep prefetch also
+    # covers the first window of the NEXT row group (the window sequence
+    # restarts identically for every row group)
+    schedule = [(rg, w) for rg in range(begin_row, end_row,
+                                        rg_tiles * tile) for w in windows]
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = None
+        cur_rg = None
+        for si, (rg, (ws, we)) in enumerate(schedule):
+            if rg != cur_rg:
+                rg_end = min(rg + rg_tiles * tile, end_row)
+                n_r = (rg_end - rg + tile - 1) // tile
+                ts = time.perf_counter()
+                planes_r, thr_r = stage(rg, rg_end, n_r * tile)
+                if ops is not None:
+                    planes_r, thr_r = ops.replicate(planes_r, thr_r)
+                _acc("stage_ms", ts)
+                row_base_tiles = rg + np.arange(n_r, dtype=np.int64) * tile
+                cur_rg = rg
             ts = time.perf_counter()
-            planes_w, thr_w = stage(ws, we, n_w * tile)
-            if ops is not None:
-                planes_w, thr_w = ops.replicate(planes_w, thr_w)
+            if fut is None:
+                planes_w, thr_w, n_w = stage_cols(ws, we)
+            else:
+                planes_w, thr_w, n_w = fut.result()
+            if si + 1 < len(schedule):
+                fut = pool.submit(stage_cols, *schedule[si + 1][1])
+            else:
+                fut = None
             _acc("stage_ms", ts)
             coords = np.array([(ri, wj) for ri in range(n_r)
                                for wj in range(n_w)], dtype=np.int32)

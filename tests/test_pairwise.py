@@ -54,6 +54,18 @@ def test_pairwise_matches_oracle(tmp_path, ref_toy_dir, db_name, num_shards,
     assert selfs and min(selfs) >= 254
 
 
+def test_streaming_prefetch_crosses_row_groups(tmp_path, ref_toy_dir):
+    """budget=0 with a small tile forces multiple row groups x multiple
+    column windows — exercises the streaming engine's one-deep window
+    prefetch across the row-group boundary (the flattened schedule)."""
+    db = DbFolder(str(ref_toy_dir / "toy_db_256"))
+    out = str(tmp_path / "matrix")
+    compute_pairwise_shard(str(ref_toy_dir / "toy_db_256"), out,
+                           num_shards=1, shard_idx=0, tile_rows=16,
+                           verbose=False, device_budget_bytes=0)
+    assert _decoded_triples(out, db.num_vectors) == _oracle_triples(db)
+
+
 def test_limb_decomposition_exact():
     rng = np.random.default_rng(11)
     import jax.numpy as jnp
