@@ -507,6 +507,21 @@ def bench_conformance():
     return out
 
 
+def _backend_is_reachable(timeout_s: int = 240) -> bool:
+    """Probe backend init in a SUBPROCESS: the axon plugin's init blocks
+    indefinitely when its tunnel is unreachable, which would hang the whole
+    bench (and leave the round without an artifact) at the first
+    jax.devices() call."""
+    import subprocess
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True)
+        return p.returncode == 0 and "ok" in p.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BASELINE_MEASURED.json")) as f:
@@ -515,6 +530,10 @@ def main():
     baseline_proj = base["projection_d2048"]["hashes_per_sec"]
 
     import jax
+    tpu_unavailable = False
+    if not _backend_is_reachable():
+        jax.config.update("jax_platforms", "cpu")
+        tpu_unavailable = True
     if jax.default_backend() == "cpu":
         # keep the fallback benchmark finite on a CPU-only host
         pps, pair_extras = bench_pairwise(N=2048, tile=1024, reps=3)
@@ -543,6 +562,7 @@ def main():
         "vs_baseline": round(pps / baseline_pps, 2),
         "extras": {
             "backend": jax.default_backend(),
+            "tpu_unavailable": tpu_unavailable,
             "device": str(jax.devices()[0]),
             "conformance": conf,
             "pairwise": pair_extras,
