@@ -92,8 +92,12 @@ def read_flat(path: str) -> tuple[np.ndarray, int]:
         if d <= 0 or ntotal < 0 or d1 != _DUMMY or d2 != _DUMMY:
             raise ValueError(f"{path}: corrupt FAISS IndexFlat header")
         if metric > 1:
-            f.read(4)                          # metric_arg, unused
-        (count,) = struct.unpack("<Q", f.read(8))
+            if len(f.read(4)) != 4:            # metric_arg, unused
+                raise ValueError(f"{path}: truncated FAISS header")
+        count_raw = f.read(8)
+        if len(count_raw) != 8:
+            raise ValueError(f"{path}: truncated FAISS header")
+        (count,) = struct.unpack("<Q", count_raw)
         if count != ntotal * d:
             raise ValueError(
                 f"{path}: FAISS vector count {count} != ntotal*d "

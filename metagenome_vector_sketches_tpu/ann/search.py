@@ -56,12 +56,14 @@ def _compact_hits(D, I, qn, nn_all, j, cap: int):
     return out_q, out_i, out_ip, count
 
 
-def project_queries(hash_sets, dimension: int) -> np.ndarray:
-    """Hash sets -> float64 (n, d) query vectors scaled by 1/sqrt(d)
-    (jaccard.py:96-118: standalone_projection output / sqrt(d))."""
+def project_queries(hash_sets, dimension: int):
+    """Hash sets -> (int32 (n, d) projected vectors, float64 copy scaled
+    by 1/sqrt(d)) — the reference's query-vector rule (jaccard.py:96-118:
+    standalone_projection output / sqrt(d)); the unscaled integer form
+    feeds the int8-plane exact engine."""
     from ..io.ingest import project_hash_lines
-    vecs = project_hash_lines(list(hash_sets), dimension).astype(np.float64)
-    return vecs / np.sqrt(dimension)
+    q_int = project_hash_lines(list(hash_sets), dimension).astype(np.int32)
+    return q_int, q_int.astype(np.float64) / np.sqrt(dimension)
 
 
 def adaptive_search(index, queries_f64: np.ndarray, j: float,
@@ -225,9 +227,7 @@ def search_index(index_folder: str, query_file: str, j: float,
     db = DbFolder(index_folder)
     d = db.dimension
     sample_names, hash_sets = parse_query_hashes_file(query_file)
-    from ..io.ingest import project_hash_lines
-    q_int = project_hash_lines(list(hash_sets), d).astype(np.int32)
-    queries = q_int.astype(np.float64) / np.sqrt(d)
+    q_int, queries = project_queries(hash_sets, d)
     names, norms = db.names_and_norms()
     if engine in ("int8", "int8_approx"):
         from .int_index import IntExactIndex

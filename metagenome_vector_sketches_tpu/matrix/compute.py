@@ -471,11 +471,13 @@ def _run_fused_extraction(planes, thr_j, tile, L, coords, row_base,
     scale = ops.max_tiles_scale() if ops is not None else 1
     K = min(FUSED_CHUNK_TILES, max(64, _next_pow2(T))) * scale
     PL = pw.num_planes(L)
-    # bound the (K, cap_c, PL+1) int32 chunk buffers to ~512 MB per device
-    K = max(scale, min(K, (((512 << 20) // ((PL + 1) * 4 * cap_c))
-                           // scale) * scale))
-    assert row_base.max(initial=0) + tile <= 2**31 - 1, \
-        "global row exceeds int32 (raise tile batching to int64 coords)"
+    # bound the PER-DEVICE (K/scale, cap_c, PL+1) int32 chunk buffers to
+    # ~512 MB: K may grow scale x (each device holds only its K/scale
+    # tiles' worth)
+    K = max(scale, min(K, ((512 << 20) // ((PL + 1) * 4 * cap_c)) * scale))
+    assert max(row_base.max(initial=0), col_base.max(initial=0)) + tile \
+        <= 2**31 - 1, \
+        "global coordinate exceeds int32 (raise tile batching to int64)"
 
     # out_cap estimate: running mean density with 2x headroom (the light
     # compact program is re-dispatched at the exact size on shortfall —
@@ -1036,11 +1038,6 @@ def _compute_streaming_two_phase(db, norms_sq, total, begin_row, end_row,
     column tiles staged as a single concatenated device tensor, counts
     sweep + shared hot-tile extraction per (window x row tile)."""
     tile = tile_rows
-    vec_dt = np.int16 if db.dtype == "int16" else np.int32
-    Vmm = np.memmap(os.path.join(db.path, "vectors.bin"), dtype=vec_dt,
-                    mode="r", shape=(total, d))
-    margin = pw.extra_threshold_margin(L, max_abs, d)
-    thr_f32 = (norms_sq - margin).astype(np.float32)
     P = pw.num_planes(L)
     bytes_per_tile = P * tile * d
     # peak device memory is ~3x the window planes (concat input + output +
@@ -1048,29 +1045,9 @@ def _compute_streaming_two_phase(db, norms_sq, total, begin_row, end_row,
     # about a third of the budget
     window_tiles = max(1, int(max(budget // 3, 2 * bytes_per_tile)
                               // bytes_per_tile) - 1)
+    Vmm, _, stage = _streaming_stager(db, norms_sq, total, d, L, max_abs)
     parts, finalize_globals, _ = _make_finalizer(
         Vmm, norms_sq, begin_row, end_row, total, d, exact_filter, max_abs)
-
-    def stage(start, end, n_rows):
-        """Load rows [start, end) padded to n_rows (thr=+inf padding)."""
-        block = np.zeros((n_rows, d), dtype=np.int32)
-        block[:end - start] = db.load_vectors(start, end).astype(np.int32)
-        # trust-but-verify the (possibly sidecar-cached) max component
-        # against the data actually staged — same stale-sidecar guard as
-        # _stage_database: a stale max_component.txt would silently wrap the
-        # int8 limb decomposition AND mis-size the threshold margin here
-        if end > start:
-            true_max = int(np.max(np.abs(block[:end - start].astype(np.int64))))
-            if true_max > max_abs:
-                raise ValueError(
-                    f"max_component.txt ({max_abs}) is stale: vectors.bin "
-                    f"holds |component| up to {true_max}. Delete "
-                    f"{os.path.join(db.path, 'max_component.txt')} or "
-                    "rebuild the db folder.")
-        thr = np.full(n_rows, np.float32(1e30), dtype=np.float32)
-        thr[:end - start] = thr_f32[start:end]
-        limbs = pw.decompose_limbs_host(block, L)
-        return pw.planes_from_limbs(jnp.asarray(limbs)), thr
 
     # windows outer, row tiles inner: each column window is uploaded and
     # decomposed exactly ONCE per shard (the column side dominates staging)
@@ -1089,7 +1066,7 @@ def _compute_streaming_two_phase(db, norms_sq, total, begin_row, end_row,
             tsw = time.perf_counter()
             planes_r, thr_r = stage(bi, ei, tile)
             planes_cat = jnp.concatenate([planes_r, planes_w], axis=1)
-            thr_cat = jnp.asarray(np.concatenate([thr_r, thr_w]))
+            thr_cat = jnp.concatenate([thr_r, thr_w])
             if ops is not None:
                 planes_cat, thr_cat = ops.replicate(planes_cat, thr_cat)
                 counts = ops.sweep_counts(planes_cat, thr_cat, coords, tile)

@@ -558,31 +558,18 @@ def _count_le(a, q):
     inside the fused kernel; this form is ~5 us."""
     n = a.shape[0]
     pos = jnp.zeros(q.shape, jnp.int32)
+    # first step = smallest pow2 >= n so pos can reach n itself (the
+    # side='right' result range is [0, n]; halving before the descent made
+    # n unreachable for pow2 n and always returned 0 for n=1)
     step = 1
     while step < n:
         step <<= 1
-    step >>= 1
     while step:
         cand = pos + step
         ok = (cand <= n) & (a[jnp.minimum(cand, n) - 1] <= q)
         pos = jnp.where(ok, cand, pos)
         step >>= 1
     return pos
-
-
-def _first_k_nonzero(mask_i32, k: int):
-    """Indices of the FIRST k true entries of a 1-D int32 0/1 mask, in
-    ascending order (-1 padding), via cumsum + searchsorted: the index of
-    the j-th set bit is the first position whose prefix sum reaches j+1.
-    O(n) VPU work — measured ~5x cheaper than the round-2 top_k-over-
-    descending-scores selection inside the fused scan on v5e (top_k is
-    sort-backed at these k). Returns (idx (k,) int32, valid (k,) bool)."""
-    pos = jnp.cumsum(mask_i32)
-    total = pos[-1]
-    j = jnp.arange(k, dtype=jnp.int32)
-    idx = jnp.searchsorted(pos, j + 1, side="left").astype(jnp.int32)
-    valid = j < total
-    return jnp.where(valid, idx, -1), valid
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "L", "cap_c"))
@@ -739,41 +726,19 @@ def sweep_extract_fused(planes, thr, coords, tile: int, L: int,
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "out_cap"))
-def compact_cands(cand_idx, partials, tile: int, out_cap: int):
-    """(K, cap_c) per-tile candidate indices + (K, cap_c, PL) partials ->
-    ONE flat exactly-sized (packed, partials) pair: packed = t*tile^2 +
-    in-tile idx (int32, -1 tail padding), row-major per tile.
-
-    Valid entries form a PREFIX of each tile row (sweep_extract_fused's
-    first-k selection packs them at the front), so the flatten is a
-    cumsum + searchsorted GATHER — O(out_cap log K) — instead of a
-    top_k/sort over K*cap_c elements (which at production sizes was a
-    ~100k-deep sort over 262k elements and dominated the whole fused
-    engine: ~1.1 s/chunk measured on v5e vs ~1 ms for this form)."""
-    K, cap_c = cand_idx.shape
-    PL = partials.shape[2]
-    assert K * tile * tile <= 2**31 - 1, "packed index would overflow int32"
-    kept = jnp.sum((cand_idx >= 0).astype(jnp.int32), axis=1)   # (K,)
-    ends = jnp.cumsum(kept)
-    starts = ends - kept
-    total = ends[-1]
-    i = jnp.arange(out_cap, dtype=jnp.int32)
-    t_safe = jnp.minimum(_count_le(ends, i), K - 1)
-    j = jnp.clip(i - starts[t_safe], 0, cap_c - 1)
-    valid = i < total
-    vals = cand_idx[t_safe, j]
-    out_packed = jnp.where(valid, t_safe * (tile * tile) + vals, -1)
-    out_parts = jnp.where(valid[:, None], partials[t_safe, j], 0)
-    return out_packed, out_parts
-
-
-@functools.partial(jax.jit, static_argnames=("tile", "out_cap"))
 def compact_cands_combined(cand_counts, cand_idx, partials,
                            bases, tile: int, out_cap: int):
     """Single-buffer chunk compaction: everything the host needs from one
     fused chunk as ONE int32 array, so ONE device->host transfer moves it
     (the tunnel charges ~45 ms of fixed latency per transfer; three reads
     per chunk dominated the round-2-style flow).
+
+    Valid entries form a PREFIX of each tile row (sweep_extract_fused's
+    first-k selection packs them at the front), so the flatten is a
+    cumsum + binary-search GATHER — O(out_cap log K) — instead of a
+    top_k/sort over K*cap_c elements (which at production sizes was a
+    ~100k-deep sort over 262k elements and dominated the whole fused
+    engine: ~1.1 s/chunk measured on v5e vs ~1 ms for this form).
 
     Layout (all int32):
       [0,  K)                 cand_counts
@@ -783,8 +748,7 @@ def compact_cands_combined(cand_counts, cand_idx, partials,
 
     bases: (K, 2) int32 — per-tile (row_base, col_base) GLOBAL element
     offsets (the caller's tile->global mapping, moved in-kernel so the
-    host does zero index arithmetic). Valid candidates are a PREFIX of
-    each tile row, so the flatten is cumsum + searchsorted (no sort).
+    host does zero index arithmetic).
     """
     K, cap_c = cand_idx.shape
     PL = partials.shape[2]
@@ -819,18 +783,6 @@ def split_combined(buf: np.ndarray, K: int, out_cap: int, PL: int):
     valid = r_glob >= 0
     return (cand_counts, r_glob[valid].astype(np.int64),
             c_glob[valid].astype(np.int64), parts[valid])
-
-
-def sweep_extract_compact(planes, thr, coords, tile: int, L: int,
-                          cap_c: int, out_cap: int):
-    """sweep_extract_fused + compact_cands: all K tiles' candidates
-    (self-pairs excluded) leave the device as one exactly-sized
-    (packed int32, partials int32) pair plus the authoritative per-tile
-    counts."""
-    cand_idx, partials, cand_counts = sweep_extract_fused(
-        planes, thr, coords, tile, L, cap_c)
-    packed, parts = compact_cands(cand_idx, partials, tile, out_cap)
-    return packed, parts, cand_counts
 
 
 @functools.partial(jax.jit, static_argnames=("L",))

@@ -270,6 +270,15 @@ def test_faiss_flat_l2_and_errors(tmp_path):
         f.write(_golden_faiss_flat_ip(V)[:-8])
     with pytest.raises(ValueError, match="truncated"):
         faissio.read_flat(trunc)
+    # truncated AT or INSIDE the u64 count field (e.g. interrupted copy
+    # right after the 33-byte header) -> ValueError, not struct.error
+    full = _golden_faiss_flat_ip(V)
+    for cut in (4 + 33, 4 + 33 + 3):
+        t2 = str(tmp_path / f"trunc{cut}.index")
+        with open(t2, "wb") as f:
+            f.write(full[:cut])
+        with pytest.raises(ValueError, match="truncated"):
+            faissio.read_flat(t2)
 
 
 def test_mvsflatip_backcompat_load(tmp_path):

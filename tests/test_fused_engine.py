@@ -18,6 +18,20 @@ from metagenome_vector_sketches_tpu.matrix.reader import MatrixReader
 from metagenome_vector_sketches_tpu.matrix.writer import quantize_jaccard
 
 
+def test_count_le_matches_searchsorted_right():
+    """_count_le must be a drop-in for jnp.searchsorted(side='right') over
+    its full [0, n] result range — including n itself for pow2 n and the
+    n=1 edge (both broken before round 3's review fix)."""
+    rng = np.random.default_rng(5)
+    for n in [1, 2, 3, 4, 7, 8, 16, 100, 2048]:
+        a = np.sort(rng.integers(0, 50, size=n)).astype(np.int32)
+        q = np.concatenate([rng.integers(-5, 55, size=64),
+                            [-1, 0, a[-1], a[-1] + 1]]).astype(np.int32)
+        got = np.asarray(pw._count_le(jnp.asarray(a), jnp.asarray(q)))
+        want = np.searchsorted(a, q, side="right")
+        np.testing.assert_array_equal(got, want, err_msg=f"n={n}")
+
+
 def _mask_oracle(V, norms_sq, tile, r, c, d):
     """Float32-sweep survivor mask for tile (r, c) — same float32 math the
     kernel applies (self-pairs excluded, as the kernel masks them),
@@ -143,7 +157,8 @@ def test_fused_engine_int16_oracle(tmp_path):
 
 def test_fused_engine_mesh_oracle(tmp_path):
     """The FUSED engine sharded over the virtual 8-device mesh must equal
-    the oracle (sweep_extract_fused + compact_cands under shard_map)."""
+    the oracle (sweep_extract_fused + compact_cands_combined under
+    shard_map)."""
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     from metagenome_vector_sketches_tpu.parallel.mesh import make_mesh
@@ -180,6 +195,14 @@ def test_two_phase_engine_still_available(tmp_path):
     er, ec, ev = mc.compute_pairwise_oracle(V, ns, d)
     eq = quantize_jaccard(ev, er, ec, ns, d)
     rr, cc, qq = MatrixReader(str(tmp_path / "m")).decode_all_triples(n)
+    assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
+        set(zip(er.tolist(), ec.tolist(), eq.tolist()))
+    # the STREAMING two_phase variant (budget=0 forces column windows;
+    # shares the _streaming_stager with the fused engine)
+    mc.compute_pairwise_shard(db.path, str(tmp_path / "m2"), tile_rows=16,
+                              verbose=False, engine="two_phase",
+                              device_budget_bytes=0)
+    rr, cc, qq = MatrixReader(str(tmp_path / "m2")).decode_all_triples(n)
     assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
         set(zip(er.tolist(), ec.tolist(), eq.tolist()))
 
