@@ -36,6 +36,7 @@ def _decoded_triples(matrix_folder: str, total: int):
     ("toy_db_256", 2, 0),        # force the streaming fallback path
     ("toy_db_2048", 1, 8 << 30),
     ("toy_db_2048_i16", 1, 8 << 30),
+    ("toy_db_2048_i16", 1, 0),   # int16 dtype through the streaming path
 ])
 def test_pairwise_matches_oracle(tmp_path, ref_toy_dir, db_name, num_shards,
                                  budget):

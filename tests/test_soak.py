@@ -35,6 +35,10 @@ def _run_one(tmp_path, seed, mesh=None, finalize=None):
     n = V.shape[0]
     tile = int(rng.choice([8, 16, 32, 64]))
     num_shards = int(rng.integers(1, 4))
+    # 0 forces the streaming engines (windowed columns + prefetch);
+    # a huge budget keeps the db device-resident
+    budget = int(rng.choice([0, 8 << 30]))
+    engine = str(rng.choice(["fused", "two_phase"]))
     db = DbFolder.write(str(tmp_path / f"db{seed}"),
                         [f"S{i}" for i in range(n)], V, d,
                         use_int16=use_int16)
@@ -42,7 +46,8 @@ def _run_one(tmp_path, seed, mesh=None, finalize=None):
     for s in range(num_shards):
         compute_pairwise_shard(db.path, out, num_shards=num_shards,
                                shard_idx=s, tile_rows=tile, verbose=False,
-                               mesh=mesh, finalize=finalize)
+                               mesh=mesh, finalize=finalize,
+                               device_budget_bytes=budget, engine=engine)
     _, norms = db.names_and_norms()
     ns = norms * norms
     stored = db.load_vectors().astype(np.int32)
@@ -52,7 +57,7 @@ def _run_one(tmp_path, seed, mesh=None, finalize=None):
     rr, cc, qq = MatrixReader(out).decode_all_triples(n)
     assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
         set(zip(er.tolist(), ec.tolist(), eq.tolist())), \
-        (seed, n, d, dtype, tile, num_shards)
+        (seed, n, d, dtype, tile, num_shards, budget, engine)
     clear_device_cache()
 
 
