@@ -22,10 +22,11 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from ..ops import pairwise as pw
 from ..parallel.mesh import make_mesh, row_sharding, replicated, DATA_AXIS
 from ..parallel.pairwise import distributed_topk
 from .flat_index import FlatIPIndex
-from .int_index import IntExactIndex, _int_scan_pool
+from .int_index import IntExactIndex, _int_scan_pool, _host_planes
 
 
 class DistributedFlatIPIndex:
@@ -63,18 +64,18 @@ class DistributedFlatIPIndex:
 
 
 @functools.lru_cache(maxsize=None)
-def _int_pool_fn(mesh, pool: int, rt: float, n_total: int):
+def _int_pool_fn(mesh, pool: int, rt: float):
     """Mesh-sharded candidate pooling for the int8-plane engine: local
-    scan over this device's chunk shard (global indices via axis_index),
-    then ONE all-gather of the (score, index, partials) pools + re-top-k.
-    Per-query ICI traffic is pool * (8 + 4P) bytes — independent of N."""
+    scan over this device's chunk shard (global indices from the sharded
+    per-chunk base-id/valid-count arrays, so arbitrary — e.g. per-process
+    — row layouts work), then ONE all-gather of the (score, index,
+    partials) pools + re-top-k. Per-query ICI traffic is
+    pool * (8 + 4P) bytes — independent of N."""
 
-    def step(qp, stack_local, inv_local):
-        C_l, _, R, _ = stack_local.shape
-        base0 = jax.lax.axis_index(DATA_AXIS) * (C_l * R)
+    def step(qp, stack_local, inv_local, bases_local, valid_local):
         s, i, p = _int_scan_pool.__wrapped__(
-            qp, stack_local, inv_local, n_total, pool,
-            recall_target=rt, base0=base0)
+            qp, stack_local, inv_local, 0, pool,
+            recall_target=rt, bases=bases_local, valid=valid_local)
         s_all = jax.lax.all_gather(s, DATA_AXIS, axis=1, tiled=True)
         i_all = jax.lax.all_gather(i, DATA_AXIS, axis=1, tiled=True)
         p_all = jax.lax.all_gather(p, DATA_AXIS, axis=2, tiled=True)
@@ -87,7 +88,7 @@ def _int_pool_fn(mesh, pool: int, rt: float, n_total: int):
 
     fn = shard_map(step, mesh=mesh,
                    in_specs=(P(), P(DATA_AXIS, None, None, None),
-                             P(DATA_AXIS, None)),
+                             P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS)),
                    out_specs=(P(), P(), P()),
                    check_vma=False)  # identical on all devices post-gather
     return jax.jit(fn)
@@ -97,10 +98,13 @@ class DistributedIntExactIndex(IntExactIndex):
     """IntExactIndex with its chunk stack sharded over a mesh: same search
     contract (float64-exact cosines), candidate pooling fanned out over
     the devices. Build the base index first (any construction path), then
-    wrap: ``DistributedIntExactIndex.from_index(idx, mesh)``."""
+    wrap: ``DistributedIntExactIndex.from_index(idx, mesh)`` — or, on a
+    multi-process run, build it collectively from per-process row blocks
+    with ``from_process_shards`` (no process ever holds the whole db)."""
 
     def __init__(self, *a, **kw):
-        raise TypeError("use DistributedIntExactIndex.from_index(...)")
+        raise TypeError("use DistributedIntExactIndex.from_index(...) or "
+                        ".from_process_shards(...)")
 
     @classmethod
     def from_index(cls, index: IntExactIndex,
@@ -111,17 +115,21 @@ class DistributedIntExactIndex(IntExactIndex):
         Cpad = ((C + n_dev - 1) // n_dev) * n_dev
         stack, inv = index._stack, index._inv_n
         if Cpad != C:
-            # pad chunks sit past ntotal => masked inside the scan
+            # pad chunks carry valid=0 => fully masked inside the scan
             stack = jnp.concatenate(
                 [stack, jnp.zeros((Cpad - C, Pn, R, d), jnp.int8)])
             inv = jnp.concatenate(
                 [inv, jnp.zeros((Cpad - C, R), jnp.float32)])
+        n = index._shape[0]
+        bases = np.arange(Cpad, dtype=np.int32) * R
+        valid = np.clip(n - bases.astype(np.int64), 0, R).astype(np.int32)
         self = cls.__new__(cls)
         self._shape = index._shape
         self.chunk_rows = index.chunk_rows
         self.mode = index.mode
         self.recall_target = index.recall_target
         self.pool_margin = index.pool_margin
+        self.selector = index.selector
         self.max_abs = index.max_abs
         self.L = index.L
         self.ns = index.ns
@@ -130,9 +138,120 @@ class DistributedIntExactIndex(IntExactIndex):
             stack, NamedSharding(mesh, P(DATA_AXIS, None, None, None)))
         self._inv_n = jax.device_put(
             inv, NamedSharding(mesh, P(DATA_AXIS, None)))
+        self._bases = jax.device_put(
+            jnp.asarray(bases), NamedSharding(mesh, P(DATA_AXIS)))
+        self._valid = jax.device_put(
+            jnp.asarray(valid), NamedSharding(mesh, P(DATA_AXIS)))
         return self
 
+    @classmethod
+    def from_process_shards(cls, vectors_local: np.ndarray, d: int,
+                            mesh=None, chunk_rows: int = 65536,
+                            mode: str = "exact",
+                            recall_target: float = 0.95
+                            ) -> "DistributedIntExactIndex":
+        """COLLECTIVE constructor for multi-process runs (call on every
+        process): each process contributes only its own row block
+        (``vectors_local``, (n_local, d) integer; global row ids are
+        assigned in jax.process_index() order), so no host ever
+        materializes the whole database. Metadata (row counts, max
+        component, exact |v|^2 norms — the small host-finalize inputs)
+        is exchanged with process_allgather; the int8 plane chunks stay
+        process-local and become the global sharded stack via
+        jax.make_array_from_process_local_data. Degenerates to the
+        single-process build on a 1-process mesh.
+
+        Mirrors the reference's per-task row blocks (SURVEY §2.3 job-array
+        model) but serves ONE logical index over all of them."""
+        from jax.experimental import multihost_utils
+        assert mode in ("exact", "approx"), mode
+        mesh = mesh if mesh is not None else make_mesh()
+        V = np.asarray(vectors_local)
+        if V.size and V.dtype not in (np.int8, np.int16, np.int32):
+            raise ValueError("integer vectors required; got %s" % V.dtype)
+        n_local = int(V.shape[0])
+        max_abs_local = (int(np.max(np.abs(V.astype(np.int64))))
+                         if n_local else 0)
+        meta = np.asarray(multihost_utils.process_allgather(
+            np.array([n_local, max_abs_local], np.int64)))
+        meta = meta.reshape(-1, 2)                 # (n_proc, 2)
+        n_locals = meta[:, 0]
+        n_total = int(n_locals.sum())
+        pid = jax.process_index()
+        base_p = int(n_locals[:pid].sum())
+        max_abs = int(meta[:, 1].max())
+        L = pw.pick_limbs(max(1, max_abs))
+        Pn = pw.num_planes(L)
+        R = int(min(chunk_rows, max(1, n_total)))  # same on all processes
+        n_dev = mesh.devices.size
+        n_proc = len(n_locals)
+        ldc = n_dev // n_proc
+        assert ldc * n_proc == n_dev, \
+            "mesh devices must split evenly across processes"
+        # equal chunk count per process, divisible by its device count
+        c_need = int(max((n_locals + R - 1) // R))
+        Cp = ((max(c_need, 1) + ldc - 1) // ldc) * ldc
+        stack = np.zeros((Cp, Pn, R, d), dtype=np.int8)
+        inv = np.zeros((Cp, R), dtype=np.float32)
+        bases = np.zeros(Cp, dtype=np.int32)
+        valid = np.zeros(Cp, dtype=np.int32)
+        ns_local = np.zeros(Cp * R, dtype=np.int64)
+        for c in range((n_local + R - 1) // R):
+            s, e = c * R, min((c + 1) * R, n_local)
+            block = np.zeros((R, d), dtype=np.int32)
+            block[:e - s] = V[s:e]
+            stack[c] = _host_planes(block, L)
+            ns_local[s:e] = np.einsum("ij,ij->i",
+                                      block[:e - s].astype(np.int64),
+                                      block[:e - s].astype(np.int64))
+            flat = np.sqrt(ns_local[c * R:(c + 1) * R].astype(np.float64))
+            with np.errstate(divide="ignore"):
+                inv[c] = np.where(flat > 0, 1.0 / flat, 0.0)
+            bases[c] = base_p + s
+            valid[c] = e - s
+        # exact norms for the host finalize: gather the (small) per-process
+        # blocks and concatenate in process order = global id order
+        ns_all = np.asarray(multihost_utils.process_allgather(ns_local))
+        ns_all = ns_all.reshape(n_proc, Cp * R)
+        ns = np.concatenate([ns_all[p, :int(n_locals[p])]
+                             for p in range(n_proc)])
+        self = cls.__new__(cls)
+        self._shape = (n_total, int(d))
+        self.chunk_rows = R
+        self.mode = mode
+        self.recall_target = float(recall_target)
+        self.pool_margin = 64
+        self.selector = "topk"
+        self.max_abs = max_abs
+        self.L = L
+        self.ns = ns
+        self.mesh = mesh
+        self._stack = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(DATA_AXIS, None, None, None)), stack,
+            global_shape=(Cp * n_proc, Pn, R, d))
+        self._inv_n = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(DATA_AXIS, None)), inv,
+            global_shape=(Cp * n_proc, R))
+        self._bases = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(DATA_AXIS)), bases,
+            global_shape=(Cp * n_proc,))
+        self._valid = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(DATA_AXIS)), valid,
+            global_shape=(Cp * n_proc,))
+        return self
+
+    def _replicate(self, qp):
+        """Queries replicated over the mesh; on a multi-process mesh the
+        (identical) host value must enter through
+        make_array_from_process_local_data."""
+        if any(d.process_index != jax.process_index()
+               for d in self.mesh.devices.flat):
+            return jax.make_array_from_process_local_data(
+                replicated(self.mesh), np.asarray(qp),
+                global_shape=tuple(qp.shape))
+        return jax.device_put(qp, replicated(self.mesh))
+
     def _pool(self, qp, pool: int, rt: float):
-        qp = jax.device_put(qp, replicated(self.mesh))
-        return _int_pool_fn(self.mesh, pool, rt, self.ntotal)(
-            qp, self._stack, self._inv_n)
+        return _int_pool_fn(self.mesh, pool, rt)(
+            self._replicate(qp), self._stack, self._inv_n,
+            self._bases, self._valid)

@@ -90,14 +90,18 @@ def _stack_update_from_ints(buf, chunk, c, L: int):
                                              "selector"))
 def _int_scan_pool(q_planes, stack, inv_n, n_total, pool: int,
                    recall_target: float = 1.0, base0=0,
-                   selector: str = "topk"):
+                   selector: str = "topk", bases=None, valid=None):
     """Whole-index candidate pooling as ONE program: lax.scan over the
     (C, P, R, d) plane stack; per chunk P int8 MXU matmuls -> exact int32
     plane partials, f32 weighted combine * 1/|v| ranking scores, top-pool
     selection CARRYING the partials so the host can recombine exactly.
 
     base0 offsets the emitted global indices (a mesh-sharded caller passes
-    its device's first global row, ann/distributed.py).
+    its device's first global row, ann/distributed.py). For NON-contiguous
+    chunk layouts (per-process row blocks, ann/distributed.py
+    from_process_shards) pass explicit per-chunk ``bases`` (C,) global
+    first-row ids and ``valid`` (C,) valid-row counts instead; base0 /
+    n_total are then ignored.
 
     Returns (scores (B, pool) f32, indices (B, pool) i32,
              partials (P, B, pool) i32)."""
@@ -107,10 +111,17 @@ def _int_scan_pool(q_planes, stack, inv_n, n_total, pool: int,
     w = jnp.asarray(pw.plane_weights(L))
     pool_eff = min(pool, C * R)
     kc = min(pool_eff, R)
+    if bases is None:
+        bases = base0 + jnp.arange(C, dtype=jnp.int32) * R
+        valid = jnp.clip(n_total - bases, 0, R).astype(jnp.int32)
+    else:
+        assert valid is not None, "explicit bases require explicit valid"
+        bases = jnp.asarray(bases, jnp.int32)
+        valid = jnp.asarray(valid, jnp.int32)
 
     def step(carry, xs):
         best_s, best_i, best_p = carry
-        planes_c, inv_c, base = xs
+        planes_c, inv_c, base, val = xs
         S = jnp.stack([
             jax.lax.dot_general(
                 q_planes[p], planes_c[p],
@@ -118,9 +129,13 @@ def _int_scan_pool(q_planes, stack, inv_n, n_total, pool: int,
                 preferred_element_type=jnp.int32)
             for p in range(P)])                       # (P, B, R) exact
         comb = jnp.einsum("p,pbr->br", w, S.astype(jnp.float32))
-        idx = base + jax.lax.iota(jnp.int32, R)
+        lane = jax.lax.iota(jnp.int32, R)
+        ok = lane < val
+        # invalid lanes get id -1 so a pad entry can never alias a real
+        # row id in the host finalize (uneven per-process shards)
+        idx = jnp.where(ok, base + lane, -1)
         score = comb * inv_c[None, :]
-        score = jnp.where((idx < n_total)[None, :], score, -jnp.inf)
+        score = jnp.where(ok[None, :], score, -jnp.inf)
         if recall_target < 1.0:
             s1, sel = jax.lax.approx_max_k(score, kc,
                                            recall_target=recall_target,
@@ -148,8 +163,7 @@ def _int_scan_pool(q_planes, stack, inv_n, n_total, pool: int,
     init = (jnp.full((B, pool_eff), -jnp.inf, jnp.float32),
             jnp.full((B, pool_eff), -1, jnp.int32),
             jnp.zeros((P, B, pool_eff), jnp.int32))
-    bases = base0 + jnp.arange(C, dtype=jnp.int32) * R
-    (s, i, p), _ = jax.lax.scan(step, init, (stack, inv_n, bases))
+    (s, i, p), _ = jax.lax.scan(step, init, (stack, inv_n, bases, valid))
     return s, i, p
 
 

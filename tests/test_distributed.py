@@ -74,6 +74,31 @@ _DRIVER = textwrap.dedent("""
     for b in range(B):
         assert set(I[b].tolist()) == set(np.argsort(-scores[b])[:k].tolist())
 
+    # 4) int8-plane exact ANN built COLLECTIVELY from per-process row
+    #    blocks (uneven split, non-chunk-multiple sizes => pad chunks and
+    #    the explicit bases/valid path are exercised for real)
+    from metagenome_vector_sketches_tpu.ann.distributed import (
+        DistributedIntExactIndex)
+    rngi = np.random.default_rng(7)                # same draw everywhere
+    Ni, di, ki = 50, 32, 7
+    Vi = rngi.integers(-300, 301, size=(Ni, di)).astype(np.int32)
+    Qi = rngi.integers(-300, 301, size=(3, di)).astype(np.int32)
+    splits = [0, 22, Ni]
+    idx = DistributedIntExactIndex.from_process_shards(
+        Vi[splits[pid]:splits[pid + 1]], di, mesh=mesh, chunk_rows=8)
+    assert idx.ntotal == Ni, idx.ntotal
+    D, I = idx.search(Qi, ki)
+    num = Qi.astype(np.float64) @ Vi.astype(np.float64).T
+    den = (np.sqrt(np.einsum("ij,ij->i", Qi.astype(np.float64),
+                             Qi.astype(np.float64)))[:, None]
+           * np.sqrt(np.einsum("ij,ij->i", Vi.astype(np.float64),
+                               Vi.astype(np.float64)))[None, :])
+    sc = num / den
+    for b in range(3):
+        want = sc[b][np.argsort(-sc[b])[:ki]]
+        assert np.allclose(np.sort(D[b]), np.sort(want), atol=1e-6), b
+        assert np.allclose(sc[b][I[b]], D[b], atol=1e-12), b
+
     jax.distributed.shutdown()
     print(f"DISTOK {{pid}}")
 """)

@@ -232,6 +232,33 @@ def test_distributed_int_index_small_shards_fill_pool():
     assert np.array_equal(Id, oI.astype(np.int32))
 
 
+def test_int_index_from_process_shards_single_process():
+    """from_process_shards degenerates to the single-process build (one
+    process owning the whole row space) and must match the from_index
+    path exactly — including a row count that is not a chunk multiple."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from metagenome_vector_sketches_tpu.ann.distributed import (
+        DistributedIntExactIndex)
+    from metagenome_vector_sketches_tpu.parallel.mesh import make_mesh
+    rng = np.random.default_rng(23)
+    n, d, R = 109, 48, 16
+    V = rng.integers(-600, 601, size=(n, d)).astype(np.int32)
+    Q = rng.integers(-600, 601, size=(4, d)).astype(np.int32)
+    mesh = make_mesh(8)
+    ref = DistributedIntExactIndex.from_index(
+        IntExactIndex(V, chunk_rows=R), mesh=mesh)
+    got = DistributedIntExactIndex.from_process_shards(
+        V, d, mesh=mesh, chunk_rows=R)
+    assert got.ntotal == n and got.L == ref.L
+    np.testing.assert_array_equal(got.ns, ref.ns)
+    Dr, Ir = ref.search(Q, 13)
+    Dg, Ig = got.search(Q, 13)
+    assert np.array_equal(Ir, Ig)
+    assert np.array_equal(Dr, Dg)
+
+
 def test_int_index_approx_mode_smoke():
     rng = np.random.default_rng(5)
     V = rng.integers(-300, 301, size=(96, 64)).astype(np.int32)
