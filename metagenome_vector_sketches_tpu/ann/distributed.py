@@ -48,6 +48,15 @@ class DistributedFlatIPIndex:
     def from_flat(cls, index: FlatIPIndex, mesh=None):
         return cls(index.vectors, mesh=mesh)
 
+    def search_device(self, queries_dev, k: int):
+        """Device-in/device-out search at k_eff = min(k, ntotal) — the
+        adaptive expanding loop's contract (FlatIPIndex.search_device).
+        Always exact (HIGHEST-precision local dot + all-gather merge)."""
+        k_eff = min(k, max(1, self.ntotal))
+        q = jax.device_put(queries_dev, replicated(self.mesh))
+        return distributed_topk(self.mesh, q, self.v, k_eff,
+                                n_valid=self.ntotal)
+
     def search(self, queries: np.ndarray, k: int):
         q = jax.device_put(
             jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32)),

@@ -212,9 +212,19 @@ def rescore(hits, query_norms: np.ndarray, names: list[str],
     return out
 
 
+def _serving_mesh(mesh_devices: int):
+    """mesh_devices: 1 = single device (None mesh); 0 = all local devices;
+    n > 1 = first n local devices (the pairwise CLI's convention)."""
+    if mesh_devices == 1:
+        return None
+    from ..parallel.mesh import make_mesh
+    n = mesh_devices or len(jax.local_devices())
+    return make_mesh(n) if n > 1 else None
+
+
 def search_index(index_folder: str, query_file: str, j: float,
                  verbose: bool = True, recall_target: float = 1.0,
-                 engine: str = "f32"):
+                 engine: str = "f32", mesh_devices: int = 1):
     """Full search pipeline over a db folder with a built faiss.index
     (reference search_index, jaccard.py:63-224). recall_target < 1.0 opts
     into the ~2x-faster approximate per-chunk top-k (no reference
@@ -223,24 +233,35 @@ def search_index(index_folder: str, query_file: str, j: float,
     engine: 'f32' (FAISS-parity FlatIPIndex over the faiss.index artifact)
     | 'int8' (int8-plane exact engine staged straight from the db folder's
     integer vectors — no faiss.index needed, float64-exact cosines)
-    | 'int8_approx' (same engine, approx_max_k pooling at recall_target)."""
+    | 'int8_approx' (same engine, approx_max_k pooling at recall_target).
+
+    mesh_devices != 1 serves every adaptive level mesh-sharded (extension:
+    rows/chunks scattered over the devices, candidate pools merged over
+    ICI — ann/distributed.py); results are identical to single-device."""
     db = DbFolder(index_folder)
     d = db.dimension
     sample_names, hash_sets = parse_query_hashes_file(query_file)
     q_int, queries = project_queries(hash_sets, d)
     names, norms = db.names_and_norms()
+    mesh = _serving_mesh(mesh_devices)
     if engine in ("int8", "int8_approx"):
         from .int_index import IntExactIndex
         rt = recall_target if recall_target < 1.0 else 0.95
         index = IntExactIndex.from_dbfolder(
             index_folder, mode="approx" if engine == "int8_approx"
             else "exact", recall_target=rt)
+        if mesh is not None:
+            from .distributed import DistributedIntExactIndex
+            index = DistributedIntExactIndex.from_index(index, mesh=mesh)
         hits, query_norms = adaptive_search(index, queries, j, verbose,
                                             db_norms=norms,
                                             queries_int=q_int)
     else:
         index = FlatIPIndex.load(os.path.join(index_folder, "faiss.index"))
         index.recall_target = recall_target
+        if mesh is not None:
+            from .distributed import DistributedFlatIPIndex
+            index = DistributedFlatIPIndex.from_flat(index, mesh=mesh)
         hits, query_norms = adaptive_search(index, queries, j, verbose,
                                             db_norms=norms)
     return rescore(hits, query_norms, names, norms, j, verbose)

@@ -19,7 +19,7 @@ from .search import search_index
 def validate(index_folder: str, hashes_file: str, n_samples: int = 20,
              j: float = 0.05, seed: int | None = None, plot: bool = False,
              save_plot: str | None = None, verbose: bool = True,
-             engine: str = "f32"):
+             engine: str = "f32", mesh_devices: int = 1):
     """Returns [(query_id, neighbor_id, estimated_jaccard, true_jaccard)].
 
     Requires the all_hashes.txt-style file the db was built from, and (for
@@ -44,7 +44,7 @@ def validate(index_folder: str, hashes_file: str, n_samples: int = 20,
     try:
         folder = index_folder if index_folder.endswith("/") else index_folder + "/"
         neighbors = search_index(folder, qpath, j, verbose=False,
-                                 engine=engine)
+                                 engine=engine, mesh_devices=mesh_devices)
     finally:
         os.unlink(qpath)
 

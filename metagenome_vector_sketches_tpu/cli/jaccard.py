@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
                                "the db's integer vectors (float64-exact "
                                "cosines, no faiss.index needed); "
                                "int8_approx: same with approx_max_k pooling")
+    p_search.add_argument("--mesh_devices", type=int, default=1,
+                          help="Serve mesh-sharded over this many local "
+                               "devices (0 = all, 1 = single device; "
+                               "extension — results are identical, candidate "
+                               "pools merge over ICI)")
 
     p_test = sub.add_parser(
         "test", help="Ground-truth validation: sample accessions, search the "
@@ -56,6 +61,7 @@ def build_parser() -> argparse.ArgumentParser:
                         help="write the estimated-vs-true scatter to this path")
     p_test.add_argument("--engine", choices=("f32", "int8", "int8_approx"),
                         default="f32")
+    p_test.add_argument("--mesh_devices", type=int, default=1)
     parser.add_argument("-v", "--version", action="store_true")
     return parser
 
@@ -76,12 +82,14 @@ def main(argv=None) -> int:
         if not folder.endswith("/"):
             folder += "/"
         search_index(folder, args.query_file, args.j,
-                     recall_target=args.recall_target, engine=args.engine)
+                     recall_target=args.recall_target, engine=args.engine,
+                     mesh_devices=args.mesh_devices)
     elif args.command == "test":
         from ..ann.validate import validate
         validate(args.index_folder, args.hashes_file,
                  n_samples=args.n_samples, j=args.j, seed=args.seed,
-                 plot=False, save_plot=args.save_plot, engine=args.engine)
+                 plot=False, save_plot=args.save_plot, engine=args.engine,
+                 mesh_devices=args.mesh_devices)
     return 0
 
 

@@ -164,6 +164,37 @@ def test_search_pipeline_int8_engine_matches_f32(toy_index_2048,
         assert abs(ref_map[key] - got_map[key]) < 1e-3, key
 
 
+def test_search_pipeline_mesh_sharded_matches_single(toy_index_2048,
+                                                     ref_toy_dir, tmp_path):
+    """mesh_devices=8 (rows/chunks scattered over the virtual mesh, pools
+    merged over the mesh axis) must return IDENTICAL neighbor sets for
+    BOTH serving engines — the adaptive expansion decisions and the final
+    rescoring see the same scores, so any divergence is a sharding bug."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    named = parse_hashes_file(str(ref_toy_dir / "all_hashes_toy.txt"))
+    hashes = dict(named)
+    db = DbFolder(toy_index_2048)
+    names, _ = db.names_and_norms()
+    take = names[:4]
+    qf = tmp_path / "q.txt"
+    with open(qf, "w") as f:
+        for n in take:
+            f.write(f"{n}: " + " ".join(str(h) for h in hashes[n]) + "\n")
+    for engine in ("f32", "int8"):
+        ref = ann_search.search_index(toy_index_2048, str(qf), 0.1,
+                                      verbose=False, engine=engine)
+        got = ann_search.search_index(toy_index_2048, str(qf), 0.1,
+                                      verbose=False, engine=engine,
+                                      mesh_devices=8)
+        ref_map = {(q, nid): jac for q, nid, jac in ref}
+        got_map = {(q, nid): jac for q, nid, jac in got}
+        assert set(ref_map) == set(got_map), engine
+        for key in ref_map:
+            assert abs(ref_map[key] - got_map[key]) < 1e-6, (engine, key)
+
+
 def test_jaccard_cli(toy_index_2048, ref_toy_dir, tmp_path, capsys):
     from metagenome_vector_sketches_tpu.cli.jaccard import main
     named = dict(parse_hashes_file(str(ref_toy_dir / "all_hashes_toy.txt")))
