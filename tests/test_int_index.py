@@ -259,6 +259,30 @@ def test_int_index_from_process_shards_single_process():
     assert np.array_equal(Dr, Dg)
 
 
+def test_distributed_int_index_approx_mode():
+    """approx pooling (approx_max_k inside the shard_map) on the mesh:
+    must run, return well-formed results, and — on a CPU mesh, where
+    approx_max_k lowers to an exact top-k — match the exact engine."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from metagenome_vector_sketches_tpu.ann.distributed import (
+        DistributedIntExactIndex)
+    from metagenome_vector_sketches_tpu.parallel.mesh import make_mesh
+    rng = np.random.default_rng(29)
+    n, d, R = 140, 64, 16
+    V = rng.integers(-400, 401, size=(n, d)).astype(np.int32)
+    Q = rng.integers(-400, 401, size=(3, d)).astype(np.int32)
+    mesh = make_mesh(8)
+    base = IntExactIndex(V, chunk_rows=R, mode="approx", recall_target=0.9)
+    dist = DistributedIntExactIndex.from_index(base, mesh=mesh)
+    assert dist.mode == "approx"
+    Dd, Id = dist.search(Q, 10)
+    assert Dd.shape == (3, 10) and np.all(Id >= 0)
+    oD, oI = _oracle_topk(V, Q, 10)
+    assert np.array_equal(Id, oI.astype(np.int32))
+
+
 def test_int_index_approx_mode_smoke():
     rng = np.random.default_rng(5)
     V = rng.integers(-300, 301, size=(96, 64)).astype(np.int32)
