@@ -26,7 +26,8 @@ from ..ops import pairwise as pw
 from ..parallel.mesh import make_mesh, row_sharding, replicated, DATA_AXIS
 from ..parallel.pairwise import distributed_topk
 from .flat_index import FlatIPIndex
-from .int_index import IntExactIndex, _int_scan_pool, _host_planes
+from .int_index import (IntExactIndex, _int_scan_pool, _host_planes,
+                        _inv_norms)
 
 
 class DistributedFlatIPIndex:
@@ -73,7 +74,7 @@ class DistributedFlatIPIndex:
 
 
 @functools.lru_cache(maxsize=None)
-def _int_pool_fn(mesh, pool: int, rt: float):
+def _int_pool_fn(mesh, pool: int, rt: float, selector: str = "topk"):
     """Mesh-sharded candidate pooling for the int8-plane engine: local
     scan over this device's chunk shard (global indices from the sharded
     per-chunk base-id/valid-count arrays, so arbitrary — e.g. per-process
@@ -84,7 +85,8 @@ def _int_pool_fn(mesh, pool: int, rt: float):
     def step(qp, stack_local, inv_local, bases_local, valid_local):
         s, i, p = _int_scan_pool.__wrapped__(
             qp, stack_local, inv_local, 0, pool,
-            recall_target=rt, bases=bases_local, valid=valid_local)
+            recall_target=rt, selector=selector,
+            bases=bases_local, valid=valid_local)
         s_all = jax.lax.all_gather(s, DATA_AXIS, axis=1, tiled=True)
         i_all = jax.lax.all_gather(i, DATA_AXIS, axis=1, tiled=True)
         p_all = jax.lax.all_gather(p, DATA_AXIS, axis=2, tiled=True)
@@ -201,7 +203,6 @@ class DistributedIntExactIndex(IntExactIndex):
         c_need = int(max((n_locals + R - 1) // R))
         Cp = ((max(c_need, 1) + ldc - 1) // ldc) * ldc
         stack = np.zeros((Cp, Pn, R, d), dtype=np.int8)
-        inv = np.zeros((Cp, R), dtype=np.float32)
         bases = np.zeros(Cp, dtype=np.int32)
         valid = np.zeros(Cp, dtype=np.int32)
         ns_local = np.zeros(Cp * R, dtype=np.int64)
@@ -213,11 +214,9 @@ class DistributedIntExactIndex(IntExactIndex):
             ns_local[s:e] = np.einsum("ij,ij->i",
                                       block[:e - s].astype(np.int64),
                                       block[:e - s].astype(np.int64))
-            flat = np.sqrt(ns_local[c * R:(c + 1) * R].astype(np.float64))
-            with np.errstate(divide="ignore"):
-                inv[c] = np.where(flat > 0, 1.0 / flat, 0.0)
             bases[c] = base_p + s
             valid[c] = e - s
+        inv = _inv_norms(ns_local[:n_local], Cp, R, n_local)
         # exact norms for the host finalize: gather the (small) per-process
         # blocks and concatenate in process order = global id order
         ns_all = np.asarray(multihost_utils.process_allgather(ns_local))
@@ -261,6 +260,6 @@ class DistributedIntExactIndex(IntExactIndex):
         return jax.device_put(qp, replicated(self.mesh))
 
     def _pool(self, qp, pool: int, rt: float):
-        return _int_pool_fn(self.mesh, pool, rt)(
+        return _int_pool_fn(self.mesh, pool, rt, self.selector)(
             self._replicate(qp), self._stack, self._inv_n,
             self._bases, self._valid)

@@ -266,6 +266,11 @@ class FlatIPIndex:
                     [last, jnp.zeros((R - int(last.shape[0]), d),
                                      jnp.float32)])
             self._stack = jnp.stack(arrs)
+            # drop our chunk references: nothing reads them once the
+            # stack exists, and holding them would pin 2x HBM for the
+            # index lifetime instead of only during the stacking copy
+            self._device_chunks = None
+            del arrs, chunks
         else:
             R = min(self.chunk_rows, n)
             C = (n + R - 1) // R

@@ -45,6 +45,17 @@ from ..utils import compilecache
 compilecache.ensure()
 
 
+def _inv_norms(ns, C: int, R: int, n: int) -> np.ndarray:
+    """(C, R) float32 1/sqrt(|v|^2) ranking weights (0 for zero rows) from
+    the exact int64 squared norms of the first n rows; pad rows stay 0."""
+    inv = np.zeros((C, R), dtype=np.float32)
+    flat = np.sqrt(np.asarray(ns, dtype=np.float64))
+    with np.errstate(divide="ignore"):
+        iv = np.where(flat > 0, 1.0 / flat, 0.0).astype(np.float32)
+    inv.reshape(-1)[:n] = iv
+    return inv
+
+
 def _host_planes(v: np.ndarray, L: int) -> np.ndarray:
     """(n, d) int -> (P, n, d) int8 Karatsuba planes on host (balanced
     limbs + pairwise limb sums; sums fit int8 because digits are in
@@ -203,12 +214,7 @@ class IntExactIndex:
         P = pw.num_planes(self.L)
         self.ns = np.einsum("ij,ij->i", V.astype(np.int64),
                             V.astype(np.int64))        # exact |v|^2
-        inv = np.zeros((C, R), dtype=np.float32)
-        flat = np.sqrt(self.ns.astype(np.float64))
-        with np.errstate(divide="ignore"):
-            iv = np.where(flat > 0, 1.0 / flat, 0.0).astype(np.float32)
-        inv.reshape(-1)[:n] = iv
-        self._inv_n = jnp.asarray(inv)
+        self._inv_n = jnp.asarray(_inv_norms(self.ns, C, R, n))
         stack = jnp.zeros((C, P, R, d), dtype=jnp.int8)
         for c in range(C):
             s, e = c * R, min((c + 1) * R, n)
@@ -272,12 +278,7 @@ class IntExactIndex:
             limbs = pw.decompose_limbs_host(block, self.L)
             stack = _stack_update(stack, jnp.asarray(limbs), jnp.int32(c))
         self.ns = ns
-        inv = np.zeros((C, R), dtype=np.float32)
-        flat = np.sqrt(ns.astype(np.float64))
-        with np.errstate(divide="ignore"):
-            iv = np.where(flat > 0, 1.0 / flat, 0.0).astype(np.float32)
-        inv.reshape(-1)[:n] = iv
-        self._inv_n = jnp.asarray(inv)
+        self._inv_n = jnp.asarray(_inv_norms(ns, C, R, n))
         self._stack = stack
         return self
 
@@ -329,12 +330,7 @@ class IntExactIndex:
         w = pw.plane_weights_int(self.L)
         ns_all = np.einsum("p,cpr->cr", w, selfs).reshape(-1)  # exact
         self.ns = ns_all[:n]
-        inv = np.zeros((C, R), dtype=np.float32)
-        flat = np.sqrt(self.ns.astype(np.float64))
-        with np.errstate(divide="ignore"):
-            iv = np.where(flat > 0, 1.0 / flat, 0.0).astype(np.float32)
-        inv.reshape(-1)[:n] = iv
-        self._inv_n = jnp.asarray(inv)
+        self._inv_n = jnp.asarray(_inv_norms(self.ns, C, R, n))
         return self
 
     @property

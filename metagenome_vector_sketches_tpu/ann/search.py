@@ -152,7 +152,11 @@ def adaptive_search(index, queries_f64: np.ndarray, j: float,
         if queries_int is not None:
             qb = np.zeros((B_pad, queries_int.shape[1]), dtype=np.int32)
             qb[:B] = queries_int[qidx]
-            D_np, I_np = index.search(qb, nb)
+            # clamp the level width like the f32 path's search_device
+            # does internally: nb can exceed ntotal by up to 3x at the
+            # final level, and the engine would otherwise allocate and
+            # round-trip (B_pad, nb) zero-padded result arrays
+            D_np, I_np = index.search(qb, min(nb, index.ntotal))
             D_dev, I_dev = jnp.asarray(D_np), jnp.asarray(I_np)
         else:
             qbatch = np.zeros((B_pad, queries.shape[1]), dtype=np.float32)
@@ -213,13 +217,19 @@ def rescore(hits, query_norms: np.ndarray, names: list[str],
 
 
 def _serving_mesh(mesh_devices: int):
-    """mesh_devices: 1 = single device (None mesh); 0 = all local devices;
-    n > 1 = first n local devices (the pairwise CLI's convention)."""
+    """mesh_devices: 1 = single device (None mesh); 0 = all local devices
+    (THIS process's — local_mesh, so multi-process runs serve from their
+    own addressable chips); n > 1 = first n local devices (the pairwise
+    CLI's convention)."""
     if mesh_devices == 1:
         return None
-    from ..parallel.mesh import make_mesh
-    n = mesh_devices or len(jax.local_devices())
-    return make_mesh(n) if n > 1 else None
+    from jax.sharding import Mesh
+    from ..parallel.mesh import DATA_AXIS
+    locals_ = jax.local_devices()
+    n = mesh_devices or len(locals_)
+    if n > len(locals_):
+        raise ValueError(f"need {n} local devices, have {len(locals_)}")
+    return Mesh(np.array(locals_[:n]), (DATA_AXIS,)) if n > 1 else None
 
 
 def search_index(index_folder: str, query_file: str, j: float,
@@ -247,9 +257,13 @@ def search_index(index_folder: str, query_file: str, j: float,
     if engine in ("int8", "int8_approx"):
         from .int_index import IntExactIndex
         rt = recall_target if recall_target < 1.0 else 0.95
+        # --recall_target < 1.0 opts the int8 engine into approx pooling
+        # exactly like it opts the f32 engine into approx_max_k (the flag
+        # promises the faster path regardless of engine spelling)
+        approx = engine == "int8_approx" or recall_target < 1.0
         index = IntExactIndex.from_dbfolder(
-            index_folder, mode="approx" if engine == "int8_approx"
-            else "exact", recall_target=rt)
+            index_folder, mode="approx" if approx else "exact",
+            recall_target=rt)
         if mesh is not None:
             from .distributed import DistributedIntExactIndex
             index = DistributedIntExactIndex.from_index(index, mesh=mesh)

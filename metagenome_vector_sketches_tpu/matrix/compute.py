@@ -516,7 +516,10 @@ def _run_fused_extraction(planes, thr_j, tile, L, coords, row_base,
             per_dev = int(kept.sum())
         return ((max(per_dev, 1) + 16383) // 16384) * 16384
 
+    first_dispatch = True
+
     def dispatch(s):
+        nonlocal first_dispatch
         e = min(s + K, T)
         bcoords = np.zeros((K, 3), dtype=np.int32)
         bcoords[:e - s, :2] = coords[s:e]
@@ -536,8 +539,13 @@ def _run_fused_extraction(planes, thr_j, tile, L, coords, row_base,
                                           jnp.asarray(bases), tile, L,
                                           cap_c)
             k_pad = K
+        # exact counts only for the FIRST dispatch: a seen_tiles gate
+        # would also block the SECOND dispatch on its own counts read
+        # (collect for chunk 1 runs after dispatch of chunk 2),
+        # serializing the advertised overlap
         out_cap = exact_out_cap(cand_counts, e - s, k_pad) \
-            if seen_tiles == 0 else estimate()
+            if first_dispatch else estimate()
+        first_dispatch = False
         if ops is not None:
             buf = ops.compact_cands_combined(
                 cand_counts, cand_idx, partials, bases, tile, out_cap,
