@@ -261,13 +261,17 @@ class IntExactIndex:
         P = pw.num_planes(self.L)
         ns = np.empty(n, dtype=np.int64)
         stack = jnp.zeros((C, P, R, d), dtype=jnp.int8)
-        true_max = 0
-        for c in range(C):
+
+        def prepare(c):
+            """Host side of one chunk's staging: disk read + exact norms +
+            staleness check + limb decompose. Runs one chunk ahead on a
+            background thread so it overlaps the device-side H2D +
+            plane-update of the previous chunk."""
             s, e = c * R, min((c + 1) * R, n)
             block = np.zeros((R, d), dtype=np.int32)
             block[:e - s] = V[s:e]
-            true_max = max(true_max, int(np.max(np.abs(
-                block.astype(np.int64)))))
+            true_max = int(np.max(np.abs(block.astype(np.int64)))) if n \
+                else 0
             if true_max > self.max_abs:
                 raise ValueError(
                     f"max_component.txt ({self.max_abs}) is stale: "
@@ -275,8 +279,17 @@ class IntExactIndex:
                     "Delete the sidecar or rebuild the db folder.")
             ns[s:e] = np.einsum("ij,ij->i", block[:e - s].astype(np.int64),
                                 block[:e - s].astype(np.int64))
-            limbs = pw.decompose_limbs_host(block, self.L)
-            stack = _stack_update(stack, jnp.asarray(limbs), jnp.int32(c))
+            return pw.decompose_limbs_host(block, self.L)
+
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(prepare, 0)
+            for c in range(C):
+                limbs = fut.result()
+                if c + 1 < C:
+                    fut = pool.submit(prepare, c + 1)
+                stack = _stack_update(stack, jnp.asarray(limbs),
+                                      jnp.int32(c))
         self.ns = ns
         self._inv_n = jnp.asarray(_inv_norms(ns, C, R, n))
         self._stack = stack
