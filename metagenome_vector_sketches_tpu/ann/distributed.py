@@ -31,15 +31,18 @@ from .int_index import (IntExactIndex, _int_scan_pool, _host_planes,
 
 
 class DistributedFlatIPIndex:
-    def __init__(self, vectors: np.ndarray, mesh=None):
+    def __init__(self, vectors: np.ndarray, mesh=None,
+                 recall_target: float = 1.0):
         """vectors: (n, d) float32 L2-normalized. Rows are padded to a
         multiple of the mesh size (pad rows are zero => never in top-k unless
         k exceeds the true matches, mirroring FAISS's -1 semantics is handled
-        by score masking)."""
+        by score masking). recall_target < 1.0 uses approx_max_k for the
+        per-device local selection (the cross-device merge stays exact)."""
         self.mesh = mesh if mesh is not None else make_mesh()
         n_dev = self.mesh.devices.size
         n, d = vectors.shape
         self.ntotal = n
+        self.recall_target = float(recall_target)
         npad = ((n + n_dev - 1) // n_dev) * n_dev
         padded = np.zeros((npad, d), dtype=np.float32)
         padded[:n] = vectors
@@ -47,16 +50,17 @@ class DistributedFlatIPIndex:
 
     @classmethod
     def from_flat(cls, index: FlatIPIndex, mesh=None):
-        return cls(index.vectors, mesh=mesh)
+        return cls(index.vectors, mesh=mesh,
+                   recall_target=index.recall_target)
 
     def search_device(self, queries_dev, k: int):
         """Device-in/device-out search at k_eff = min(k, ntotal) — the
-        adaptive expanding loop's contract (FlatIPIndex.search_device).
-        Always exact (HIGHEST-precision local dot + all-gather merge)."""
+        adaptive expanding loop's contract (FlatIPIndex.search_device)."""
         k_eff = min(k, max(1, self.ntotal))
         q = jax.device_put(queries_dev, replicated(self.mesh))
         return distributed_topk(self.mesh, q, self.v, k_eff,
-                                n_valid=self.ntotal)
+                                n_valid=self.ntotal,
+                                recall_target=self.recall_target)
 
     def search(self, queries: np.ndarray, k: int):
         q = jax.device_put(
@@ -65,7 +69,8 @@ class DistributedFlatIPIndex:
         # n_valid masks the mesh-padding rows to -inf inside the kernel so
         # they cannot displace genuine negative-inner-product neighbors
         D, I = distributed_topk(self.mesh, q, self.v, k,
-                                n_valid=self.ntotal)
+                                n_valid=self.ntotal,
+                                recall_target=self.recall_target)
         D, I = np.array(D), np.array(I)
         bad = ~np.isfinite(D) | (I >= self.ntotal)
         D[bad] = 0.0

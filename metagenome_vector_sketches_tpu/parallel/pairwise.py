@@ -55,7 +55,7 @@ def sharded_pairwise_counts(mesh, v_limbs, thr, d: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _topk_fn(mesh, k: int, n_valid):
+def _topk_fn(mesh, k: int, n_valid, recall_target: float = 1.0):
     def step(q, v_local):
         scores = jax.lax.dot_general(
             q, v_local, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -69,7 +69,14 @@ def _topk_fn(mesh, k: int, n_valid):
             idx = base + jnp.arange(v_local.shape[0], dtype=jnp.int32)
             scores = jnp.where(idx[None, :] < n_valid, scores, -jnp.inf)
         kk = min(k, v_local.shape[0])
-        d_loc, i_loc = jax.lax.top_k(scores, kk)
+        if recall_target < 1.0:
+            # approx local selection (TPU PartialReduce); the cross-device
+            # merge below stays an exact re-top-k over the local pools
+            d_loc, i_loc = jax.lax.approx_max_k(
+                scores, kk, recall_target=recall_target,
+                aggregate_to_topk=True)
+        else:
+            d_loc, i_loc = jax.lax.top_k(scores, kk)
         i_loc = i_loc + base
         if kk < k:
             pad_d = jnp.full((q.shape[0], k - kk), -jnp.inf, jnp.float32)
@@ -90,7 +97,8 @@ def _topk_fn(mesh, k: int, n_valid):
     return jax.jit(fn)
 
 
-def distributed_topk(mesh, queries, v_norm, k: int, n_valid: int | None = None):
+def distributed_topk(mesh, queries, v_norm, k: int, n_valid: int | None = None,
+                     recall_target: float = 1.0):
     """Distributed flat-IP top-k: database rows sharded across the mesh,
     queries replicated; local fused dot+top_k then an all_gather merge.
 
@@ -101,9 +109,11 @@ def distributed_topk(mesh, queries, v_norm, k: int, n_valid: int | None = None):
       n_valid: true row count when v_norm carries mesh-padding rows; padded
         rows score -inf so they never displace real (even negative-score)
         neighbors.
+      recall_target: < 1.0 switches the per-device LOCAL selection to
+        jax.lax.approx_max_k (the cross-device merge stays exact).
 
     Returns:
       (D (B, k) float32, I (B, k) int32 global row indices), replicated.
       Slots beyond the real matches come back with score -inf.
     """
-    return _topk_fn(mesh, k, n_valid)(queries, v_norm)
+    return _topk_fn(mesh, k, n_valid, recall_target)(queries, v_norm)
