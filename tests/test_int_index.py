@@ -113,6 +113,27 @@ def test_int_index_from_dbfolder_matches_arrays(tmp_path):
     assert np.array_equal(Ia, oI.astype(np.int32))
 
 
+def test_int_index_from_dbfolder_int16(tmp_path):
+    """int16 db folders (the reference's --int16 storage) stage through
+    the same path: memmap dtype from dtype.txt, L from the int16-range
+    max component, results equal to the host-array build and oracle."""
+    from metagenome_vector_sketches_tpu.io.dbfolder import DbFolder
+    rng = np.random.default_rng(31)
+    n, d = 40, 64
+    V = rng.integers(-20000, 20001, size=(n, d)).astype(np.int32)
+    db = DbFolder.write(str(tmp_path / "db"),
+                        [f"S{i}" for i in range(n)], V, d, use_int16=True)
+    Q = rng.integers(-20000, 20001, size=(3, d)).astype(np.int32)
+    a = IntExactIndex(V, chunk_rows=16)
+    b = IntExactIndex.from_dbfolder(db.path, chunk_rows=16)
+    assert b.L == a.L and b.L >= 3                     # int16 range -> L=3
+    Da, Ia = a.search(Q, 7)
+    Db, Ib = b.search(Q, 7)
+    assert np.array_equal(Ia, Ib) and np.array_equal(Da, Db)
+    oD, oI = _oracle_topk(V, Q, 7)
+    assert np.array_equal(Ia, oI.astype(np.int32))
+
+
 def test_int_index_from_device_chunks_matches_host():
     """Device-chunk construction (planes decomposed on device, exact norms
     recovered from plane self-sums) must equal the host-array index,
