@@ -30,6 +30,17 @@ from .int_index import (IntExactIndex, _int_scan_pool, _host_planes,
                         _inv_norms)
 
 
+def _replicate_on(mesh, x):
+    """Replicate a host value over the mesh; on a multi-process mesh the
+    (identical-on-every-process) value must enter through
+    make_array_from_process_local_data."""
+    if any(d.process_index != jax.process_index()
+           for d in mesh.devices.flat):
+        return jax.make_array_from_process_local_data(
+            replicated(mesh), np.asarray(x), global_shape=tuple(x.shape))
+    return jax.device_put(x, replicated(mesh))
+
+
 class DistributedFlatIPIndex:
     def __init__(self, vectors: np.ndarray, mesh=None,
                  recall_target: float = 1.0):
@@ -43,6 +54,7 @@ class DistributedFlatIPIndex:
         n, d = vectors.shape
         self.ntotal = n
         self.recall_target = float(recall_target)
+        self._row_ids = None
         npad = ((n + n_dev - 1) // n_dev) * n_dev
         padded = np.zeros((npad, d), dtype=np.float32)
         padded[:n] = vectors
@@ -53,24 +65,70 @@ class DistributedFlatIPIndex:
         return cls(index.vectors, mesh=mesh,
                    recall_target=index.recall_target)
 
+    @classmethod
+    def from_process_shards(cls, vectors_local: np.ndarray, d: int,
+                            mesh=None, recall_target: float = 1.0
+                            ) -> "DistributedFlatIPIndex":
+        """COLLECTIVE constructor for multi-process runs (call on every
+        process): each process contributes only its own L2-normalized
+        float32 row block; global row ids are assigned in
+        jax.process_index() order and no host ever holds the whole
+        database. Per-process pad rows are interleaved in the global
+        layout, so searches ride explicit per-row ids
+        (parallel.pairwise.distributed_topk row_ids) instead of the
+        contiguous n_valid mask. Degenerates to the single-process build
+        on a 1-process mesh."""
+        from jax.experimental import multihost_utils
+        mesh = mesh if mesh is not None else make_mesh()
+        V = np.ascontiguousarray(vectors_local, dtype=np.float32)
+        n_local = int(V.shape[0])
+        counts = np.asarray(multihost_utils.process_allgather(
+            np.array([n_local], np.int64))).reshape(-1)
+        n_total = int(counts.sum())
+        pid = jax.process_index()
+        base_p = int(counts[:pid].sum())
+        n_proc = len(counts)
+        n_dev = mesh.devices.size
+        ldc = n_dev // n_proc
+        assert ldc * n_proc == n_dev, \
+            "mesh devices must split evenly across processes"
+        rows_pp = ((max(int(counts.max()), 1) + ldc - 1) // ldc) * ldc
+        padded = np.zeros((rows_pp, d), dtype=np.float32)
+        padded[:n_local] = V
+        ids = np.full(rows_pp, -1, dtype=np.int32)
+        ids[:n_local] = base_p + np.arange(n_local, dtype=np.int32)
+        self = cls.__new__(cls)
+        self.mesh = mesh
+        self.ntotal = n_total
+        self.recall_target = float(recall_target)
+        self.v = jax.make_array_from_process_local_data(
+            row_sharding(mesh), padded,
+            global_shape=(rows_pp * n_proc, int(d)))
+        self._row_ids = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P(DATA_AXIS)), ids,
+            global_shape=(rows_pp * n_proc,))
+        return self
+
     def search_device(self, queries_dev, k: int):
         """Device-in/device-out search at k_eff = min(k, ntotal) — the
         adaptive expanding loop's contract (FlatIPIndex.search_device)."""
         k_eff = min(k, max(1, self.ntotal))
-        q = jax.device_put(queries_dev, replicated(self.mesh))
+        q = _replicate_on(self.mesh, queries_dev)
         return distributed_topk(self.mesh, q, self.v, k_eff,
                                 n_valid=self.ntotal,
-                                recall_target=self.recall_target)
+                                recall_target=self.recall_target,
+                                row_ids=self._row_ids)
 
     def search(self, queries: np.ndarray, k: int):
-        q = jax.device_put(
-            jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32)),
-            replicated(self.mesh))
-        # n_valid masks the mesh-padding rows to -inf inside the kernel so
+        q = _replicate_on(
+            self.mesh,
+            jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32)))
+        # n_valid / row_ids mask the pad rows to -inf inside the kernel so
         # they cannot displace genuine negative-inner-product neighbors
         D, I = distributed_topk(self.mesh, q, self.v, k,
                                 n_valid=self.ntotal,
-                                recall_target=self.recall_target)
+                                recall_target=self.recall_target,
+                                row_ids=self._row_ids)
         D, I = np.array(D), np.array(I)
         bad = ~np.isfinite(D) | (I >= self.ntotal)
         D[bad] = 0.0
@@ -253,18 +311,7 @@ class DistributedIntExactIndex(IntExactIndex):
             global_shape=(Cp * n_proc,))
         return self
 
-    def _replicate(self, qp):
-        """Queries replicated over the mesh; on a multi-process mesh the
-        (identical) host value must enter through
-        make_array_from_process_local_data."""
-        if any(d.process_index != jax.process_index()
-               for d in self.mesh.devices.flat):
-            return jax.make_array_from_process_local_data(
-                replicated(self.mesh), np.asarray(qp),
-                global_shape=tuple(qp.shape))
-        return jax.device_put(qp, replicated(self.mesh))
-
     def _pool(self, qp, pool: int, rt: float):
         return _int_pool_fn(self.mesh, pool, rt, self.selector)(
-            self._replicate(qp), self._stack, self._inv_n,
+            _replicate_on(self.mesh, qp), self._stack, self._inv_n,
             self._bases, self._valid)

@@ -55,19 +55,27 @@ def sharded_pairwise_counts(mesh, v_limbs, thr, d: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _topk_fn(mesh, k: int, n_valid, recall_target: float = 1.0):
-    def step(q, v_local):
+def _topk_fn(mesh, k: int, n_valid, recall_target: float = 1.0,
+             with_ids: bool = False):
+    def step(q, v_local, ids_local=None):
         scores = jax.lax.dot_general(
             q, v_local, dimension_numbers=(((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
-        base = jax.lax.axis_index(DATA_AXIS) * v_local.shape[0]
-        if n_valid is not None:
-            # mesh-padding rows must lose to ANY real neighbor, including
-            # negative-inner-product ones (a zero pad row scores 0, which
-            # would displace genuine anti-correlated neighbors from top-k)
-            idx = base + jnp.arange(v_local.shape[0], dtype=jnp.int32)
-            scores = jnp.where(idx[None, :] < n_valid, scores, -jnp.inf)
+        if with_ids:
+            # explicit per-row global ids (-1 = pad): arbitrary — e.g.
+            # per-process — row layouts; pads lose to any real neighbor
+            scores = jnp.where(ids_local[None, :] >= 0, scores, -jnp.inf)
+        else:
+            base = jax.lax.axis_index(DATA_AXIS) * v_local.shape[0]
+            if n_valid is not None:
+                # mesh-padding rows must lose to ANY real neighbor,
+                # including negative-inner-product ones (a zero pad row
+                # scores 0, which would displace genuine anti-correlated
+                # neighbors from top-k)
+                idx = base + jnp.arange(v_local.shape[0], dtype=jnp.int32)
+                scores = jnp.where(idx[None, :] < n_valid, scores,
+                                   -jnp.inf)
         kk = min(k, v_local.shape[0])
         if recall_target < 1.0:
             # approx local selection (TPU PartialReduce); the cross-device
@@ -77,7 +85,10 @@ def _topk_fn(mesh, k: int, n_valid, recall_target: float = 1.0):
                 aggregate_to_topk=True)
         else:
             d_loc, i_loc = jax.lax.top_k(scores, kk)
-        i_loc = i_loc + base
+        if with_ids:
+            i_loc = ids_local[i_loc]
+        else:
+            i_loc = i_loc + base
         if kk < k:
             pad_d = jnp.full((q.shape[0], k - kk), -jnp.inf, jnp.float32)
             pad_i = jnp.full((q.shape[0], k - kk), -1, jnp.int32)
@@ -90,15 +101,18 @@ def _topk_fn(mesh, k: int, n_valid, recall_target: float = 1.0):
         i_fin = jnp.take_along_axis(i_all, sel, axis=1)
         return d_fin, i_fin
 
+    in_specs = (P(), P(DATA_AXIS, None))
+    if with_ids:
+        in_specs = in_specs + (P(DATA_AXIS),)
     fn = shard_map(step, mesh=mesh,
-                   in_specs=(P(), P(DATA_AXIS, None)),
+                   in_specs=in_specs,
                    out_specs=(P(), P()),
                    check_vma=False)  # outputs identical on all devices post-gather
     return jax.jit(fn)
 
 
 def distributed_topk(mesh, queries, v_norm, k: int, n_valid: int | None = None,
-                     recall_target: float = 1.0):
+                     recall_target: float = 1.0, row_ids=None):
     """Distributed flat-IP top-k: database rows sharded across the mesh,
     queries replicated; local fused dot+top_k then an all_gather merge.
 
@@ -111,9 +125,15 @@ def distributed_topk(mesh, queries, v_norm, k: int, n_valid: int | None = None,
         neighbors.
       recall_target: < 1.0 switches the per-device LOCAL selection to
         jax.lax.approx_max_k (the cross-device merge stays exact).
+      row_ids: optional (N,) int32 row-sharded EXPLICIT global ids (-1 =
+        pad row); overrides n_valid for arbitrary — e.g. per-process —
+        row layouts (the emitted I are these ids).
 
     Returns:
       (D (B, k) float32, I (B, k) int32 global row indices), replicated.
       Slots beyond the real matches come back with score -inf.
     """
+    if row_ids is not None:
+        return _topk_fn(mesh, k, None, recall_target,
+                        with_ids=True)(queries, v_norm, row_ids)
     return _topk_fn(mesh, k, n_valid, recall_target)(queries, v_norm)

@@ -99,6 +99,27 @@ _DRIVER = textwrap.dedent("""
         assert np.allclose(np.sort(D[b]), np.sort(want), atol=1e-6), b
         assert np.allclose(sc[b][I[b]], D[b], atol=1e-12), b
 
+    # 5) f32 flat index built collectively from per-process row blocks
+    #    (explicit row-id masking: per-process pad rows sit in the MIDDLE
+    #    of the global layout)
+    from metagenome_vector_sketches_tpu.ann.distributed import (
+        DistributedFlatIPIndex)
+    from metagenome_vector_sketches_tpu.ann.flat_index import normalize_l2
+    rngf = np.random.default_rng(11)
+    Nf, df, kf = 45, 24, 6
+    Vf = normalize_l2(rngf.normal(size=(Nf, df)).astype(np.float32))
+    Qf = normalize_l2(rngf.normal(size=(2, df)).astype(np.float32))
+    fsplits = [0, 19, Nf]
+    fidx = DistributedFlatIPIndex.from_process_shards(
+        Vf[fsplits[pid]:fsplits[pid + 1]], df, mesh=mesh)
+    assert fidx.ntotal == Nf, fidx.ntotal
+    Df, If = fidx.search(Qf, kf)
+    fsc = Qf.astype(np.float64) @ Vf.astype(np.float64).T
+    for b in range(2):
+        want = np.sort(fsc[b][np.argsort(-fsc[b])[:kf]])
+        assert np.allclose(np.sort(Df[b]), want, atol=1e-6), b
+        assert np.all(If[b] >= 0) and np.all(If[b] < Nf)
+
     jax.distributed.shutdown()
     print(f"DISTOK {{pid}}")
 """)

@@ -36,6 +36,33 @@ def test_distributed_index_matches_flat():
     assert np.all(Id < 203)
 
 
+def test_flat_from_process_shards_single_process():
+    """f32 from_process_shards (explicit row-id path through
+    distributed_topk) must match the padded-contiguous build exactly on a
+    1-process mesh, including a row count that is not a mesh multiple."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(57)
+    V = normalize_l2(rng.normal(size=(117, 48)).astype(np.float32))
+    Q = normalize_l2(rng.normal(size=(3, 48)).astype(np.float32))
+    mesh = make_mesh(8)
+    ref = DistributedFlatIPIndex(V, mesh=mesh)
+    got = DistributedFlatIPIndex.from_process_shards(V, 48, mesh=mesh)
+    assert got.ntotal == 117
+    Dr, Ir = ref.search(Q, 9)
+    Dg, Ig = got.search(Q, 9)
+    scores = Q.astype(np.float64) @ V.astype(np.float64).T
+    for b in range(3):
+        same = set(Ig[b].tolist()) == set(Ir[b].tolist())
+        if not same:  # ties may swap
+            np.testing.assert_allclose(
+                np.sort(scores[b][Ig[b]]), np.sort(scores[b][Ir[b]]),
+                rtol=1e-6)
+    np.testing.assert_allclose(np.sort(Dg, axis=1), np.sort(Dr, axis=1),
+                               rtol=1e-6)
+
+
 def test_multihost_pairwise_wrapper(tmp_path, ref_toy_dir):
     folders = multihost.compute_pairwise_multihost(
         str(ref_toy_dir / "toy_db_256"), str(tmp_path / "m"), num_shards=2,
