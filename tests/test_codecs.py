@@ -123,3 +123,41 @@ def test_batched_matrix_rows_byte_identical():
     bad[1] = bad[0]  # duplicate column within row 0
     with pytest.raises(ValueError):
         native.write_matrix_rows(bad, q, starts)
+
+
+def test_codec_fuzz_native_eq_pyref_and_clean_corrupt_errors():
+    """Randomized cross-validation of the three codecs: native and python
+    encoders must produce BYTE-IDENTICAL buffers (the on-disk contract),
+    decoders must round-trip, and truncated buffers must raise in BOTH
+    decoders (never crash or silently return)."""
+    if not native.available():
+        pytest.skip("native codecs unavailable")
+    rng = np.random.default_rng(41)
+    for trial in range(60):
+        k = int(rng.integers(0, 60))
+        uni = int(rng.integers(max(2, k + 1), 100000))
+        vals = np.sort(rng.choice(uni, size=k, replace=False)
+                       ).astype(np.uint64)
+        free = rng.integers(0, 1 << int(rng.integers(1, 32)),
+                            size=k).astype(np.uint64)
+        cases = [(pyref.cv_encode, pyref.cv_decode, native.cv_encode,
+                  native.cv_decode, (free,)),
+                 (pyref.rice_encode, pyref.rice_decode, native.rice_encode,
+                  native.rice_decode, (free,)),
+                 (pyref.ef_encode, pyref.ef_decode, native.ef_encode,
+                  native.ef_decode, (vals, uni))]
+        for enc_p, dec_p, enc_n, dec_n, args in cases:
+            try:
+                bp = enc_p(*args)
+            except Exception:
+                continue            # e.g. empty EF input rejected
+            bn = enc_n(*args)
+            assert bp == bn, (trial, enc_p.__name__)
+            vp, _ = dec_p(bp)
+            vn, _ = dec_n(bn)
+            assert np.array_equal(np.asarray(vp), np.asarray(vn))
+            assert np.array_equal(np.asarray(vp), args[0])
+            for cut in {1, len(bp) // 2, max(0, len(bp) - 3)}:
+                for dec in (dec_p, dec_n):
+                    with pytest.raises(Exception):
+                        dec(bp[:cut])
