@@ -97,3 +97,33 @@ def test_device_resident_stale_max_component_raises(tmp_path):
     with pytest.raises(ValueError, match="stale"):
         compute_pairwise_shard(db.path, str(tmp_path / "m"), tile_rows=8,
                                verbose=False)
+
+
+def test_distributed_int_selector_passthrough():
+    """The mesh pool must honor the index's selector: 'partial'
+    (approx_max_k at recall_target=1.0 — mathematically exact) has to
+    give identical results to 'topk' through the sharded path, proving
+    the attribute actually reaches _int_scan_pool (it was silently
+    dropped before the round-3 review fix)."""
+    import jax
+    import numpy as np
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from metagenome_vector_sketches_tpu.ann.int_index import IntExactIndex
+    from metagenome_vector_sketches_tpu.ann.distributed import (
+        DistributedIntExactIndex)
+    from metagenome_vector_sketches_tpu.parallel.mesh import make_mesh
+    rng = np.random.default_rng(43)
+    V = rng.integers(-500, 501, size=(120, 64)).astype(np.int32)
+    Q = rng.integers(-500, 501, size=(3, 64)).astype(np.int32)
+    mesh = make_mesh(8)
+    a = IntExactIndex(V, chunk_rows=16)
+    b = IntExactIndex(V, chunk_rows=16)
+    b.selector = "partial"
+    da = DistributedIntExactIndex.from_index(a, mesh=mesh)
+    db = DistributedIntExactIndex.from_index(b, mesh=mesh)
+    assert db.selector == "partial"
+    Da, Ia = da.search(Q, 9)
+    Db, Ib = db.search(Q, 9)
+    assert np.array_equal(Ia, Ib) and np.array_equal(Da, Db)
