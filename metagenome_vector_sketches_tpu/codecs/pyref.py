@@ -80,6 +80,10 @@ def cv_encode(values: np.ndarray) -> bytes:
 
 def cv_decode(buf, offset: int = 0):
     n, width, num_words = (int(x) for x in _read_u64s(buf, offset, 3))
+    # same caps as the native decoder: a corrupt size must not drive the
+    # output allocation past the bits actually present in the buffer
+    if width > 64 or n > num_words * 64 + 64:
+        raise ValueError("corrupt compact-vector header")
     words = _read_u64s(buf, offset + 24, num_words)
     consumed = 24 + 8 * num_words
     return unpack_fixed(words, n, width), consumed
@@ -164,6 +168,9 @@ def rice_decode(buf, offset: int = 0):
     zeros[k] + 1 + l steps from one value's terminator to the next, and its
     orbit from zero is filled by pointer doubling (O(n log n) numpy work)."""
     n, l, num_words = (int(x) for x in _read_u64s(buf, offset, 3))
+    # same caps as the native decoder (each value consumes >= 1 bit)
+    if l > 63 or n > num_words * 64 + 64:
+        raise ValueError("corrupt rice header")
     words = _read_u64s(buf, offset + 24, num_words)
     consumed = 24 + 8 * num_words
     if n == 0:
@@ -249,6 +256,8 @@ def ef_encode(values: np.ndarray, universe: int) -> bytes:
 
 def ef_decode(buf, offset: int = 0):
     n, universe, l, num_low = (int(x) for x in _read_u64s(buf, offset, 4))
+    if l > 63:
+        raise ValueError("corrupt Elias-Fano header: low width > 63")
     pos = offset + 32
     low_words = _read_u64s(buf, pos, num_low)
     pos += 8 * num_low
@@ -259,8 +268,17 @@ def ef_decode(buf, offset: int = 0):
     consumed = pos - offset
     if n == 0:
         return np.empty(0, dtype=np.uint64), consumed
+    # every element sets one high bit and consumes l low bits: a corrupt
+    # size cannot allocate past the bits actually present in the buffer
+    if n > num_high * 64 or (l and n * l > num_low * 64):
+        raise ValueError("corrupt Elias-Fano header: size exceeds "
+                         "encoded bits")
     bits = np.unpackbits(high.view(np.uint8), bitorder="little")
-    set_pos = np.flatnonzero(bits)[:n].astype(np.uint64)
+    set_pos = np.flatnonzero(bits)
+    if len(set_pos) < n:
+        raise ValueError("corrupt Elias-Fano data: fewer high bits than "
+                         "elements")
+    set_pos = set_pos[:n].astype(np.uint64)
     highs = set_pos - np.arange(n, dtype=np.uint64)
     lows = unpack_fixed(low_words, n, l) if l else np.zeros(n, dtype=np.uint64)
     return ((highs << _U64(l)) | lows).astype(np.uint64), consumed

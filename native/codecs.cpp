@@ -380,14 +380,23 @@ int mvs_ef_decode(const uint8_t* buf, uint64_t len, uint64_t offset,
     uint64_t size = rd(buf, offset), universe = rd(buf, offset + 8),
              l = rd(buf, offset + 16), num_low = rd(buf, offset + 24);
     (void)universe;
+    // division-form bounds (the multiply would wrap uint64 on corrupt
+    // counts) + allocation caps derived from the bits actually present:
+    // every element sets exactly ONE high bit and consumes l low bits,
+    // so a corrupt `size` cannot drive the output malloc past ~8x the
+    // encoded byte count (an ASAN fuzz found a multi-TB malloc here)
+    if (l > 63) return -1;
+    if (offset + 40 > len) return -1;  // header + the num_high field
+    if (num_low > (len - offset - 40) / 8) return -1;
     uint64_t pos = offset + 32;
-    if (pos + num_low * 8 + 8 > len) return -1;
     std::vector<uint64_t> low_words(num_low);
     std::memcpy(low_words.data(), buf + pos, num_low * 8);
     pos += num_low * 8;
     uint64_t num_high = rd(buf, pos);
     pos += 8;
-    if (pos + num_high * 8 > len) return -1;
+    if (num_high > (len - pos) / 8) return -1;
+    if (size > num_high * 64) return -1;
+    if (l && size > num_low * 64 / l) return -1;
     std::vector<uint64_t> high_words(num_high);
     std::memcpy(high_words.data(), buf + pos, num_high * 8);
     pos += num_high * 8;
@@ -407,6 +416,10 @@ int mvs_ef_decode(const uint8_t* buf, uint64_t len, uint64_t offset,
             ++found;
             word &= word - 1;
         }
+    }
+    if (found < size) {  // corrupt: fewer high bits than elements —
+        std::free(out);  // out would otherwise leak uninitialized heap
+        return -1;
     }
     *vals = out;
     *n = size;

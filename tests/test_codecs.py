@@ -161,3 +161,33 @@ def test_codec_fuzz_native_eq_pyref_and_clean_corrupt_errors():
                 for dec in (dec_p, dec_n):
                     with pytest.raises(Exception):
                         dec(bp[:cut])
+
+
+def test_corrupt_headers_cannot_drive_huge_allocations():
+    """A corrupted size/count header must be rejected from the bits
+    actually present in the buffer — BEFORE any allocation sized from the
+    header (an ASAN fuzz found a corrupt Elias-Fano size field requesting
+    a multi-TB malloc in the native decoder; the numpy decoders could be
+    driven into unbounded np allocations the same way)."""
+    vals = np.arange(1, 30, dtype=np.uint64) * 7
+    huge = (1 << 60).to_bytes(8, "little")
+    for enc, decs, args in (
+            (pyref.cv_encode, [pyref.cv_decode], (vals,)),
+            (pyref.rice_encode, [pyref.rice_decode], (vals,)),
+            (pyref.ef_encode, [pyref.ef_decode], (vals, 300))):
+        if HAVE_NATIVE:
+            decs = decs + [getattr(native, decs[0].__name__)]
+        blob = bytearray(enc(*args))
+        blob[0:8] = huge                       # corrupt the size field
+        for dec in decs:
+            with pytest.raises(Exception):
+                dec(bytes(blob))
+    # EF with fewer set high bits than elements must raise, not return
+    # uninitialized memory
+    blob = bytearray(pyref.ef_encode(vals, 300))
+    n = int(np.frombuffer(bytes(blob[:8]), dtype="<u8")[0])
+    blob[0:8] = (n + 1).to_bytes(8, "little")
+    for dec in ([pyref.ef_decode, native.ef_decode] if HAVE_NATIVE
+                else [pyref.ef_decode]):
+        with pytest.raises(Exception):
+            dec(bytes(blob))
