@@ -205,6 +205,14 @@ def test_jaccard_cli(toy_index_2048, ref_toy_dir, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "Query 0:" in out and name in out
+    # mesh-sharded serving from the CLI flag (0 = all local devices)
+    import jax
+    if len(jax.devices()) >= 8:
+        rc = main(["search", toy_index_2048.rstrip("/"), str(qf),
+                   "-j", "0.2", "--engine", "int8", "--mesh_devices", "0"])
+        assert rc == 0
+        out2 = capsys.readouterr().out
+        assert "Query 0:" in out2 and name in out2
 
 
 def test_from_device_chunks_matches_host_index():
