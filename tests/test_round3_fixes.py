@@ -127,3 +127,59 @@ def test_distributed_int_selector_passthrough():
     Da, Ia = da.search(Q, 9)
     Db, Ib = db.search(Q, 9)
     assert np.array_equal(Ia, Ib) and np.array_equal(Da, Db)
+
+
+@pytest.mark.parametrize("fmt", ["prev", "ef", "rice", "sorted"])
+def test_legacy_readers_reject_corrupt_files_cleanly(tmp_path, fmt):
+    """Corrupted/truncated legacy artifacts must raise ordinary exceptions
+    — never hang, crash, or size an allocation from a corrupt header
+    (companion to the native-codec hardening; fuzzed 225 corruptions
+    clean, this pins a representative sample)."""
+    from metagenome_vector_sketches_tpu.matrix import legacy
+    rng = np.random.default_rng(47)
+    n = 6
+    rows = np.repeat(np.arange(n), 5)
+    cols = np.tile(np.sort(rng.choice(50, size=5, replace=False)), n)
+    vals = rng.integers(1, 10**6, size=len(rows))
+    d = 256
+    folder = str(tmp_path / fmt)
+    if fmt == "prev":
+        legacy.write_legacy_prev(folder, rows, cols, vals, d)
+        read = legacy.read_legacy_prev
+    elif fmt == "ef":
+        legacy.write_legacy_ef(folder, rows, cols, vals, d)
+        read = legacy.read_legacy_ef
+    elif fmt == "rice":
+        legacy.write_legacy_rice(folder, rows, cols, vals, d)
+        read = legacy.read_legacy_rice
+    else:
+        norms_sq = rng.uniform(500, 5000, size=50)
+        legacy.write_legacy_sorted(folder, rows, cols, vals, norms_sq, d)
+        read = legacy.read_legacy_sorted
+    read(folder)                                   # sanity: reads clean
+    for fname in sorted(os.listdir(folder)):
+        path = os.path.join(folder, fname)
+        if not os.path.isfile(path):
+            continue
+        data = open(path, "rb").read()
+        for mut in range(6):
+            bb = bytearray(data)
+            if not bb:
+                continue
+            if mut % 2 == 0:
+                bb = bb[:int(rng.integers(0, len(bb)))]
+            else:
+                for _ in range(int(rng.integers(1, 4))):
+                    bb[int(rng.integers(0, len(bb)))] = \
+                        int(rng.integers(0, 256))
+            with open(path, "wb") as f:
+                f.write(bytes(bb))
+            try:
+                read(folder)     # corrupt data may decode to garbage...
+            except MemoryError:
+                raise AssertionError(
+                    f"unbounded allocation from corrupt {fmt}/{fname}")
+            except Exception:
+                pass             # ...but must fail ORDINARILY if it fails
+            with open(path, "wb") as f:
+                f.write(data)
