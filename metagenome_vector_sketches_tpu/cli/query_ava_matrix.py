@@ -14,11 +14,18 @@ import numpy as np
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="query_ava_matrix")
-    p.add_argument("--matrix", required=True,
+    p.add_argument("--matrix_folder", "--matrix", dest="matrix", required=True,
                    help="Legacy matrix folder (matrix.bin + row_index.txt)")
-    p.add_argument("--db", required=True, help="db folder (vector_norms.txt)")
+    # the reference reads vector_norms.txt from the matrix folder itself
+    # (query_ava_matrix.cpp:529-532 load_vector_identifiers(matrix_folder));
+    # --db points elsewhere when the norms live in a separate db folder
+    p.add_argument("--db", default=None,
+                   help="db folder with vector_norms.txt "
+                        "(default: the matrix folder, as the reference)")
     p.add_argument("--query_file")
     p.add_argument("--query_ids", nargs="+")
+    p.add_argument("--stdin", action="store_true", dest="read_stdin",
+                   help="Read query IDs from standard input")
     p.add_argument("--top", type=int, default=10)
     args = p.parse_args(argv)
 
@@ -26,10 +33,15 @@ def main(argv=None) -> int:
     from ..matrix.legacy import read_legacy_prev
     from ..query.engine import parse_query_to_index, read_queries_from_file
 
-    db = DbFolder(args.db)
+    db = DbFolder(args.db if args.db is not None else args.matrix)
     identifiers, norms = db.names_and_norms_f32()
+    print(f"Total vectors loaded: {len(identifiers)}")
     id_to_index = db.id_to_index()
-    if args.query_file:
+    if args.read_stdin:
+        queries = [i for i in (parse_query_to_index(line.strip(), id_to_index)
+                               for line in sys.stdin if line.strip())
+                   if i >= 0]
+    elif args.query_file:
         queries, _ = read_queries_from_file(args.query_file, id_to_index)
     elif args.query_ids:
         queries = [i for i in (parse_query_to_index(s, id_to_index)

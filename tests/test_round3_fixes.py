@@ -183,3 +183,41 @@ def test_legacy_readers_reject_corrupt_files_cleanly(tmp_path, fmt):
                 pass             # ...but must fail ORDINARILY if it fails
             with open(path, "wb") as f:
                 f.write(data)
+
+
+def test_query_ava_matrix_reference_flag_surface(tmp_path, capsys,
+                                                 monkeypatch):
+    """The legacy CLI accepts the REFERENCE's flag surface
+    (query_ava_matrix.cpp:481-489): --matrix_folder, --stdin, and norms
+    loaded from the matrix folder itself when no --db is given (the
+    reference's load_vector_identifiers reads vector_norms.txt out of
+    matrix_folder, :529-532)."""
+    import io as _io
+    from metagenome_vector_sketches_tpu.matrix import legacy
+    from metagenome_vector_sketches_tpu.cli.query_ava_matrix import main
+
+    rng = np.random.default_rng(7)
+    n, d = 8, 32
+    V = rng.integers(-40, 41, size=(n, d)).astype(np.int32)
+    db = DbFolder.write(str(tmp_path / "db"), [f"S{i}" for i in range(n)],
+                        V, d)
+    rows = np.repeat(np.arange(n), 2)
+    cols = np.tile(np.array([0, 1]), n)
+    vals = np.abs(V[rows] @ np.ones(d, dtype=np.int64)) + d
+    mdir = str(tmp_path / "m")
+    legacy.write_legacy_prev(mdir, rows, cols, vals, d)
+    # reference layout: vector_norms.txt lives in the matrix folder
+    import shutil
+    shutil.copy(os.path.join(db.path, "vector_norms.txt"),
+                os.path.join(mdir, "vector_norms.txt"))
+
+    rc = main(["--matrix_folder", mdir, "--query_ids", "3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"Total vectors loaded: {n}" in out and "Query: 3" in out
+
+    monkeypatch.setattr("sys.stdin", _io.StringIO("S2\n5\n"))
+    rc = main(["--matrix_folder", mdir, "--stdin"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Query: 2" in out and "Query: 5" in out
