@@ -219,6 +219,70 @@ class DistributedIntExactIndex(IntExactIndex):
         return self
 
     @classmethod
+    def from_dbfolder(cls, db_folder: str, mesh=None,
+                      chunk_rows: int = 65536, mode: str = "exact",
+                      recall_target: float = 0.95
+                      ) -> "DistributedIntExactIndex":
+        """Stage a db folder DIRECTLY into the sharded chunk-stack layout:
+        each chunk's int8 planes go straight to the device that owns it
+        (per-device peak = its stack shard + one chunk). Building a
+        single-device IntExactIndex first and wrapping it with from_index
+        transiently holds the whole stack on one chip PLUS the padded
+        sharded copy — at N=1M x d=2048 that is ~2x a 6 GB stack on device
+        0, which OOMs exactly the regime sharding serves. Single-process
+        meshes only (multi-process runs use from_process_shards)."""
+        from ..ops.pairwise import num_planes
+        from .int_index import _dbfolder_staging, _stack_update
+        assert mode in ("exact", "approx"), mode
+        mesh = mesh if mesh is not None else make_mesh()
+        devs = list(mesh.devices.flat)
+        if any(dd.process_index != jax.process_index() for dd in devs):
+            raise ValueError(
+                "from_dbfolder stages from one process; on multi-process "
+                "meshes build collectively with from_process_shards")
+        n, d, max_abs, L, R, C, ns, chunks = _dbfolder_staging(
+            db_folder, chunk_rows)
+        Pn = num_planes(L)
+        n_dev = len(devs)
+        Cpad = ((C + n_dev - 1) // n_dev) * n_dev
+        Cl = Cpad // n_dev
+        # per-device zero buffers created ON their device (no H2D/D2D of
+        # gigabytes of zeros through the tunnel)
+        shard_sh = jax.sharding.SingleDeviceSharding
+        bufs = [jax.jit(lambda: jnp.zeros((Cl, Pn, R, d), jnp.int8),
+                        out_shardings=shard_sh(dd))() for dd in devs]
+        for c, limbs in chunks:
+            dev = devs[c // Cl]
+            lb = jax.device_put(jnp.asarray(limbs), dev)
+            bufs[c // Cl] = _stack_update(bufs[c // Cl], lb,
+                                          jnp.int32(c % Cl))
+        sharding = NamedSharding(mesh, P(DATA_AXIS, None, None, None))
+        stack = jax.make_array_from_single_device_arrays(
+            (Cpad, Pn, R, d), sharding, bufs)
+        bases = np.arange(Cpad, dtype=np.int32) * R
+        valid = np.clip(n - bases.astype(np.int64), 0, R).astype(np.int32)
+        self = cls.__new__(cls)
+        self._shape = (n, d)
+        self.chunk_rows = R
+        self.mode = mode
+        self.recall_target = float(recall_target)
+        self.pool_margin = 64
+        self.selector = "topk"
+        self.max_abs = max_abs
+        self.L = L
+        self.ns = ns
+        self.mesh = mesh
+        self._stack = stack
+        self._inv_n = jax.device_put(
+            jnp.asarray(_inv_norms(ns, Cpad, R, n)),
+            NamedSharding(mesh, P(DATA_AXIS, None)))
+        self._bases = jax.device_put(
+            jnp.asarray(bases), NamedSharding(mesh, P(DATA_AXIS)))
+        self._valid = jax.device_put(
+            jnp.asarray(valid), NamedSharding(mesh, P(DATA_AXIS)))
+        return self
+
+    @classmethod
     def from_process_shards(cls, vectors_local: np.ndarray, d: int,
                             mesh=None, chunk_rows: int = 65536,
                             mode: str = "exact",

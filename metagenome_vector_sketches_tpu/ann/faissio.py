@@ -102,6 +102,15 @@ def read_flat(path: str) -> tuple[np.ndarray, int]:
             raise ValueError(
                 f"{path}: FAISS vector count {count} != ntotal*d "
                 f"({ntotal}*{d})")
+        # cap the allocation against the bytes actually present BEFORE
+        # np.fromfile (which pre-allocates count*4 regardless of file size)
+        # — same untrusted-header rule as the native codec decoders
+        import os
+        remaining = os.fstat(f.fileno()).st_size - f.tell()
+        if count * 4 > remaining:
+            raise ValueError(
+                f"{path}: FAISS header claims {count} floats but only "
+                f"{remaining} bytes remain — truncated or corrupt")
         data = np.fromfile(f, dtype="<f4", count=count)
         if data.size != count:
             raise ValueError(f"{path}: truncated FAISS vector data")

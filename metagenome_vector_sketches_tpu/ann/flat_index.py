@@ -355,7 +355,16 @@ class FlatIPIndex:
         with open(path, "rb") as f:
             head = f.read(len(MAGIC))
         if faissio.is_faiss_flat(head):
-            data, _metric = faissio.read_flat(path)
+            data, metric = faissio.read_flat(path)
+            if metric != faissio.METRIC_INNER_PRODUCT:
+                # an IndexFlatL2 loaded here would silently be ranked by
+                # raw inner product over unnormalized vectors — reject it
+                # (the reference pipeline only ever writes IndexFlatIP,
+                # jaccard.py:59-61)
+                raise ValueError(
+                    f"{path}: FAISS metric_type {metric} is not "
+                    "inner-product; this serving path requires an "
+                    "IndexFlatIP (the reference artifact)")
             return FlatIPIndex(data, chunk_rows=chunk_rows)
         with open(path, "rb") as f:
             magic = f.read(len(MAGIC))

@@ -178,6 +178,62 @@ def _int_scan_pool(q_planes, stack, inv_n, n_total, pool: int,
     return s, i, p
 
 
+def _dbfolder_staging(db_folder: str, chunk_rows: int):
+    """Shared host side of db-folder staging: memory-mapped reads, exact
+    int64 norms, stale-sidecar trust-but-verify, limb decomposition — with
+    a one-deep prefetch thread so disk/decompose overlaps the consumer's
+    device work. Returns (n, d, max_abs, L, R, C, ns, iterator); the
+    iterator yields (c, limbs (L, R, d) int8) in chunk order, and ``ns``
+    (exact int64 |v|^2) fills progressively as chunks are consumed — it is
+    complete once the iterator is exhausted."""
+    import os
+    from ..io.dbfolder import DbFolder
+    db = DbFolder(db_folder)
+    n, d = db.num_vectors, db.dimension
+    vec_dt = np.int16 if db.dtype == "int16" else np.int32
+    V = np.memmap(os.path.join(db_folder, "vectors.bin"), dtype=vec_dt,
+                  mode="r", shape=(n, d))
+    R = int(min(chunk_rows, max(1, n)))
+    C = (n + R - 1) // R
+    # L from the (possibly sidecar-cached) max component, verified
+    # against the data during staging like matrix.compute's stagers
+    max_abs = db.max_component()
+    if max_abs is None:
+        max_abs = 0
+        for s in range(0, n, R):
+            max_abs = max(max_abs, int(np.max(np.abs(
+                np.asarray(V[s:s + R]).astype(np.int64)))))
+    max_abs = int(max_abs)
+    L = pw.pick_limbs(max(1, max_abs))
+    ns = np.empty(n, dtype=np.int64)
+
+    def prepare(c):
+        s, e = c * R, min((c + 1) * R, n)
+        block = np.zeros((R, d), dtype=np.int32)
+        block[:e - s] = V[s:e]
+        true_max = int(np.max(np.abs(block.astype(np.int64)))) if n else 0
+        if true_max > max_abs:
+            raise ValueError(
+                f"max_component.txt ({max_abs}) is stale: "
+                f"vectors.bin holds |component| up to {true_max}. "
+                "Delete the sidecar or rebuild the db folder.")
+        b64 = block[:e - s].astype(np.int64)
+        ns[s:e] = np.einsum("ij,ij->i", b64, b64)
+        return pw.decompose_limbs_host(block, L)
+
+    def chunks():
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=1) as tp:
+            fut = tp.submit(prepare, 0)
+            for c in range(C):
+                limbs = fut.result()
+                if c + 1 < C:
+                    fut = tp.submit(prepare, c + 1)
+                yield c, limbs
+
+    return n, d, max_abs, L, R, C, ns, chunks()
+
+
 class IntExactIndex:
     """Exact-cosine top-k over an integer vector database, int8-plane
     resident on device. Drop-in for FlatIPIndex in the jaccard flow when
@@ -208,20 +264,27 @@ class IntExactIndex:
         n, d = V.shape
         R = self.chunk_rows
         C = (n + R - 1) // R
-        max_abs = int(np.max(np.abs(V.astype(np.int64)))) if n else 0
+        # chunk-wise max/norms: a whole-array int64 einsum would hold two
+        # full int64 copies of V transiently (32 GB at N=1M x d=2048)
+        max_abs = 0
+        for s in range(0, n, R):
+            blk = V[s:s + R].astype(np.int64)
+            max_abs = max(max_abs, int(np.max(np.abs(blk))) if blk.size
+                          else 0)
         self.max_abs = max_abs
         self.L = pw.pick_limbs(max(1, max_abs))
         P = pw.num_planes(self.L)
-        self.ns = np.einsum("ij,ij->i", V.astype(np.int64),
-                            V.astype(np.int64))        # exact |v|^2
-        self._inv_n = jnp.asarray(_inv_norms(self.ns, C, R, n))
+        self.ns = np.empty(n, dtype=np.int64)
         stack = jnp.zeros((C, P, R, d), dtype=jnp.int8)
         for c in range(C):
             s, e = c * R, min((c + 1) * R, n)
             block = np.zeros((R, d), dtype=np.int32)
             block[:e - s] = V[s:e]
+            b64 = block[:e - s].astype(np.int64)
+            self.ns[s:e] = np.einsum("ij,ij->i", b64, b64)  # exact |v|^2
             limbs = pw.decompose_limbs_host(block, self.L)
             stack = _stack_update(stack, jnp.asarray(limbs), jnp.int32(c))
+        self._inv_n = jnp.asarray(_inv_norms(self.ns, C, R, n))
         self._stack = stack
 
     @classmethod
@@ -232,64 +295,21 @@ class IntExactIndex:
         (memory-mapped host side; device peak = stack + one chunk). The
         exact |v|^2 norms are recomputed from the data (int64), so scoring
         does not depend on the float32-reduced vector_norms.txt."""
-        import os
-        from ..io.dbfolder import DbFolder
-        db = DbFolder(db_folder)
-        n, d = db.num_vectors, db.dimension
-        vec_dt = np.int16 if db.dtype == "int16" else np.int32
-        V = np.memmap(os.path.join(db_folder, "vectors.bin"), dtype=vec_dt,
-                      mode="r", shape=(n, d))
         self = cls.__new__(cls)
-        self._shape = (n, d)
-        self.chunk_rows = int(min(chunk_rows, max(1, n)))
         self.mode = mode
         self.recall_target = float(recall_target)
         self.pool_margin = 64
         self.selector = "topk"
-        R = self.chunk_rows
-        C = (n + R - 1) // R
-        # L from the (possibly sidecar-cached) max component, verified
-        # against the data during staging like matrix.compute's stagers
-        max_abs = db.max_component()
-        if max_abs is None:
-            max_abs = 0
-            for s in range(0, n, R):
-                max_abs = max(max_abs, int(np.max(np.abs(
-                    np.asarray(V[s:s + R]).astype(np.int64)))))
-        self.max_abs = int(max_abs)
-        self.L = pw.pick_limbs(max(1, self.max_abs))
-        P = pw.num_planes(self.L)
-        ns = np.empty(n, dtype=np.int64)
+        n, d, max_abs, L, R, C, ns, chunks = _dbfolder_staging(
+            db_folder, chunk_rows)
+        self._shape = (n, d)
+        self.chunk_rows = R
+        self.max_abs = max_abs
+        self.L = L
+        P = pw.num_planes(L)
         stack = jnp.zeros((C, P, R, d), dtype=jnp.int8)
-
-        def prepare(c):
-            """Host side of one chunk's staging: disk read + exact norms +
-            staleness check + limb decompose. Runs one chunk ahead on a
-            background thread so it overlaps the device-side H2D +
-            plane-update of the previous chunk."""
-            s, e = c * R, min((c + 1) * R, n)
-            block = np.zeros((R, d), dtype=np.int32)
-            block[:e - s] = V[s:e]
-            true_max = int(np.max(np.abs(block.astype(np.int64)))) if n \
-                else 0
-            if true_max > self.max_abs:
-                raise ValueError(
-                    f"max_component.txt ({self.max_abs}) is stale: "
-                    f"vectors.bin holds |component| up to {true_max}. "
-                    "Delete the sidecar or rebuild the db folder.")
-            ns[s:e] = np.einsum("ij,ij->i", block[:e - s].astype(np.int64),
-                                block[:e - s].astype(np.int64))
-            return pw.decompose_limbs_host(block, self.L)
-
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            fut = pool.submit(prepare, 0)
-            for c in range(C):
-                limbs = fut.result()
-                if c + 1 < C:
-                    fut = pool.submit(prepare, c + 1)
-                stack = _stack_update(stack, jnp.asarray(limbs),
-                                      jnp.int32(c))
+        for c, limbs in chunks:
+            stack = _stack_update(stack, jnp.asarray(limbs), jnp.int32(c))
         self.ns = ns
         self._inv_n = jnp.asarray(_inv_norms(ns, C, R, n))
         self._stack = stack

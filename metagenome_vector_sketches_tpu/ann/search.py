@@ -223,6 +223,8 @@ def _serving_mesh(mesh_devices: int):
     CLI's convention)."""
     if mesh_devices == 1:
         return None
+    if mesh_devices < 0:
+        raise ValueError(f"--mesh_devices must be >= 0, got {mesh_devices}")
     from jax.sharding import Mesh
     from ..parallel.mesh import DATA_AXIS
     locals_ = jax.local_devices()
@@ -261,12 +263,18 @@ def search_index(index_folder: str, query_file: str, j: float,
         # exactly like it opts the f32 engine into approx_max_k (the flag
         # promises the faster path regardless of engine spelling)
         approx = engine == "int8_approx" or recall_target < 1.0
-        index = IntExactIndex.from_dbfolder(
-            index_folder, mode="approx" if approx else "exact",
-            recall_target=rt)
         if mesh is not None:
+            # stage straight into the sharded layout: wrapping a
+            # single-device index would transiently hold ~2x the stack on
+            # one chip (see DistributedIntExactIndex.from_dbfolder)
             from .distributed import DistributedIntExactIndex
-            index = DistributedIntExactIndex.from_index(index, mesh=mesh)
+            index = DistributedIntExactIndex.from_dbfolder(
+                index_folder, mesh=mesh,
+                mode="approx" if approx else "exact", recall_target=rt)
+        else:
+            index = IntExactIndex.from_dbfolder(
+                index_folder, mode="approx" if approx else "exact",
+                recall_target=rt)
         hits, query_norms = adaptive_search(index, queries, j, verbose,
                                             db_norms=norms,
                                             queries_int=q_int)

@@ -381,3 +381,41 @@ def test_from_device_chunks_bf16_store():
     Df, If = FlatIPIndex(V).search(Q, k)
     for b in range(9):
         assert len(set(Ib[b].tolist()) & set(If[b].tolist())) >= k - 1
+
+
+def test_faiss_header_allocation_capped(tmp_path):
+    """A corrupt header claiming a huge vector count must fail with a clean
+    ValueError BEFORE any allocation (np.fromfile pre-allocates count)."""
+    import struct
+    from metagenome_vector_sketches_tpu.ann import faissio
+    p = str(tmp_path / "huge.index")
+    ntotal, d = 1 << 40, 2048
+    with open(p, "wb") as f:
+        f.write(b"IxFI")
+        f.write(struct.pack("<i", d))
+        f.write(struct.pack("<q", ntotal))
+        f.write(struct.pack("<qq", 1 << 20, 1 << 20))
+        f.write(struct.pack("<B", 1))
+        f.write(struct.pack("<i", 0))
+        f.write(struct.pack("<Q", ntotal * d))
+        f.write(b"\x00" * 16)                      # almost no data present
+    with pytest.raises(ValueError, match="truncated or corrupt"):
+        faissio.read_flat(p)
+
+
+def test_flat_index_load_rejects_l2_metric(tmp_path):
+    """An IndexFlatL2 file must be rejected by FlatIPIndex.load — searching
+    it with inner-product semantics would be silently wrong."""
+    from metagenome_vector_sketches_tpu.ann import faissio
+    rng = np.random.default_rng(79)
+    V = rng.normal(size=(4, 6)).astype(np.float32)
+    p = str(tmp_path / "l2b.index")
+    faissio.write_flat(p, V, metric=faissio.METRIC_L2)
+    with pytest.raises(ValueError, match="inner-product"):
+        FlatIPIndex.load(p)
+
+
+def test_serving_mesh_rejects_negative():
+    from metagenome_vector_sketches_tpu.ann.search import _serving_mesh
+    with pytest.raises(ValueError, match="mesh_devices"):
+        _serving_mesh(-4)

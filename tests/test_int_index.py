@@ -319,3 +319,47 @@ def test_int_index_approx_mode_smoke():
         common = set(Ie[b].tolist()) & set(Ia[b].tolist())
         for c in common:
             assert De[b][Ie[b] == c] == Da[b][Ia[b] == c]
+
+
+def test_distributed_int_index_from_dbfolder_matches_single(tmp_path):
+    """The direct-to-sharded db-folder constructor (each chunk staged onto
+    its owning device; no transient whole-stack on one chip) must be
+    result-identical to the single-device from_dbfolder path — including a
+    chunk count that is not a mesh multiple, an odd tail chunk, and the
+    exact int64 norms recomputed from the data."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from metagenome_vector_sketches_tpu.ann.distributed import (
+        DistributedIntExactIndex)
+    from metagenome_vector_sketches_tpu.io.dbfolder import DbFolder
+    from metagenome_vector_sketches_tpu.parallel.mesh import make_mesh
+    rng = np.random.default_rng(23)
+    n, d, R = 141, 64, 16                          # C=9 chunks -> pad to 16
+    V = rng.integers(-900, 901, size=(n, d)).astype(np.int32)
+    db = DbFolder.write(str(tmp_path / "db"),
+                        [f"S{i:04d}" for i in range(n)], V, d)
+    Q = rng.integers(-900, 901, size=(6, d)).astype(np.int32)
+    base = IntExactIndex.from_dbfolder(db.path, chunk_rows=R)
+    dist = DistributedIntExactIndex.from_dbfolder(db.path, chunk_rows=R,
+                                                  mesh=make_mesh(8))
+    assert dist.L == base.L and dist.max_abs == base.max_abs
+    np.testing.assert_array_equal(dist.ns, base.ns)
+    Ds, Is = base.search(Q, 10)
+    Dd, Id = dist.search(Q, 10)
+    assert np.array_equal(Is, Id)
+    assert np.array_equal(Ds, Dd)
+    oD, oI = _oracle_topk(V, Q, 10)
+    assert np.array_equal(Id, oI.astype(np.int32))
+
+
+def test_int_index_host_build_chunked_norms():
+    """_build_from_host computes norms chunk-wise (no 2x whole-array int64
+    temporaries) and they stay exact int64."""
+    rng = np.random.default_rng(29)
+    n, d = 70, 48
+    V = rng.integers(-1200, 1201, size=(n, d)).astype(np.int32)
+    idx = IntExactIndex(V, chunk_rows=16)
+    expect = np.einsum("ij,ij->i", V.astype(np.int64), V.astype(np.int64))
+    np.testing.assert_array_equal(idx.ns, expect)
+    assert idx.ns.dtype == np.int64
