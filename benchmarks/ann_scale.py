@@ -33,6 +33,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from metagenome_vector_sketches_tpu.ann.flat_index import FlatIPIndex
+    from metagenome_vector_sketches_tpu.utils.profiling import marginal_time
 
     out = {"N": N, "d": d, "B": B, "k": k,
            "backend": jax.default_backend()}
@@ -70,26 +71,20 @@ def main():
 
     def timed_search(recall):
         index.recall_target = recall
+        last_I = [None]
 
         def chain(n):
             t0 = time.perf_counter()
             seed = jnp.float32(0)
-            D = I = None
             for _ in range(n):
                 D, I = index.search_device(q + seed * 0, k)
                 seed = D[0, 0]
+                last_I[0] = I
             float(np.asarray(seed))
-            return time.perf_counter() - t0, I
+            return time.perf_counter() - t0
 
-        chain(1)  # compile + warm
-        margins = []
-        I = None
-        for _ in range(3):
-            d1, _ = chain(1)
-            dn, I = chain(4)
-            margins.append((dn - d1) / 3)
-        good = [m for m in margins if m > 0] or margins
-        return np.asarray(I), float(np.median(good))
+        w = marginal_time(chain, reps=4, rounds=3)
+        return np.asarray(last_I[0]), w
 
     I_exact, w_exact = timed_search(1.0)
     out["exact_qps"] = round(B / w_exact, 1)
@@ -186,14 +181,7 @@ def main():
             float(np.asarray(seed))
             return time.perf_counter() - t0
 
-        chain(1)                           # compile + warm
-        margins = []
-        for _ in range(3):
-            d1 = chain(1)
-            dn = chain(4)
-            margins.append((dn - d1) / 3)
-        good = [m for m in margins if m > 0] or margins
-        return float(np.median(good))
+        return marginal_time(chain, reps=4, rounds=3)
 
     w_int = int_chain(1.0)
     out["int8_scan_qps_exact"] = round(B / w_int, 1)

@@ -129,6 +129,17 @@ def main():
     try:
         db_path = db_dir or os.path.join(tmp, "db")
         if db_dir and os.path.exists(os.path.join(db_dir, "dtype.txt")):
+            # A reused dir must actually hold the requested database:
+            # a stale dir of different (N, d) would silently compute
+            # over the wrong rows while the summary reports the
+            # requested pair count (inflated/deflated pairs_per_sec).
+            vec_bytes = os.path.getsize(os.path.join(db_dir, "vectors.bin"))
+            if vec_bytes != N * d * 4:
+                raise SystemExit(
+                    f"reused db dir {db_dir} holds "
+                    f"{vec_bytes // (d * 4)} rows at d={d} "
+                    f"(vectors.bin {vec_bytes} B), not the requested "
+                    f"N={N}; pass a fresh dir or matching N/d")
             summary["db_build_s"] = 0.0  # reused
         else:
             t0 = time.perf_counter()

@@ -160,6 +160,10 @@ def compute_pairwise_shard(db_folder: str, output_folder: str,
         import jax
         finalize = "device" if jax.default_backend() == "tpu" else "host"
     assert finalize in ("host", "device"), finalize
+    # reset BEFORE any early return: a multi-shard loop reading
+    # LAST_STAGES after a skipped/empty shard must see zeros, not the
+    # previous shard's timings
+    _reset_stages()
     if resume and shard_is_complete(output_folder, shard_idx):
         if verbose:
             log(f"Shard {shard_idx} already complete, skipping (resume)")
@@ -192,7 +196,6 @@ def compute_pairwise_shard(db_folder: str, output_folder: str,
         writer.write_shard(shard_folder, *_empty(), norms_sq, d)
         return shard_folder
 
-    _reset_stages()
     t0 = time.perf_counter()
     tile = tile_rows
     npad = ((total + tile - 1) // tile) * tile
@@ -246,6 +249,24 @@ def clear_device_cache() -> None:
     _RESIDENT.clear()
 
 
+def _check_stale_max(block, max_abs, db) -> int:
+    """Trust-but-verify the (possibly sidecar-cached) max component against
+    a block of data actually loaded — a stale max_component.txt surviving an
+    mtime tie (coarse-mtime filesystems) would silently wrap the int8 limb
+    decomposition and corrupt every similarity. Shared by the resident and
+    streaming stagers so the two paths cannot drift (ADVICE r2)."""
+    if block.size == 0:
+        return 0
+    true_max = int(np.max(np.abs(block.astype(np.int64))))
+    if true_max > max_abs:
+        raise ValueError(
+            f"max_component.txt ({max_abs}) is stale: vectors.bin holds "
+            f"|component| up to {true_max}. Delete "
+            f"{os.path.join(db.path, 'max_component.txt')} or rebuild "
+            "the db folder.")
+    return true_max
+
+
 def _stage_database(db, norms_sq, total, tile, L, d, max_abs, ops=None):
     vec_path = os.path.join(db.path, "vectors.bin")
     norm_path = os.path.join(db.path, "vector_norms.txt")
@@ -270,18 +291,7 @@ def _stage_database(db, norms_sq, total, tile, L, d, max_abs, ops=None):
     for s in range(0, total, chunk):
         e = min(s + chunk, total)
         block = np.asarray(V[s:e]).astype(np.int32)
-        # trust-but-verify the (possibly sidecar-cached) max component
-        # against the data actually loaded — a stale max_component.txt
-        # surviving an mtime tie (coarse-mtime filesystems) would silently
-        # wrap the int8 limb decomposition and corrupt every similarity
-        true_max = max(true_max, int(np.max(np.abs(
-            block.astype(np.int64)))))
-        if true_max > max_abs:
-            raise ValueError(
-                f"max_component.txt ({max_abs}) is stale: vectors.bin holds "
-                f"|component| up to {true_max}. Delete "
-                f"{os.path.join(db.path, 'max_component.txt')} or rebuild "
-                "the db folder.")
+        true_max = max(true_max, _check_stale_max(block, max_abs, db))
         # upload int8 limbs (L B/element) instead of int32 (4 B/element)
         limbs = pw.decompose_limbs_host(block, L)
         planes = pw.planes_update(planes, jnp.asarray(limbs),
@@ -417,10 +427,13 @@ def _fused_extract_with_retries(planes, thr, tile, L, coords, row_base,
 
 def _dense_bitmap_extract(planes, thr, tile, coords, row_base, col_base,
                           finalize_globals, ops=None, col_planes=None,
-                          col_thr=None):
+                          col_thr=None, keep_self=False):
     """Bitmap extraction for ultra-dense tiles (tile^2/8 bytes D2H per
     tile regardless of density); exact dots recomputed by
-    finalize_globals. Supports the rectangular (streaming) operand form."""
+    finalize_globals. Supports the rectangular (streaming) operand form.
+    keep_self=False drops diagonal pairs (the fused drivers emit
+    self-pairs separately); the two-phase engine passes True (its
+    self-pairs flow through ordinary extraction)."""
     scale = ops.max_tiles_scale() if ops is not None else 1
     DENSE_CHUNK = 64 * scale
     for s in range(0, len(coords), DENSE_CHUNK):
@@ -447,10 +460,13 @@ def _dense_bitmap_extract(planes, thr, tile, coords, row_base, col_base,
             t_of, local = np.nonzero(bits)
             r_glob = row_base[s + u + t_of] + local // tile
             c_glob = col_base[s + u + t_of] + local % tile
-            # self-pairs are emitted separately by the fused drivers —
-            # the bitmap recompute must not double-count them
-            keep = r_glob != c_glob
-            finalize_globals(r_glob[keep], c_glob[keep])
+            if keep_self:
+                finalize_globals(r_glob, c_glob)
+            else:
+                # self-pairs are emitted separately by the fused drivers —
+                # the bitmap recompute must not double-count them
+                keep = r_glob != c_glob
+                finalize_globals(r_glob[keep], c_glob[keep])
 
 
 def _run_fused_extraction(planes, thr_j, tile, L, coords, row_base,
@@ -770,12 +786,6 @@ def _extract_tiles(planes, thr_j, tile, coords, counts, row_base, col_base,
     max_K = _max_tiles_per_batch(tile) * scale
     max_K_words = _max_words_per_batch(tile) * scale
 
-    def mask_bits(bcoords):
-        if ops is not None:
-            return ops.sweep_mask_bits(planes, thr_j, bcoords, tile)
-        return np.asarray(pw.sweep_mask_bits(planes, thr_j,
-                                             jnp.asarray(bcoords), tile))
-
     def compact(bcoords, cap, out_cap):
         if ops is not None:
             return ops.sweep_compact(planes, thr_j, bcoords, tile, cap,
@@ -783,30 +793,16 @@ def _extract_tiles(planes, thr_j, tile, coords, counts, row_base, col_base,
         return pw.sweep_compact(planes, thr_j, jnp.asarray(bcoords), tile,
                                 cap, out_cap)
 
-    # dense tiles: bitmap extraction, chunked for bounded HBM + stable shapes
-    DENSE_CHUNK = 64 * scale
-    for s in range(0, len(dense), DENSE_CHUNK):
-        chunk_ks = dense[s:s + DENSE_CHUNK]
-        K_pad = _next_pow2(len(chunk_ks))
-        bcoords = np.zeros((K_pad, 3), dtype=np.int32)
-        bcoords[:len(chunk_ks), :2] = coords[chunk_ks]
-        bcoords[:len(chunk_ks), 2] = 1
-        words = mask_bits(bcoords)
-        # the bitmap is its own ground truth — phase-1 counts (possibly from
-        # the Pallas kernel) only routed these tiles here. One vectorized
-        # unpack + one finalize call for the whole chunk (dense regions can
-        # carry millions of candidates; a per-tile python loop was the
-        # round-1 bottleneck under heavy survivorship)
-        kc = len(chunk_ks)
-        ks_arr = np.asarray(chunk_ks)
-        sub = max(1, (256 << 20) // (tile * tile))  # bound the unpack buffer
-        for u in range(0, kc, sub):
-            ue = min(u + sub, kc)
-            bits = np.unpackbits(words[u:ue].view(np.uint8).reshape(ue - u, -1),
-                                 axis=1, bitorder="little")
-            t_of, local = np.nonzero(bits)
-            finalize_globals(row_base[ks_arr[u + t_of]] + local // tile,
-                             col_base[ks_arr[u + t_of]] + local % tile)
+    # dense tiles: bitmap extraction (shared with the fused engine —
+    # chunking, pow2 padding, bounded unpack all live in
+    # _dense_bitmap_extract; self-pairs flow through ordinary extraction
+    # here, so keep them). The bitmap is its own ground truth — phase-1
+    # counts (possibly from the Pallas kernel) only routed tiles here.
+    if dense:
+        ks_arr = np.asarray(dense)
+        _dense_bitmap_extract(planes, thr_j, tile, coords[ks_arr],
+                              row_base[ks_arr], col_base[ks_arr],
+                              finalize_globals, ops, keep_self=True)
 
     # sparse tiles: flat-compacted at 32-bit-WORD granularity (the hot
     # path — per-tile nonzero over tile^2/32 words is ~21x faster than over
@@ -939,15 +935,7 @@ def _streaming_stager(db, norms_sq, total, d, L, max_abs):
         """Load rows [start, end) padded to n_rows (thr=+inf padding)."""
         block = np.zeros((n_rows, d), dtype=np.int32)
         block[:end - start] = db.load_vectors(start, end).astype(np.int32)
-        if end > start:
-            true_max = int(np.max(np.abs(
-                block[:end - start].astype(np.int64))))
-            if true_max > max_abs:
-                raise ValueError(
-                    f"max_component.txt ({max_abs}) is stale: vectors.bin "
-                    f"holds |component| up to {true_max}. Delete "
-                    f"{os.path.join(db.path, 'max_component.txt')} or "
-                    "rebuild the db folder.")
+        _check_stale_max(block[:end - start], max_abs, db)
         thr = np.full(n_rows, np.float32(1e30), dtype=np.float32)
         thr[:end - start] = thr_f32[start:end]
         # upload int8 limbs (L B/element H2D) and form the pairwise limb

@@ -209,7 +209,13 @@ class MeshSweepOps:
             _extract_fused_heavy_fn(self.mesh, tile, L, cap_c)(
                 planes, thr, planes_j, thr_j, jnp.asarray(cp),
                 jnp.asarray(bp))
-        return cand_idx, partials, cand_counts, k
+        # cp.shape[0] is the PADDED tile count (a multiple of n_devices) —
+        # the shape every resident buffer and the downstream
+        # compact_cands_combined/split_combined k_pad must agree on. `k`
+        # (the unpadded input length) must NOT be returned here: a caller
+        # whose batch is not a device-count multiple would misparse the
+        # combined buffer.
+        return cand_idx, partials, cand_counts, cp.shape[0]
 
     def compact_cands_combined(self, cand_counts, cand_idx, partials,
                                bases, tile: int, out_cap: int,

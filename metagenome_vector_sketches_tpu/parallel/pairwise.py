@@ -21,9 +21,10 @@ from .mesh import DATA_AXIS
 
 
 def sharded_pairwise_counts(mesh, v_limbs, thr, d: int):
-    """One full sharded sweep: per-row survivor counts of the retention
-    threshold (the all-reduce'd statistic used for capacity planning and the
-    multi-chip validation step).
+    """One full sharded sweep: per-row SWEEP-candidate counts under the
+    engine's widened retention threshold (SLACK_REL/SLACK_ABS — a certified
+    superset of exact retention), the statistic used for capacity planning
+    and the multi-chip validation step.
 
     Args:
       mesh: 1-D Mesh over axis 'data'.
@@ -37,7 +38,8 @@ def sharded_pairwise_counts(mesh, v_limbs, thr, d: int):
     Returns:
       (N,) int32 per-row survivor counts, row-sharded.
     """
-    from ..ops.pairwise import approx_dot_f32, karatsuba_planes
+    from ..ops.pairwise import (approx_dot_f32, karatsuba_planes,
+                                SLACK_REL, SLACK_ABS)
 
     def step(v_local, thr_local):
         # gather the full column side over ICI (limbs only), extend locally
@@ -45,7 +47,14 @@ def sharded_pairwise_counts(mesh, v_limbs, thr, d: int):
         thr_all = jax.lax.all_gather(thr_local, DATA_AXIS, axis=0, tiled=True)
         approx = approx_dot_f32(karatsuba_planes(v_local),
                                 karatsuba_planes(v_all))
-        passes = approx / np.float32(d) > 0.05 * (thr_local[:, None] + thr_all[None, :])
+        # SAME widened comparison as the engine sweep (ops/pairwise.py
+        # sweep kernels): this statistic sizes engine capacities, so it
+        # must count what the sweep counts — a certified superset of the
+        # exact retention — not a raw-f32 approximation that can under-
+        # count a borderline pair the sweep keeps.
+        passes = (approx / np.float32(d) >
+                  0.05 * (thr_local[:, None] + thr_all[None, :]) * SLACK_REL
+                  - SLACK_ABS)
         return jnp.sum(passes.astype(jnp.int32), axis=1)
 
     fn = shard_map(step, mesh=mesh,

@@ -20,6 +20,33 @@ def device_trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+def marginal_time(run_chain, reps: int = 8, rounds: int = 3,
+                  band: bool = False):
+    """Median-of-`rounds` marginal per-iteration time of a data-dependent
+    chain ending in one host read (excludes dispatch/transfer latency; the
+    median is robust to the tunneled chip's latency spikes in either the
+    1-iteration or the n-iteration wall). With band=True also returns the
+    min/median/max drift band so regressions are attributable against the
+    tunnel's run-to-run drift. `run_chain(n)` must run n chained
+    iterations and return wall seconds. THE canonical marginal-timing
+    harness — bench.py and the scale benchmarks all use this one so a
+    methodology change lands everywhere at once."""
+    import numpy as np
+    run_chain(1)  # warm-up / compile
+    margins = []
+    for _ in range(rounds):
+        d1 = run_chain(1)
+        dn = run_chain(reps)
+        margins.append((dn - d1) / (reps - 1))
+    good = [m for m in margins if m > 0] or margins
+    med = float(np.median(good))
+    if not band:
+        return med
+    return med, {"min_ms": round(min(good) * 1e3, 3),
+                 "median_ms": round(med * 1e3, 3),
+                 "max_ms": round(max(good) * 1e3, 3)}
+
+
 class StageTimers:
     """Accumulating named wall-clock spans; report() prints a summary."""
 

@@ -33,9 +33,16 @@ def test_sharded_pairwise_counts_matches_oracle(mesh8):
                             row_sharding(mesh8))
     counts = np.asarray(sharded_pairwise_counts(mesh8, limbs_sh, thr_sh, d))
     dots = V.astype(np.int64) @ V.astype(np.int64).T
+    # the statistic uses the engine sweep's widened threshold, so the
+    # oracle applies the same slack (exact float64 dots: no approx error)
     want = (dots.astype(np.float64) / d >
-            0.05 * (norms_sq[:, None] + norms_sq[None, :])).sum(axis=1)
+            0.05 * (norms_sq[:, None] + norms_sq[None, :])
+            * float(pw.SLACK_REL) - float(pw.SLACK_ABS)).sum(axis=1)
     np.testing.assert_array_equal(counts, want.astype(np.int32))
+    # and it is a superset of the exact retention count
+    exact = (dots.astype(np.float64) / d >
+             0.05 * (norms_sq[:, None] + norms_sq[None, :])).sum(axis=1)
+    assert (counts >= exact).all()
 
 
 def test_distributed_topk_matches_single_chip(mesh8):
