@@ -277,6 +277,19 @@ def ef_decode(buf, offset: int = 0):
 
 
 # ---------------------------------------------------------------- sniffing
+def decoders(layout: str):
+    """(cv_decode, rice_decode) with the package-codec signatures
+    (-> (values, consumed)) for a codec layout ('native' = FORMATS.md
+    serialization, 'bits' = this module's reconstructed jermp/bits
+    layout). THE single adaptation point — the shard reader, the legacy
+    readers, and detect_two below all use this one, so the acceptance
+    rules genuinely cannot diverge."""
+    if layout == "bits":
+        return (lambda b, o=0: cv_decode(b, o)[:2], rice_decode)
+    from . import cv_decode as _ncv, rice_decode as _nrice
+    return _ncv, _nrice
+
+
 def detect_two(blob, kind: str, validate=None):
     """Layout autodetect for an index file made of two concatenated blobs
     of `kind` ('cv' | 'rice'): fully parse under the 'native' (package
@@ -287,14 +300,8 @@ def detect_two(blob, kind: str, validate=None):
 
     -> (layout, first, second). Shared by the shard reader and the legacy
     readers so the acceptance rules cannot diverge."""
-    from . import cv_decode as _ncv, rice_decode as _nrice
-    table = {
-        "native": {"cv": _ncv, "rice": _nrice},
-        "bits": {"cv": lambda b, o=0: cv_decode(b, o)[:2],
-                 "rice": rice_decode},
-    }
     for layout in ("native", "bits"):
-        dec = table[layout][kind]
+        dec = decoders(layout)[0 if kind == "cv" else 1]
         try:
             a, c1 = dec(blob, 0)
             b, c2 = dec(blob, c1)

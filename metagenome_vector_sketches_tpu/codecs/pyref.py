@@ -80,9 +80,11 @@ def cv_encode(values: np.ndarray) -> bytes:
 
 def cv_decode(buf, offset: int = 0):
     n, width, num_words = (int(x) for x in _read_u64s(buf, offset, 3))
-    # same caps as the native decoder: a corrupt size must not drive the
-    # output allocation past the bits actually present in the buffer
-    if width > 64 or n > num_words * 64 + 64:
+    # a corrupt size must not drive the output allocation past the bits
+    # actually present: n values of `width` bits need n*width <= 64*words
+    # (the width-aware cap; a width-blind "n <= words*64 + 64" lets crafted
+    # sizes through to an IndexError deep in unpack_fixed)
+    if width > 64 or width < 1 or n * width > num_words * 64:
         raise ValueError("corrupt compact-vector header")
     words = _read_u64s(buf, offset + 24, num_words)
     consumed = 24 + 8 * num_words
@@ -168,8 +170,10 @@ def rice_decode(buf, offset: int = 0):
     zeros[k] + 1 + l steps from one value's terminator to the next, and its
     orbit from zero is filled by pointer doubling (O(n log n) numpy work)."""
     n, l, num_words = (int(x) for x in _read_u64s(buf, offset, 3))
-    # same caps as the native decoder (each value consumes >= 1 bit)
-    if l > 63 or n > num_words * 64 + 64:
+    # each value consumes >= 1+l bits (its terminator plus l payload bits) —
+    # the l-aware cap; without the factor, crafted all-one-bit words with no
+    # terminators walk an IndexError out of the pointer-doubling loop below
+    if l > 63 or n * (1 + l) > num_words * 64:
         raise ValueError("corrupt rice header")
     words = _read_u64s(buf, offset + 24, num_words)
     consumed = 24 + 8 * num_words
@@ -178,6 +182,11 @@ def rice_decode(buf, offset: int = 0):
     bits = np.unpackbits(words.view(np.uint8), bitorder="little")
     inv = bits == 0
     zeros = np.flatnonzero(inv).astype(np.int64)
+    if len(zeros) < n:
+        # every value owns a zero terminator bit — fewer zero bits than
+        # values is unambiguously corrupt content (all-ones words would
+        # otherwise crash the pointer-doubling loop / zeros[z] gather)
+        raise ValueError("corrupt rice stream: missing terminators")
     if l == 0:
         z = np.arange(n, dtype=np.int64)  # no payload: zeros ARE terminators
     else:

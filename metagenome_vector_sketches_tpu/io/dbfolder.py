@@ -98,6 +98,20 @@ class DbFolder:
                     shutil.rmtree(full, ignore_errors=True)
                 else:
                     os.remove(full)
+        names = list(names)
+        if len(names) != len(vectors):
+            raise ValueError(
+                f"{len(names)} names for {len(vectors)} vectors — refusing "
+                "to write a misaligned db folder (vector_norms.txt line "
+                "order is the authoritative row index)")
+        bad = [i for i, n in enumerate(names)
+               if not str(n).strip() or any(c.isspace() for c in str(n))]
+        if bad:
+            raise ValueError(
+                f"empty or whitespace-containing accession names at rows "
+                f"{bad[:5]}{'...' if len(bad) > 5 else ''}: such a "
+                "vector_norms.txt line cannot round-trip (readers split on "
+                "whitespace), silently misaligning every later row")
         norms = compute_norms(vectors, dimension)
         with open(os.path.join(path, "dimension.txt"), "w") as f:
             f.write(f"{dimension}\n")
@@ -147,16 +161,28 @@ class DbFolder:
     def names_and_norms(self) -> tuple[list[str], np.ndarray]:
         """Parse vector_norms.txt. Norms are returned as float64 exactly as
         parsed from text — consumers square them as the |set| estimate
-        (reference parses with stod, pairwise_comp_optimized.cpp:893-901)."""
+        (reference parses with stod, pairwise_comp_optimized.cpp:893-901).
+        The parse is cached per (mtime, size) of the file: on a 1M-row db
+        this is megabytes of text, and engine startup touches num_vectors,
+        id_to_index and names_and_norms back-to-back."""
+        p = os.path.join(self.path, "vector_norms.txt")
+        st = os.stat(p)
+        key = (st.st_mtime_ns, st.st_size)
+        cached = getattr(self, "_norms_cache", None)
+        if cached is not None and cached[0] == key:
+            names, norms = cached[1]
+            return list(names), norms.copy()
         names, norms = [], []
-        with open(os.path.join(self.path, "vector_norms.txt")) as f:
+        with open(p) as f:
             for line in f:
                 parts = line.split()
                 if len(parts) < 2:
                     continue
                 names.append(parts[0])
                 norms.append(float(parts[1]))
-        return names, np.array(norms, dtype=np.float64)
+        norms = np.array(norms, dtype=np.float64)
+        self._norms_cache = (key, (tuple(names), norms))
+        return names, norms.copy()
 
     def names_and_norms_f32(self) -> tuple[list[str], np.ndarray]:
         """float32 parse — the query stack parses norms as float

@@ -22,6 +22,13 @@ def convert(folder: str, output_file: str, num_threads: int = 1,
     """Load every signature file in ``folder`` and write the hashes file."""
     t0 = time.perf_counter()
     files = list(sigzip.iter_signature_files(folder))
+    # a dotfile (.DS_Store) yields an EMPTY accession name (stem up to the
+    # first '.') — its hashes-file/vector_norms.txt line could not round-trip
+    # (readers split on whitespace), so skip such files up front
+    skipped = [f for f in files if not sigzip.accession_name(f)]
+    for f in skipped:
+        log(f"Skipping {f}: empty accession name (dotfile?)")
+    files = [f for f in files if sigzip.accession_name(f)]
 
     def load(path):
         try:

@@ -47,8 +47,7 @@ class _BitsFamily:
     @staticmethod
     def cv_decode(buf, offset=0):
         from ..codecs import bitscompat
-        vals, consumed, _ = bitscompat.cv_decode(buf, offset)
-        return vals, consumed
+        return bitscompat.decoders("bits")[0](buf, offset)
 
     @staticmethod
     def rice_encode(values):
@@ -226,6 +225,12 @@ def read_legacy_rice(folder: str):
                                        positions.astype(np.int64))):
         deltas, used = fam.rice_decode(data, int(pos))
         vals, _ = fam.rice_decode(data, int(pos) + used)
+        if len(vals) == 0:
+            # a written row always has >= 1 neighbor — a zero-size values
+            # vector is corrupt content (match the hardened native-path
+            # error, not an IndexError on cols[0])
+            raise ValueError(f"corrupt legacy rice row {int(row)}: "
+                             "zero-size values vector")
         cols = np.empty(len(vals), dtype=np.int64)
         cols[0] = starts[k]
         if len(vals) > 1:

@@ -21,14 +21,9 @@ from ..codecs import bitscompat
 _SHARD_RE = re.compile(r"shard_(\d+)$")
 
 
-def _decoders(fmt: str):
-    """(cv_decode, rice_decode) for a shard's codec layout: 'native' (this
-    framework's serialization, FORMATS.md) or 'bits' (the reconstructed
-    jermp/bits layout real server artifacts use — codecs.bitscompat)."""
-    if fmt == "bits":
-        return (lambda b, o=0: bitscompat.cv_decode(b, o)[:2],
-                bitscompat.rice_decode)
-    return codecs.cv_decode, codecs.rice_decode
+# (cv_decode, rice_decode) per codec layout — the single shared adapter
+# (codecs.bitscompat.decoders) so reader/legacy/detect rules cannot diverge
+_decoders = bitscompat.decoders
 
 
 def discover_shards(matrix_folder: str) -> int:
@@ -43,6 +38,10 @@ def discover_shards(matrix_folder: str) -> int:
 
 
 def get_shard_for_row(row: int, total_vectors: int, num_shards: int) -> int:
+    if num_shards <= 0:
+        raise FileNotFoundError(
+            "no shard_K directories found in the matrix folder — wrong "
+            "path, or the matrix has not been computed yet")
     rows_per_shard = (total_vectors + num_shards - 1) // num_shards
     return row // rows_per_shard
 
@@ -135,6 +134,12 @@ class ShardReader:
         cv_dec, rice_dec = _decoders(self.index.fmt)
         q, consumed = cv_dec(self.blob, addr)
         n = len(q)
+        if n == 0:
+            # a written row always has >= 1 neighbor (its self-pair at
+            # minimum) — reject like the hardened native batched decoder
+            # instead of IndexError on cols[0]
+            raise ValueError(f"corrupt matrix row {int(row)}: zero-size "
+                             "neighbor vector")
         cols = np.empty(n, dtype=np.int64)
         cols[0] = self.index.start_neighbor[pos]
         if n > 1:

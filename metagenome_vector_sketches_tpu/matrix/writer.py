@@ -22,10 +22,17 @@ MULT_CONST = 255.0  # (1 << 8) - 1, pairwise_comp_optimized.cpp:654
 
 def quantize_jaccard(values: np.ndarray, rows: np.ndarray, cols: np.ndarray,
                      norms_sq: np.ndarray, dimension: int) -> np.ndarray:
-    """int64 raw dots -> uint16 quantized Jaccard, reference float64 math."""
+    """int64 raw dots -> uint16 quantized Jaccard, reference float64 math.
+
+    jac is clamped to [0, 1]: a noisy estimate can push the intersection
+    past |A|+|B| (negative/infinite jac), and a negative float -> uint16
+    cast is undefined at the C level (the reference would hit the same UB;
+    no defined behavior exists to match). For jac >= 0, floor(x + 0.5) IS
+    round-half-away-from-zero, the documented invariant."""
     inter = values.astype(np.float64) / float(dimension)
-    jac = inter / (norms_sq[rows] + norms_sq[cols] - inter)
-    jac = np.minimum(jac, 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jac = inter / (norms_sq[rows] + norms_sq[cols] - inter)
+    jac = np.clip(np.nan_to_num(jac, nan=0.0), 0.0, 1.0)
     return np.floor(jac * MULT_CONST + 0.5).astype(np.uint16)
 
 

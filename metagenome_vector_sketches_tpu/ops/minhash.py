@@ -18,12 +18,29 @@ import jax
 import jax.numpy as jnp
 
 
+def _set_sizes(hash_sets) -> np.ndarray:
+    """Unique-element count per input (sets, lists, or arrays)."""
+    return np.array(
+        [len(s) if isinstance(s, (set, frozenset))
+         else len(np.unique(np.asarray(list(s), dtype=np.uint64)))
+         for s in hash_sets], dtype=np.int64)
+
+
 def build_universe(hash_sets) -> tuple[np.ndarray, list[np.ndarray]]:
-    """-> (sorted unique hash universe, per-set positions into it)."""
-    universe = np.unique(np.concatenate([np.asarray(s, dtype=np.uint64)
-                                         for s in hash_sets if len(s)]))
-    positions = [np.searchsorted(universe, np.asarray(s, dtype=np.uint64))
-                 for s in hash_sets]
+    """-> (sorted unique hash universe, per-set SORTED positions into it).
+    All-empty input (every signature failed to parse) yields an empty
+    universe, not a concatenate crash."""
+    def as_sorted(s):
+        return np.sort(np.asarray(list(s) if isinstance(s, (set, frozenset))
+                                  else s, dtype=np.uint64))
+
+    arrs = [as_sorted(s) for s in hash_sets]
+    nonempty = [a for a in arrs if len(a)]
+    if not nonempty:
+        return (np.empty(0, dtype=np.uint64),
+                [np.empty(0, dtype=np.int64) for _ in hash_sets])
+    universe = np.unique(np.concatenate(nonempty))
+    positions = [np.searchsorted(universe, a) for a in arrs]
     return universe, positions
 
 
@@ -44,14 +61,16 @@ def pairwise_intersections(hash_sets, chunk: int = 1 << 14) -> np.ndarray:
     out = np.zeros((n, n), dtype=np.int64)
     if U == 0:
         return out
-    # pad the chunk width to a lane multiple once
+    # positions are sorted (build_universe), so each set's members inside
+    # [s, e) are one contiguous window found with two searchsorted probes —
+    # O(H log H) total per set instead of rescanning every set's full
+    # positions array for every chunk (quadratic-ish at scale)
     for s in range(0, U, chunk):
         e = min(s + chunk, U)
-        width = e - s
         m = np.zeros((n, chunk), dtype=np.int8)
         for i, pos in enumerate(positions):
-            sel = pos[(pos >= s) & (pos < e)] - s
-            m[i, sel] = 1
+            lo, hi = np.searchsorted(pos, (s, e))
+            m[i, pos[lo:hi] - s] = 1
         out += np.asarray(_chunk_gram(jnp.asarray(m)), dtype=np.int64)
         del m
     return out
@@ -61,8 +80,7 @@ def pairwise_jaccard_minhash(hash_sets) -> tuple[np.ndarray, np.ndarray]:
     """-> (jaccard (N,N) float64, sizes (N,)) — exact set Jaccard:
     J = |A&B| / (|A| + |B| - |A&B|)."""
     inter = pairwise_intersections(hash_sets)
-    sizes = np.array([len(np.unique(np.asarray(s, dtype=np.uint64)))
-                      for s in hash_sets], dtype=np.int64)
+    sizes = _set_sizes(hash_sets)
     union = sizes[:, None] + sizes[None, :] - inter
     with np.errstate(invalid="ignore", divide="ignore"):
         jac = np.where(union > 0, inter / union, 0.0)
@@ -76,8 +94,7 @@ def minhash_triples(hash_sets):
     exact quantities in place of the estimates). `value` is the raw
     intersection count, analogous to dot/d of the sketch path."""
     inter = pairwise_intersections(hash_sets)
-    sizes = np.array([len(np.unique(np.asarray(s, dtype=np.uint64)))
-                      for s in hash_sets], dtype=np.int64)
+    sizes = _set_sizes(hash_sets)
     thr = 0.05 * (sizes[:, None] + sizes[None, :])
     keep = inter.astype(np.float64) > thr
     r, c = np.nonzero(keep)
