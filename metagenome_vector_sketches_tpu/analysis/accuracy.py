@@ -63,10 +63,14 @@ def simulate_cell(size1: int, size2: int, jaccard: float, dimension: int = 2048,
     return {
         "rmse_fmh": float(np.sqrt(np.mean((est_fmh - jaccard) ** 2))),
         "rmse_rp": float(np.sqrt(np.mean(err_rp ** 2))),
+        # same index math as the reference (:303-310) but with every index
+        # clamped (the reference only guards the p1 slot, so small n_trials
+        # silently report the MAX error as p5/p50 via negative indexing);
+        # the last slot is the max, which the reference labels "99th"
         "percentiles": (float(err_sorted[max(0, T // 100 - 1)]),
-                        float(err_sorted[5 * T // 100 - 1]),
-                        float(err_sorted[50 * T // 100 - 1]),
-                        float(err_sorted[95 * T // 100 - 1]),
+                        float(err_sorted[max(0, 5 * T // 100 - 1)]),
+                        float(err_sorted[max(0, 50 * T // 100 - 1)]),
+                        float(err_sorted[max(0, 95 * T // 100 - 1)]),
                         float(err_sorted[-1])),
     }
 

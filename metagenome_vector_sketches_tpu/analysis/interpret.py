@@ -36,16 +36,23 @@ def print_row_jaccards(matrix_folder: str, db_folder: str, row: int = 10,
     row 10 of the legacy matrix with norms-based jaccard)."""
     db = DbFolder(db_folder)
     names, norms = db.names_and_norms()
+
+    def name_of(c):
+        # matrix/db mismatches print UNKNOWN (like query.engine) instead of
+        # crashing the whole interpretation with an IndexError
+        return names[c] if 0 <= c < len(names) else "UNKNOWN"
+
     if legacy:
         data = read_legacy_prev(matrix_folder)
-        if row not in data:
+        if row not in data or not (0 <= row < len(norms)):
             print(f"row {row} not found")
             return
         cols, vals = data[row]
         for c, v in zip(cols, vals):
-            ni, nj = norms[row] ** 2, norms[c] ** 2
+            ni = norms[row] ** 2
+            nj = norms[c] ** 2 if 0 <= c < len(norms) else 0.0
             jac = v / (ni + nj - v)
-            print(f"{c} ({names[c]}) inter={v} jaccard={jac:.4f}")
+            print(f"{c} ({name_of(c)}) inter={v} jaccard={jac:.4f}")
     else:
         reader = MatrixReader(matrix_folder)
         res = reader.load_neighbors_for_rows([row], len(names))[0]
@@ -54,7 +61,7 @@ def print_row_jaccards(matrix_folder: str, db_folder: str, row: int = 10,
             return
         cols, q = res
         for c, qq in zip(cols, q):
-            print(f"{c} ({names[c]}) jaccard={qq/255.0:.4f}")
+            print(f"{c} ({name_of(c)}) jaccard={qq/255.0:.4f}")
 
 
 def plot_histogram(matrix_folder: str, total_vectors: int, show: bool = True,

@@ -17,7 +17,11 @@ __date__ = "2026-08-16"
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="Flat-IP indexer and searcher.")
-    sub = parser.add_subparsers(dest="command", required=True)
+    # not required at parse time so a bare `jaccard -v` can print the
+    # version (the reference's required=True makes its own -v branch
+    # unreachable standalone, src/jaccard.py:333-352); main() errors on
+    # a missing command when -v was not given
+    sub = parser.add_subparsers(dest="command")
 
     p_index = sub.add_parser("index", help="Index vectors from a db folder.")
     p_index.add_argument("output_index",
@@ -67,10 +71,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
     if getattr(args, "version", False):
         print(f"Version: {__version__}, Date: {__date__}")
         return 0
+    if not args.command:
+        parser.error("the following arguments are required: command")
     print(f"Version: {__version__}, Date: {__date__}")
     print("Command line:", " ".join(sys.argv))
     if args.command == "index":

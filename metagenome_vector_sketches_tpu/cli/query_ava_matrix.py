@@ -52,15 +52,22 @@ def main(argv=None) -> int:
 
     data = read_legacy_prev(args.matrix)
     for q in queries:
-        print(f"Query: {q} ({identifiers[q]})")
-        if q not in data:
+        # a raw numeric query id can exceed the norms file (engine.query
+        # guards this for the modern tool; do the same here)
+        qname = identifiers[q] if 0 <= q < len(identifiers) else "UNKNOWN"
+        print(f"Query: {q} ({qname})")
+        if q not in data or not (0 <= q < len(norms)):
             print("  No neighbors found")
             continue
         cols, vals = data[q]
-        # sort by jaccard = inter / (|A| + |B| - inter), norms squared
+        # sort by jaccard = inter / (|A| + |B| - inter), norms squared;
+        # out-of-range neighbor columns (matrix built from a larger db
+        # than the norms file) get |B| = 0 and still print as UNKNOWN
+        # below instead of crashing the whole query run
         na = float(norms[q]) ** 2
-        jac = np.array([v / (na + float(norms[c]) ** 2 - v)
-                        for c, v in zip(cols, vals)])
+        nb = np.array([float(norms[c]) ** 2 if c < len(norms) else 0.0
+                       for c in cols])
+        jac = np.array([v / (na + b - v) for b, v in zip(nb, vals)])
         order = np.argsort(-jac, kind="stable")
         for rank in order[:args.top]:
             c = int(cols[rank])

@@ -48,6 +48,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if not args.matrix:
         _err("Error: matrix folder is required.")
+    if not args.db:
+        _err("Error: db folder is required.")
     use_query = bool(args.query_file or args.query_ids)
     use_slice = bool(args.row_file)
     if not use_query and not use_slice:

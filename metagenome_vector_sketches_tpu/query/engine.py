@@ -10,6 +10,7 @@ dequantize J = q/255 to float32.
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -61,11 +62,33 @@ def read_queries_from_file(path: str, id_to_index: dict):
     return queries, ids
 
 
+# process-level MatrixReader reuse across query batches: the CLI's batch
+# loop calls query() once per batch, and a fresh reader would re-parse
+# every shard's row_index.bin/neighbor_start.bin each time. Keyed on the
+# folder's mtime too, so a rebuilt matrix (shard dirs added/removed)
+# invalidates.
+_READER_CACHE: dict = {}
+
+
+def _reader(matrix_folder: str) -> MatrixReader:
+    try:
+        key = (os.path.abspath(matrix_folder),
+               os.stat(matrix_folder).st_mtime_ns)
+    except OSError:
+        return MatrixReader(matrix_folder)
+    r = _READER_CACHE.get(key)
+    if r is None:
+        if len(_READER_CACHE) >= 8:
+            _READER_CACHE.clear()
+        r = _READER_CACHE[key] = MatrixReader(matrix_folder)
+    return r
+
+
 def query(matrix_folder: str, queries, vector_norms: np.ndarray,
           identifiers: list[str]) -> list[Result]:
     """Top-neighbor query for a batch of row indices."""
     total = len(vector_norms)
-    reader = MatrixReader(matrix_folder)
+    reader = _reader(matrix_folder)
     decoded = reader.load_neighbors_for_rows(queries, total)
     results = []
     for qrow, dec in zip(queries, decoded):
@@ -90,7 +113,7 @@ def query_sliced(matrix_folder: str, row_queries, col_queries,
                  total_vectors: int, vector_norms: np.ndarray) -> np.ndarray:
     """Sliced sub-matrix: (len(rows), len(cols)) float32, 0 for absent pairs
     (load_neighbors_for_slice + query_sliced, read_pc_mat_cmp.cpp:1048-1171)."""
-    reader = MatrixReader(matrix_folder)
+    reader = _reader(matrix_folder)
     decoded = reader.load_neighbors_for_rows(row_queries, total_vectors)
     cols_arr = np.asarray(col_queries, dtype=np.int64)
     out = np.zeros((len(row_queries), len(cols_arr)), dtype=np.float32)
