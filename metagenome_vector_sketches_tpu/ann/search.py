@@ -234,6 +234,33 @@ def _serving_mesh(mesh_devices: int):
     return Mesh(np.array(locals_[:n]), (DATA_AXIS,)) if n > 1 else None
 
 
+# one-slot device-resident index cache: repeated search_index calls in one
+# process (library users, validation loops) re-use the staged/uploaded
+# index instead of re-staging it per call — mirrors the pairwise engine's
+# residency cache (matrix/compute._RESIDENT; staging a 1M-row db costs
+# tens of seconds). One slot bounds HBM: a different key evicts.
+_INDEX_CACHE: dict = {}
+
+
+def clear_index_cache() -> None:
+    _INDEX_CACHE.clear()
+
+
+def _cached_index(key, build):
+    if _INDEX_CACHE.get("key") == key:
+        return _INDEX_CACHE["value"]
+    _INDEX_CACHE.clear()
+    value = build()
+    _INDEX_CACHE["key"] = key
+    _INDEX_CACHE["value"] = value
+    return value
+
+
+def _artifact_stat(path: str):
+    st = os.stat(path)
+    return (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+
+
 def search_index(index_folder: str, query_file: str, j: float,
                  verbose: bool = True, recall_target: float = 1.0,
                  engine: str = "f32", mesh_devices: int = 1):
@@ -263,27 +290,36 @@ def search_index(index_folder: str, query_file: str, j: float,
         # exactly like it opts the f32 engine into approx_max_k (the flag
         # promises the faster path regardless of engine spelling)
         approx = engine == "int8_approx" or recall_target < 1.0
+        mode = "approx" if approx else "exact"
+        key = (_artifact_stat(os.path.join(index_folder, "vectors.bin")),
+               "int8", mode, rt, mesh)
         if mesh is not None:
             # stage straight into the sharded layout: wrapping a
             # single-device index would transiently hold ~2x the stack on
             # one chip (see DistributedIntExactIndex.from_dbfolder)
             from .distributed import DistributedIntExactIndex
-            index = DistributedIntExactIndex.from_dbfolder(
-                index_folder, mesh=mesh,
-                mode="approx" if approx else "exact", recall_target=rt)
+            index = _cached_index(key, lambda: (
+                DistributedIntExactIndex.from_dbfolder(
+                    index_folder, mesh=mesh, mode=mode, recall_target=rt)))
         else:
-            index = IntExactIndex.from_dbfolder(
-                index_folder, mode="approx" if approx else "exact",
-                recall_target=rt)
+            index = _cached_index(key, lambda: (
+                IntExactIndex.from_dbfolder(index_folder, mode=mode,
+                                            recall_target=rt)))
         hits, query_norms = adaptive_search(index, queries, j, verbose,
                                             db_norms=norms,
                                             queries_int=q_int)
     else:
-        index = FlatIPIndex.load(os.path.join(index_folder, "faiss.index"))
-        index.recall_target = recall_target
+        fpath = os.path.join(index_folder, "faiss.index")
+        key = (_artifact_stat(fpath), "f32", mesh)
         if mesh is not None:
             from .distributed import DistributedFlatIPIndex
-            index = DistributedFlatIPIndex.from_flat(index, mesh=mesh)
+            index = _cached_index(key, lambda: (
+                DistributedFlatIPIndex.from_flat(FlatIPIndex.load(fpath),
+                                                 mesh=mesh)))
+        else:
+            index = _cached_index(key, lambda: FlatIPIndex.load(fpath))
+        # recall_target is a per-call knob, not part of the staged state
+        index.recall_target = recall_target
         hits, query_norms = adaptive_search(index, queries, j, verbose,
                                             db_norms=norms)
     return rescore(hits, query_norms, names, norms, j, verbose)

@@ -115,3 +115,33 @@ def test_interpret_unknown_neighbor(tmp_path, capsys):
     assert "UNKNOWN" in out
     print_row_jaccards(mdir, db.path, row=77, legacy=True)
     assert "not found" in capsys.readouterr().out
+
+
+def test_search_index_device_residency_cache(tmp_path):
+    from metagenome_vector_sketches_tpu.ann import search as asearch
+    from metagenome_vector_sketches_tpu.ann.flat_index import index_vectors
+    from metagenome_vector_sketches_tpu.io.ingest import convert, sketch
+    convert('/root/reference/test/toy', str(tmp_path / "ah.txt"),
+            verbose=False)
+    sketch(str(tmp_path / "ah.txt"), str(tmp_path / "db"), dimension=256,
+           verbose=False)
+    index_vectors(str(tmp_path / "db"))
+    qf = tmp_path / "q.txt"
+    with open(tmp_path / "ah.txt") as f:
+        qf.write_text(f.readline())
+    asearch.clear_index_cache()
+    r1 = asearch.search_index(str(tmp_path / "db"), str(qf), 0.1,
+                              verbose=False)
+    idx_first = asearch._INDEX_CACHE.get("value")
+    assert idx_first is not None
+    r2 = asearch.search_index(str(tmp_path / "db"), str(qf), 0.1,
+                              verbose=False)
+    assert asearch._INDEX_CACHE.get("value") is idx_first  # reused
+    assert [h for h, *_ in r1[0]] == [h for h, *_ in r2[0]] \
+        if isinstance(r1, list) and r1 and isinstance(r1[0], list) else True
+    # a rebuilt artifact evicts (mtime/size key)
+    index_vectors(str(tmp_path / "db"))
+    os.utime(os.path.join(str(tmp_path / "db"), "faiss.index"), ns=(2, 2))
+    asearch.search_index(str(tmp_path / "db"), str(qf), 0.1, verbose=False)
+    assert asearch._INDEX_CACHE.get("value") is not idx_first
+    asearch.clear_index_cache()
