@@ -73,6 +73,12 @@ def make_pipeline_step(mesh, d: int, L: int, k: int):
         thr_all = jax.lax.all_gather(norms_sq, DATA_AXIS, axis=0, tiled=True)
         approx = approx_dot_f32(karatsuba_planes(limbs),
                                 karatsuba_planes(v_all))
+        # RAW retention threshold, deliberately NOT the engine sweep's
+        # SLACK-widened one (parallel.pairwise.sharded_pairwise_counts):
+        # this is a retention statistic for the demo/dryrun step, and at
+        # toy scale SLACK_ABS (=16) would swamp the tiny norms and mark
+        # every pair a survivor, hiding the thresholding behavior the
+        # dryrun output is meant to show
         passes = approx / np.float32(d) > 0.05 * (norms_sq[:, None] + thr_all[None, :])
         survivors = jnp.sum(passes.astype(jnp.int32), axis=1)       # (b,) local
 
