@@ -23,9 +23,25 @@ _lock = threading.Lock()
 
 
 def _build() -> bool:
+    """Build the shared library, safe against concurrent first-time builds
+    (tests spawn multiple fresh processes that all import on startup): an
+    flock on a sidecar lockfile serializes the `make` runs; the loser of
+    the race finds the .so already present and returns immediately. Without
+    this, two g++ -o writes interleave on the final .so and a half-written
+    file gets CDLL-loaded (silent permanent pyref fallback) or left corrupt
+    with a fresh mtime (make then never rebuilds it)."""
     try:
-        subprocess.run(["make", "-s", "-C", _NATIVE_DIR],
-                       check=True, capture_output=True, timeout=120)
+        os.makedirs(os.path.dirname(_LIB_PATH), exist_ok=True)
+        lockfile = _LIB_PATH + ".lock"
+        with open(lockfile, "w") as lf:
+            try:
+                import fcntl
+                fcntl.flock(lf.fileno(), fcntl.LOCK_EX)
+            except ImportError:  # pragma: no cover - non-posix
+                pass
+            if not os.path.exists(_LIB_PATH):
+                subprocess.run(["make", "-s", "-C", _NATIVE_DIR],
+                               check=True, capture_output=True, timeout=120)
         return os.path.exists(_LIB_PATH)
     except Exception:
         return False
@@ -117,7 +133,7 @@ def _decode(fn, buf, offset: int):
             else np.empty(0, dtype=np.uint64)
     finally:
         lib.mvs_free(vals)
-    return out.astype(np.uint64), consumed.value
+    return out, consumed.value  # as_array dtype is already uint64
 
 
 def cv_encode(values) -> bytes:
@@ -178,7 +194,7 @@ def read_matrix_rows(blob, addrs, first_cols):
         lib.mvs_free(cols)
         lib.mvs_free(q)
         lib.mvs_free(bounds)
-    return (c.astype(np.uint64), v.astype(np.uint64), b.astype(np.uint64))
+    return c, v, b  # as_array dtype is already uint64
 
 
 def write_matrix_rows(cols, q, starts):
@@ -192,6 +208,15 @@ def write_matrix_rows(cols, q, starts):
     cols, cols_p = _as_u64_ptr(cols)
     q, q_p = _as_u64_ptr(q)
     starts, starts_p = _as_u64_ptr(starts)
+    # the C side trusts starts blindly: empty starts would wrap n_rows to
+    # 2^64-1 through c_uint64, and a last entry beyond len(cols) drives
+    # out-of-bounds reads
+    if len(starts) < 1:
+        raise ValueError("starts must hold at least the terminating bound")
+    if len(cols) != len(q) or int(starts[-1]) != len(cols):
+        raise ValueError(
+            f"starts[-1]={int(starts[-1])} must equal len(cols)={len(cols)}"
+            f"=len(q)={len(q)}")
     n_rows = len(starts) - 1
     out = ctypes.POINTER(ctypes.c_uint8)()
     out_len = ctypes.c_uint64()
@@ -213,4 +238,4 @@ def write_matrix_rows(cols, q, starts):
         lib.mvs_free(out)
         lib.mvs_free(pos)
         lib.mvs_free(first)
-    return blob, positions.astype(np.uint64), first_cols.astype(np.uint64)
+    return blob, positions, first_cols

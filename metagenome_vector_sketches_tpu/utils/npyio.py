@@ -19,8 +19,14 @@ class NpyAppender:
         self._rows = 0
         self._cols = None
         self._f = None
+        self._closed = False
 
     def append(self, row: np.ndarray) -> None:
+        if self._closed:
+            # reopening would truncate the file while _rows still counts
+            # the previous rows — the final header would then claim rows
+            # whose bytes are gone
+            raise ValueError("append() after close()")
         row = np.ascontiguousarray(row, dtype=self.dtype)
         if self._f is None:
             self._cols = row.shape[-1]
@@ -49,6 +55,7 @@ class NpyAppender:
             self._write_header()
             self._f.close()
             self._f = None
+        self._closed = True
 
     def __enter__(self):
         return self

@@ -86,7 +86,12 @@ def _decompress_libzstd(impl, data: bytes) -> bytes:
     frame_len = impl.ZSTD_findFrameCompressedSize(data, len(data))
     one_frame = (not impl.ZSTD_isError(frame_len)
                  and frame_len == len(data))
-    if size != _ZSTD_CONTENTSIZE_UNKNOWN and one_frame:
+    # sanity-clamp the untrusted content-size header before allocating:
+    # a corrupt frame claiming terabytes must be rejected, not zero-filled
+    # (zstd's own max ratio is well under this; cf. sigscan.cpp kMaxInflate)
+    max_plausible = len(data) * 2048 + (1 << 24)
+    if (size != _ZSTD_CONTENTSIZE_UNKNOWN and one_frame
+            and size <= max_plausible):
         # fast path only when the single frame spans the whole input —
         # pzstd / concatenated .zst files are MULTI-frame (valid zstd) and
         # the content-size header only describes the first frame
@@ -114,15 +119,23 @@ def _decompress_libzstd(impl, data: bytes) -> bytes:
     chunks = []
     try:
         chunk = ctypes.create_string_buffer(1 << 20)
-        while inb.pos < inb.size:
+        rc = 0
+        while True:
             outb = _Buf(ctypes.cast(chunk, ctypes.c_void_p), len(chunk), 0)
             rc = impl.ZSTD_decompressStream(dctx, ctypes.byref(outb),
                                             ctypes.byref(inb))
             if impl.ZSTD_isError(rc):
                 raise ValueError("zstd stream decompression failed")
             chunks.append(chunk.raw[:outb.pos])
-            if rc == 0 and inb.pos >= inb.size:
+            # keep draining while input remains OR the output chunk came
+            # back exactly full (zstd may still hold buffered output)
+            if inb.pos >= inb.size and outb.pos < outb.size:
                 break
+        if rc != 0:
+            # input exhausted mid-frame: rc is the frame's remaining-byte
+            # hint — returning the partial data would silently truncate a
+            # legacy artifact cut by a failed copy
+            raise ValueError("truncated zstd stream (incomplete frame)")
     finally:
         impl.ZSTD_freeDCtx(dctx)
     return b"".join(chunks)
@@ -131,14 +144,20 @@ def _decompress_libzstd(impl, data: bytes) -> bytes:
 def decompress(data: bytes) -> bytes:
     kind, impl = _get_backend()
     if kind == "zstandard":
-        # ALWAYS read across frames: pzstd output and concatenated .zst
-        # files are MULTI-frame (valid zstd), and both the one-shot
-        # decompress() and decompressobj() silently stop after the first
-        # frame — a truncation, not an error
-        import io
-        reader = impl.ZstdDecompressor().stream_reader(
-            io.BytesIO(data), read_across_frames=True)
-        return reader.read()
+        # per-frame decompressobj loop: reads across frames (pzstd output
+        # and concatenated .zst are MULTI-frame valid zstd) AND verifies
+        # each frame completed — stream_reader(read_across_frames=True)
+        # silently returns partial data for an input truncated mid-frame
+        out = []
+        remaining = data
+        dec = impl.ZstdDecompressor()
+        while remaining:
+            dobj = dec.decompressobj()
+            out.append(dobj.decompress(remaining))
+            if not dobj.eof:
+                raise ValueError("truncated zstd stream (incomplete frame)")
+            remaining = dobj.unused_data
+        return b"".join(out)
     if kind == "libzstd":
         return _decompress_libzstd(impl, data)
     raise RuntimeError("no zstd backend available")

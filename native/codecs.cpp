@@ -103,7 +103,8 @@ uint8_t* emit(const std::vector<uint64_t>& header,
               uint64_t* out_len) {
     uint64_t len = header.size() * 8;
     for (auto* p : parts) len += p->size() * 8;
-    uint8_t* buf = (uint8_t*)std::malloc(len);
+    uint8_t* buf = (uint8_t*)std::malloc(len ? len : 1);
+    if (!buf) return nullptr;
     uint64_t off = 0;
     std::memcpy(buf + off, header.data(), header.size() * 8);
     off += header.size() * 8;
@@ -121,7 +122,31 @@ uint64_t rd(const uint8_t* buf, uint64_t off) {
     return v;
 }
 
+// wrap-safe bounds check: `off + need > len` wraps modulo 2^64 when a
+// corrupt row address sits near UINT64_MAX (addresses are cumsums of
+// untrusted rice-decoded deltas), letting rd() read wild memory
+bool in_bounds(uint64_t off, uint64_t need, uint64_t len) {
+    return off <= len && len - off >= need;
+}
+
+// valid rice streams carry >= one zero terminator bit per value; corrupt
+// all-ones content would otherwise decode to garbage (BitReader treats
+// past-end words as zero) where the python decoder raises
+bool rice_has_terminators(const uint64_t* words, uint64_t num_words,
+                          uint64_t size) {
+    uint64_t ones = 0;
+    for (uint64_t i = 0; i < num_words; ++i)
+        ones += (uint64_t)__builtin_popcountll(words[i]);
+    return num_words * 64 - ones >= size;
+}
+
 }  // namespace
+
+// every C-ABI entry runs under this guard: a corrupt aliasing header can
+// drive multi-GB resizes whose std::bad_alloc would otherwise escape the
+// extern "C" frame and terminate the host Python process
+#define MVS_GUARD_BEGIN try {
+#define MVS_GUARD_END } catch (...) { return -3; }
 
 extern "C" {
 
@@ -145,31 +170,39 @@ static void cv_encode_into(const uint64_t* vals, uint64_t n,
 }
 
 int mvs_cv_encode(const uint64_t* vals, uint64_t n, uint8_t** out, uint64_t* out_len) {
+    MVS_GUARD_BEGIN
     std::vector<uint8_t> buf;
     cv_encode_into(vals, n, buf);
-    *out = (uint8_t*)std::malloc(buf.size());
+    *out = (uint8_t*)std::malloc(buf.size() ? buf.size() : 1);
+    if (!*out) return -3;
     std::memcpy(*out, buf.data(), buf.size());
     *out_len = buf.size();
     return 0;
+    MVS_GUARD_END
 }
 
 int mvs_cv_decode(const uint8_t* buf, uint64_t len, uint64_t offset,
                   uint64_t** vals, uint64_t* n, uint64_t* consumed) {
-    if (offset + 24 > len) return -1;
+    MVS_GUARD_BEGIN
+    if (!in_bounds(offset, 24, len)) return -1;
     uint64_t size = rd(buf, offset), width = rd(buf, offset + 8),
              num_words = rd(buf, offset + 16);
     // division form: the multiply/add would wrap uint64 on corrupt counts
     if (num_words > (len - offset - 24) / 8) return -1;
-    if (width > 64 || size > num_words * 64 + 64) return -1;
+    // width-aware cap (matches codecs/pyref.py): n values of `width` bits
+    // need n*width <= 64*words; a width-blind slack admits crafted sizes
+    if (width > 64 || width < 1 || size > num_words * 64 / width) return -1;
     std::vector<uint64_t> words(num_words);
     std::memcpy(words.data(), buf + offset + 24, num_words * 8);
     uint64_t* out = (uint64_t*)std::malloc(size ? size * 8 : 8);
+    if (!out) return -3;
     BitReader br(words.data(), num_words);
     for (uint64_t i = 0; i < size; ++i) out[i] = br.read((unsigned)width);
     *vals = out;
     *n = size;
     *consumed = 24 + num_words * 8;
     return 0;
+    MVS_GUARD_END
 }
 
 // ---------------------------------------------------------------- rice_sequence
@@ -205,12 +238,15 @@ static void rice_encode_into(const uint64_t* vals, uint64_t n,
 }
 
 int mvs_rice_encode(const uint64_t* vals, uint64_t n, uint8_t** out, uint64_t* out_len) {
+    MVS_GUARD_BEGIN
     std::vector<uint8_t> buf;
     rice_encode_into(vals, n, buf);
-    *out = (uint8_t*)std::malloc(buf.size());
+    *out = (uint8_t*)std::malloc(buf.size() ? buf.size() : 1);
+    if (!*out) return -3;
     std::memcpy(*out, buf.data(), buf.size());
     *out_len = buf.size();
     return 0;
+    MVS_GUARD_END
 }
 
 // ------------------------------------------------- batched shard-row writer
@@ -226,10 +262,12 @@ int mvs_write_matrix_rows(const uint64_t* cols, const uint64_t* q,
                           const uint64_t* starts, uint64_t n_rows,
                           uint8_t** out, uint64_t* out_len,
                           uint64_t** positions, uint64_t** first_cols) {
+    MVS_GUARD_BEGIN
     std::vector<uint8_t> blob;
     blob.reserve(n_rows * 64);
     uint64_t* pos = (uint64_t*)std::malloc(n_rows ? n_rows * 8 : 8);
     uint64_t* first = (uint64_t*)std::malloc(n_rows ? n_rows * 8 : 8);
+    if (!pos || !first) { std::free(pos); std::free(first); return -3; }
     std::vector<uint64_t> deltas;
     for (uint64_t k = 0; k < n_rows; ++k) {
         uint64_t s = starts[k], e = starts[k + 1];
@@ -250,23 +288,30 @@ int mvs_write_matrix_rows(const uint64_t* cols, const uint64_t* q,
         }
     }
     *out = (uint8_t*)std::malloc(blob.size() ? blob.size() : 1);
+    if (!*out) { std::free(pos); std::free(first); return -3; }
     std::memcpy(*out, blob.data(), blob.size());
     *out_len = blob.size();
     *positions = pos;
     *first_cols = first;
     return 0;
+    MVS_GUARD_END
 }
 
 int mvs_rice_decode(const uint8_t* buf, uint64_t len, uint64_t offset,
                     uint64_t** vals, uint64_t* n, uint64_t* consumed) {
-    if (offset + 24 > len) return -1;
+    MVS_GUARD_BEGIN
+    if (!in_bounds(offset, 24, len)) return -1;
     uint64_t size = rd(buf, offset), l = rd(buf, offset + 8),
              num_words = rd(buf, offset + 16);
     if (num_words > (len - offset - 24) / 8) return -1;
-    if (l > 63 || size > num_words * 64 + 64) return -1;
+    // param-aware cap (matches codecs/pyref.py): each value consumes at
+    // least 1+l bits (terminator + payload)
+    if (l > 63 || size > num_words * 64 / (1 + l)) return -1;
     std::vector<uint64_t> words(num_words);
     std::memcpy(words.data(), buf + offset + 24, num_words * 8);
+    if (!rice_has_terminators(words.data(), num_words, size)) return -1;
     uint64_t* out = (uint64_t*)std::malloc(size ? size * 8 : 8);
+    if (!out) return -3;
     BitReader br(words.data(), num_words);
     for (uint64_t i = 0; i < size; ++i) {
         uint64_t q = br.read_unary();
@@ -277,6 +322,7 @@ int mvs_rice_decode(const uint8_t* buf, uint64_t len, uint64_t offset,
     *n = size;
     *consumed = 24 + num_words * 8;
     return 0;
+    MVS_GUARD_END
 }
 
 // ------------------------------------------------- batched shard-row reader
@@ -290,20 +336,24 @@ int mvs_read_matrix_rows(const uint8_t* buf, uint64_t len,
                          uint64_t n_rows,
                          uint64_t** cols_out, uint64_t** q_out,
                          uint64_t** bounds_out) {
+    MVS_GUARD_BEGIN
     std::vector<uint64_t> cols, q, bounds;
     bounds.reserve(n_rows + 1);
     bounds.push_back(0);
     for (uint64_t k = 0; k < n_rows; ++k) {
         uint64_t off = addrs[k];
-        if (off + 24 > len) return -1;
+        // in_bounds: addrs are cumsums of UNTRUSTED rice-decoded deltas —
+        // an off near UINT64_MAX would wrap `off + 24 > len` and read wild
+        if (!in_bounds(off, 24, len)) return -1;
         uint64_t size = rd(buf, off), width = rd(buf, off + 8),
                  num_words = rd(buf, off + 16);
         // division form avoids uint64 wrap on corrupt num_words; size==0
         // rows cannot exist (the writer rejects empty rows, e<=s) — a
         // corrupt zero-size header would otherwise drive cols[base] past
-        // the vector end below
-        if (size == 0 || width > 64 || num_words > (len - off - 24) / 8 ||
-            size > num_words * 64 + 64) return -1;
+        // the vector end below; width-aware cap matches mvs_cv_decode
+        if (size == 0 || width > 64 || width < 1 ||
+            num_words > (len - off - 24) / 8 ||
+            size > num_words * 64 / width) return -1;
         std::vector<uint64_t> words(num_words);
         std::memcpy(words.data(), buf + off + 24, num_words * 8);
         size_t base = q.size();
@@ -317,13 +367,15 @@ int mvs_read_matrix_rows(const uint8_t* buf, uint64_t len,
         cols[base] = first_cols[k];
         if (size > 1) {
             uint64_t off2 = off + 24 + num_words * 8;
-            if (off2 + 24 > len) return -1;
+            if (!in_bounds(off2, 24, len)) return -1;
             uint64_t dn = rd(buf, off2), l = rd(buf, off2 + 8),
                      dwords = rd(buf, off2 + 16);
             if (l > 63 || dn != size - 1 ||
-                dwords > (len - off2 - 24) / 8) return -1;
+                dwords > (len - off2 - 24) / 8 ||
+                dn > dwords * 64 / (1 + l)) return -1;
             std::vector<uint64_t> dw(dwords);
             std::memcpy(dw.data(), buf + off2 + 24, dwords * 8);
+            if (!rice_has_terminators(dw.data(), dwords, dn)) return -1;
             BitReader br(dw.data(), dwords);
             uint64_t cur = first_cols[k];
             for (uint64_t i = 0; i < dn; ++i) {
@@ -335,20 +387,29 @@ int mvs_read_matrix_rows(const uint8_t* buf, uint64_t len,
         }
         bounds.push_back(q.size());
     }
-    auto dup = [](const std::vector<uint64_t>& v) {
+    auto dup = [](const std::vector<uint64_t>& v) -> uint64_t* {
         uint64_t* p = (uint64_t*)std::malloc(v.size() ? v.size() * 8 : 8);
-        std::memcpy(p, v.data(), v.size() * 8);
+        if (p) std::memcpy(p, v.data(), v.size() * 8);
         return p;
     };
-    *cols_out = dup(cols);
-    *q_out = dup(q);
-    *bounds_out = dup(bounds);
+    uint64_t* pc = dup(cols);
+    uint64_t* pq = dup(q);
+    uint64_t* pb = dup(bounds);
+    if (!pc || !pq || !pb) {
+        std::free(pc); std::free(pq); std::free(pb);
+        return -3;
+    }
+    *cols_out = pc;
+    *q_out = pq;
+    *bounds_out = pb;
     return 0;
+    MVS_GUARD_END
 }
 
 // ---------------------------------------------------------------- elias_fano
 int mvs_ef_encode(const uint64_t* vals, uint64_t n, uint64_t universe,
                   uint8_t** out, uint64_t* out_len) {
+    MVS_GUARD_BEGIN
     if (universe < 1) universe = 1;
     unsigned l = 0;
     if (n) {
@@ -371,12 +432,15 @@ int mvs_ef_encode(const uint64_t* vals, uint64_t n, uint64_t universe,
     // layout: [n][universe][l][num_low][low...][num_high][high...]
     std::vector<uint64_t> header = {n, universe, (uint64_t)l, num_low};
     *out = emit(header, {&low_words, &nh, &high_words}, out_len);
+    if (!*out) return -3;
     return 0;
+    MVS_GUARD_END
 }
 
 int mvs_ef_decode(const uint8_t* buf, uint64_t len, uint64_t offset,
                   uint64_t** vals, uint64_t* n, uint64_t* consumed) {
-    if (offset + 32 > len) return -1;
+    MVS_GUARD_BEGIN
+    if (!in_bounds(offset, 32, len)) return -1;
     uint64_t size = rd(buf, offset), universe = rd(buf, offset + 8),
              l = rd(buf, offset + 16), num_low = rd(buf, offset + 24);
     (void)universe;
@@ -386,7 +450,7 @@ int mvs_ef_decode(const uint8_t* buf, uint64_t len, uint64_t offset,
     // so a corrupt `size` cannot drive the output malloc past ~8x the
     // encoded byte count (an ASAN fuzz found a multi-TB malloc here)
     if (l > 63) return -1;
-    if (offset + 40 > len) return -1;  // header + the num_high field
+    if (!in_bounds(offset, 40, len)) return -1;  // header + num_high field
     if (num_low > (len - offset - 40) / 8) return -1;
     uint64_t pos = offset + 32;
     std::vector<uint64_t> low_words(num_low);
@@ -402,6 +466,7 @@ int mvs_ef_decode(const uint8_t* buf, uint64_t len, uint64_t offset,
     pos += num_high * 8;
 
     uint64_t* out = (uint64_t*)std::malloc(size ? size * 8 : 8);
+    if (!out) return -3;
     BitReader low(low_words.data(), num_low);
     // scan set bits of the high vector in order
     uint64_t found = 0;
@@ -425,6 +490,7 @@ int mvs_ef_decode(const uint8_t* buf, uint64_t len, uint64_t offset,
     *n = size;
     *consumed = pos - offset;
     return 0;
+    MVS_GUARD_END
 }
 
 }  // extern "C"

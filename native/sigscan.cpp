@@ -110,15 +110,16 @@ bool scan_json(const uint8_t* text, size_t n, int want,
         return (size_t)((const char*)hit - s);
     };
     // the sequential scan assumes sourmash's key order ("ksize" before its
-    // record's "mins"); a "mins" appearing before the FIRST "ksize" means a
-    // different serializer — refuse so the caller uses the full-JSON path
-    {
-        size_t m0 = find("\"mins\"", 0);
-        size_t k0 = find("\"ksize\"", 0);
-        if (m0 != std::string::npos &&
-            (k0 == std::string::npos || m0 < k0))
-            return false;
-    }
+    // record's "mins"). Count every "mins" occurrence up front and require
+    // the scan below to ATTRIBUTE all of them to a record — any leftover
+    // (a record serialized mins-first, anywhere in the file, not just
+    // before the first ksize) means a different serializer: refuse so the
+    // caller uses the full-JSON python path instead of silently dropping
+    // that record's hashes.
+    uint64_t total_mins = 0, attributed_mins = 0;
+    for (size_t p = find("\"mins\"", 0); p != std::string::npos;
+         p = find("\"mins\"", p + 1))
+        ++total_mins;
     while (true) {
         size_t k = find("\"ksize\"", i);
         if (k == std::string::npos) break;
@@ -126,7 +127,11 @@ bool scan_json(const uint8_t* text, size_t n, int want,
         while (j < n && (s[j] == ':' || is_ws(s[j]))) j++;
         if (j >= n || s[j] < '0' || s[j] > '9') return false;
         long ks = 0;
-        while (j < n && s[j] >= '0' && s[j] <= '9') ks = ks * 10 + (s[j++] - '0');
+        int ks_digits = 0;
+        while (j < n && s[j] >= '0' && s[j] <= '9') {
+            if (++ks_digits > 9) return false;  // ksize is a small int —
+            ks = ks * 10 + (s[j++] - '0');      // more is a surprise (and
+        }                                       // would overflow: UB)
         size_t next_k = find("\"ksize\"", j);
         i = (next_k == std::string::npos) ? n : next_k;
         size_t m = find("\"mins\"", j);
@@ -139,6 +144,7 @@ bool scan_json(const uint8_t* text, size_t n, int want,
         // This must run for EVERY record, not just matching ksizes, or a
         // wanted record whose mins precedes its ksize is silently skipped.
         if (has_mins && memchr(s + j, '}', m - j) != nullptr) return false;
+        if (has_mins) ++attributed_mins;
         if (ks != want) {
             if (next_k == std::string::npos) break;
             continue;
@@ -155,13 +161,20 @@ bool scan_json(const uint8_t* text, size_t n, int want,
             if (s[p] == ']') break;
             if (s[p] < '0' || s[p] > '9') return false;  // unexpected token
             uint64_t v = 0;
-            while (p < n && s[p] >= '0' && s[p] <= '9')
-                v = v * 10 + (uint64_t)(s[p++] - '0');
+            while (p < n && s[p] >= '0' && s[p] <= '9') {
+                uint64_t digit = (uint64_t)(s[p] - '0');
+                if (v > (~uint64_t(0) - digit) / 10)
+                    return false;  // hash > 2^64 would silently wrap —
+                v = v * 10 + digit;  // structural surprise, use fallback
+                p++;
+            }
             out.push_back(v);
         }
         if (next_k == std::string::npos) break;
     }
-    return true;
+    // any "mins" never attributed to a record = a serializer this scan
+    // does not understand (e.g. a LATER record with mins before ksize)
+    return attributed_mins == total_mins;
 }
 
 }  // namespace
