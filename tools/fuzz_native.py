@@ -86,6 +86,24 @@ def fuzz_codecs(lib_path, trials, rng):
             except Exception:
                 pass
             cnt += 1
+        # fuzz the ADDRESSES too: real addrs are cumsums of untrusted
+        # rice-decoded deltas out of row_index.bin, so arbitrary u64s
+        # (incl. near-UINT64_MAX wrap candidates) must be rejected, not
+        # dereferenced (the round-3 `off + 24 > len` wrap lived here)
+        for _ in range(8):
+            wild = rng.integers(0, 1 << 64, size=int(rng.integers(1, 4)),
+                                dtype=np.uint64)
+            if rng.integers(0, 2):
+                wild[0] = np.uint64(
+                    0xFFFFFFFFFFFFFFFF - int(rng.integers(0, 64)))
+            try:
+                native.read_matrix_rows(
+                    blob, wild,
+                    rng.integers(0, 1 << 32,
+                                 size=len(wild)).astype(np.uint64))
+            except Exception:
+                pass
+            cnt += 1
     return cnt
 
 
