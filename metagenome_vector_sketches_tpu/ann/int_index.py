@@ -196,14 +196,11 @@ def _dbfolder_staging(db_folder: str, chunk_rows: int):
     R = int(min(chunk_rows, max(1, n)))
     C = (n + R - 1) // R
     # L from the (possibly sidecar-cached) max component, verified
-    # against the data during staging like matrix.compute's stagers
-    max_abs = db.max_component()
-    if max_abs is None:
-        max_abs = 0
-        for s in range(0, n, R):
-            max_abs = max(max_abs, int(np.max(np.abs(
-                np.asarray(V[s:s + R]).astype(np.int64)))))
-    max_abs = int(max_abs)
+    # against the data during staging with the SAME shared check as
+    # matrix.compute's stagers (so the two verifiers cannot drift)
+    from ..matrix.compute import scan_max_abs, _check_stale_max
+    max_abs = int(scan_max_abs(db, chunk=R))
+    pw.check_exact_dot_range(d, max(1, max_abs))
     L = pw.pick_limbs(max(1, max_abs))
     ns = np.empty(n, dtype=np.int64)
 
@@ -211,12 +208,7 @@ def _dbfolder_staging(db_folder: str, chunk_rows: int):
         s, e = c * R, min((c + 1) * R, n)
         block = np.zeros((R, d), dtype=np.int32)
         block[:e - s] = V[s:e]
-        true_max = int(np.max(np.abs(block.astype(np.int64)))) if n else 0
-        if true_max > max_abs:
-            raise ValueError(
-                f"max_component.txt ({max_abs}) is stale: "
-                f"vectors.bin holds |component| up to {true_max}. "
-                "Delete the sidecar or rebuild the db folder.")
+        _check_stale_max(block[:e - s], max_abs, db)
         b64 = block[:e - s].astype(np.int64)
         ns[s:e] = np.einsum("ij,ij->i", b64, b64)
         return pw.decompose_limbs_host(block, L)
@@ -271,6 +263,7 @@ class IntExactIndex:
             blk = V[s:s + R].astype(np.int64)
             max_abs = max(max_abs, int(np.max(np.abs(blk))) if blk.size
                           else 0)
+        pw.check_exact_dot_range(d, max(1, max_abs))
         self.max_abs = max_abs
         self.L = pw.pick_limbs(max(1, max_abs))
         P = pw.num_planes(self.L)
@@ -295,6 +288,7 @@ class IntExactIndex:
         (memory-mapped host side; device peak = stack + one chunk). The
         exact |v|^2 norms are recomputed from the data (int64), so scoring
         does not depend on the float32-reduced vector_norms.txt."""
+        assert mode in ("exact", "approx"), mode
         self = cls.__new__(cls)
         self.mode = mode
         self.recall_target = float(recall_target)
@@ -333,8 +327,10 @@ class IntExactIndex:
             and int(chunks[-1][1].shape[0]) <= R \
             and all(int(b) == i * R for i, (b, _) in enumerate(chunks)), \
             "device chunks must be uniform and contiguous"
+        assert mode in ("exact", "approx"), mode
         C = len(chunks)
         max_abs = max(int(jnp.max(jnp.abs(c))) for _, c in chunks)
+        pw.check_exact_dot_range(d, max(1, max_abs))
         self = cls.__new__(cls)
         self._shape = (n, d)
         self.chunk_rows = R

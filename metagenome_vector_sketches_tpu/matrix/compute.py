@@ -187,6 +187,9 @@ def compute_pairwise_shard(db_folder: str, output_folder: str,
             f"of {total} (d={d}, dtype={dtype})")
 
     max_abs = scan_max_abs(db)
+    # loud up-front rejection: past this bound every exact int64 dot path
+    # (fused combine, device finalize, host finalize) would wrap silently
+    pw.check_exact_dot_range(d, max(1, max_abs))
     L = pw.pick_limbs(max(1, max_abs))
     exact_filter = pw.exact_filter_int16 if dtype == "int16" else pw.exact_filter_int32
 

@@ -71,6 +71,20 @@ def pick_limbs(max_abs: int) -> int:
     return L
 
 
+def check_exact_dot_range(d: int, max_abs: int) -> None:
+    """Reject up front a database whose worst-case dot d*max_abs^2 could
+    wrap int64: every exact path (combine_plane_partials on the fused
+    engine, exact_dots_device, the int8 ANN combine) accumulates exact
+    dots in int64 and would CORRUPT silently past 2^62 — the failure must
+    be loud and immediate, like exact_dots_host's assert."""
+    if int(d) * (int(max_abs) ** 2) >= (1 << 62):
+        raise ValueError(
+            f"|components| up to {max_abs} at d={d} put the worst-case dot "
+            f"d*max^2 = {int(d) * int(max_abs) ** 2:.3e} beyond the exact "
+            "int64 range (2^62) — this database cannot be processed "
+            "exactly")
+
+
 @functools.partial(jax.jit, static_argnames=("L",))
 def decompose_limbs(v, L: int):
     """(n, d) int32 -> (L, n, d) int8 balanced base-128 digits.
@@ -110,7 +124,9 @@ def plane_weights(L: int) -> np.ndarray:
     the subtraction folds into the diagonal weights:
         w_diag(k)    = 2^{14k} - sum_{j != k} 2^{7(k+j)}
         w_pair(a,b)  = 2^{7(a+b)}
-    All weights are integers exactly representable in float32.
+    The weights are integers, exactly representable in float32 up to L=4;
+    at L=5 a diagonal weight needs >24 mantissa bits (relative error
+    ~4e-9), which :func:`required_slack_abs` budgets explicitly.
     """
     w = [float(1 << (14 * k)) - sum(float(1 << (7 * (k + j)))
                                     for j in range(L) if j != k)
@@ -245,7 +261,14 @@ def required_slack_abs(L: int, max_abs: int, d: int) -> float:
     P = num_planes(L)
     eps = 2.0 ** -24
     total_mass = float(np.sum(w * m * m))  # per unit of d
-    return (P + 1) * eps * total_mass
+    # weight-quantization term: at L >= 5 the float32 weights deviate from
+    # the exact integers (plane_weights docstring); each plane contributes
+    # |w32_p - w_p| * |P_p| <= quant_p * m_p^2 * d of EXTRA error the
+    # rounding budget above does not cover
+    quant = np.abs(plane_weights(L).astype(np.float64)
+                   - plane_weights_int(L).astype(np.float64))
+    quant_mass = float(np.sum(quant * m * m))
+    return (P + 1) * eps * total_mass + quant_mass
 
 
 def extra_threshold_margin(L: int, max_abs: int, d: int) -> float:
@@ -752,6 +775,11 @@ def compact_cands_combined(cand_counts, cand_idx, partials,
     """
     K, cap_c = cand_idx.shape
     PL = partials.shape[2]
+    # same int32 guard as compact_indices/compact_words: the cumsum below
+    # is int32, so a K*cap_c total beyond 2^31 would wrap `ends` negative
+    # and gather garbage with no error
+    assert K * cap_c < (1 << 31), \
+        "candidate total would overflow the int32 compaction cumsum"
     kept = jnp.sum((cand_idx >= 0).astype(jnp.int32), axis=1)   # (K,)
     # tiles that overflowed cap_c are dropped HERE (their counts in the
     # header route them to the engine's exact-capacity retry; their
@@ -816,7 +844,11 @@ def plane_partial_dots(planes, r_idx, c_idx, L: int):
 
 def combine_plane_partials(partials: np.ndarray, L: int) -> np.ndarray:
     """(L(L+1)/2, K) int32 partials -> (K,) exact int64 dots:
-    dot = sum_a 2^(14a) D_aa + sum_{a<b} 2^(7(a+b)) (D_ab + D_ba)."""
+    dot = sum_a 2^(14a) D_aa + sum_{a<b} 2^(7(a+b)) (D_ab + D_ba).
+
+    Exactness requires |dot| < 2^63 — i.e. d * max_abs^2 < 2^62, which
+    :func:`check_exact_dot_range` enforces at engine/index entry (the
+    combine itself cannot see max_abs and would wrap silently)."""
     partials = partials.astype(np.int64)
     w = [1 << (14 * a) for a in range(L)]
     w += [1 << (7 * (a + b)) for a in range(L) for b in range(a + 1, L)]

@@ -64,9 +64,14 @@ def pallas_sweep_counts(planes, thr, row_t0: int = 0, row_t1: int | None = None,
     Returns: (row_t1-row_t0, Npad//block) int32 per-tile survivor counts.
     """
     P, npad, d = planes.shape
+    # loud failure, not a silently truncated grid: npad // block would
+    # drop the tail rows/columns from the sweep entirely
+    assert npad % block == 0, \
+        f"Npad={npad} must be a multiple of block={block}"
     nt = npad // block
     if row_t1 is None:
         row_t1 = nt
+    assert 0 <= row_t0 <= row_t1 <= nt, (row_t0, row_t1, nt)
     kernel = _make_kernel(P, d, block)
     grid = (row_t1 - row_t0, nt)
     out = pl.pallas_call(

@@ -126,9 +126,3 @@ def splitmix64_u32(xhi, xlo):
     shi, slo = _shr64(xhi, xlo, 31)
     xhi, xlo = _xor64(xhi, xlo, shi, slo)
     return xhi, xlo
-
-
-def add64_u32(xhi, xlo, value: int):
-    """(hi, lo) + static scalar constant."""
-    chi, clo = _const64(value & 0xFFFFFFFFFFFFFFFF)
-    return _add64(xhi, xlo, chi, clo)

@@ -116,3 +116,54 @@ def test_npy_appender_after_close():
         ap.append(np.ones(4, dtype=np.float32))
     arr = np.load(path)
     assert arr.shape == (1, 4)
+
+
+def test_exact_dot_range_guard(tmp_path):
+    """A db whose worst-case dot d*max^2 could wrap int64 is rejected
+    LOUDLY at engine/index entry (the int64 combines would corrupt
+    silently; exact_dots_host already asserted)."""
+    from metagenome_vector_sketches_tpu.ops import pairwise as pw
+    pw.check_exact_dot_range(2048, 4000)        # realistic: fine
+    with pytest.raises(ValueError, match="int64"):
+        pw.check_exact_dot_range(2048, 70_000_000)
+    from metagenome_vector_sketches_tpu.io.dbfolder import DbFolder
+    from metagenome_vector_sketches_tpu.matrix.compute import (
+        compute_pairwise_shard)
+    V = np.full((4, 8), 2**30, dtype=np.int32)
+    db = DbFolder.write(str(tmp_path / "db"), [f"S{i}" for i in range(4)],
+                        V, 8)
+    with pytest.raises(ValueError, match="int64"):
+        compute_pairwise_shard(db.path, str(tmp_path / "m"), verbose=False)
+
+
+def test_required_slack_covers_weight_quantization():
+    """At L=5 the float32 Karatsuba weights deviate from the exact
+    integers; the certified slack must budget that quantization."""
+    from metagenome_vector_sketches_tpu.ops import pairwise as pw
+    w32 = pw.plane_weights(5).astype(np.float64)
+    wint = pw.plane_weights_int(5).astype(np.float64)
+    assert np.any(w32 != wint)          # the deviation is real at L=5
+    m = np.asarray(pw.plane_value_bounds(5, 200_000_000), dtype=np.float64)
+    quant_mass = float(np.sum(np.abs(w32 - wint) * m * m))
+    assert pw.required_slack_abs(5, 200_000_000, 256) >= quant_mass
+    # L <= 4 weights stay exact
+    for L in (1, 2, 3, 4):
+        assert np.array_equal(pw.plane_weights(L).astype(np.float64),
+                              pw.plane_weights_int(L).astype(np.float64))
+
+
+def test_int_index_mode_validated():
+    import jax.numpy as jnp
+    from metagenome_vector_sketches_tpu.ann.int_index import IntExactIndex
+    with pytest.raises(AssertionError):
+        IntExactIndex.from_device_chunks(
+            [(0, jnp.ones((4, 8), jnp.int32))], 8, mode="aprox")
+
+
+def test_pallas_grid_divisibility():
+    from metagenome_vector_sketches_tpu.ops import pallas_pairwise as pp
+    import jax.numpy as jnp
+    planes = jnp.zeros((1, 48, 8), jnp.int8)
+    thr = jnp.zeros(48, jnp.float32)
+    with pytest.raises(AssertionError, match="multiple"):
+        pp.pallas_sweep_counts(planes, thr, block=32, interpret=True)
