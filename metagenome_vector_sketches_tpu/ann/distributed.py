@@ -253,7 +253,11 @@ class DistributedIntExactIndex(IntExactIndex):
                         out_shardings=shard_sh(dd))() for dd in devs]
         for c, limbs in chunks:
             dev = devs[c // Cl]
-            lb = jax.device_put(jnp.asarray(limbs), dev)
+            # device_put STRAIGHT from the numpy array: jnp.asarray first
+            # would materialize the chunk on the default device and then
+            # copy D2D, doubling staging traffic and funneling every
+            # chunk through device 0's HBM
+            lb = jax.device_put(limbs, dev)
             bufs[c // Cl] = _stack_update(bufs[c // Cl], lb,
                                           jnp.int32(c % Cl))
         sharding = NamedSharding(mesh, P(DATA_AXIS, None, None, None))

@@ -375,6 +375,16 @@ class FlatIPIndex:
             if version != VERSION:
                 raise ValueError(f"{path}: unsupported index version {version}")
             n, d = struct.unpack("<QQ", f.read(16))
+            # cap the allocation against the bytes actually present BEFORE
+            # np.fromfile — same untrusted-header rule as faissio.read_flat
+            # and the native codec decoders (a corrupt n,d would otherwise
+            # attempt a multi-TB zero-length read/allocation)
+            remaining = os.fstat(f.fileno()).st_size - f.tell()
+            if d == 0 or n * d * 4 > remaining:
+                raise ValueError(
+                    f"{path}: header claims {n}x{d} float32 "
+                    f"({n * d * 4} B) but only {remaining} B remain — "
+                    "corrupt index")
             data = np.fromfile(f, dtype=np.float32, count=n * d).reshape(n, d)
         return FlatIPIndex(data, chunk_rows=chunk_rows)
 
@@ -384,8 +394,10 @@ def index_vectors(db_folder: str, verbose: bool = True) -> str:
     int vectors -> float32 -> normalize_L2 -> IndexFlatIP -> write)."""
     from ..io.dbfolder import DbFolder
     db = DbFolder(db_folder)
-    vectors = db.load_vectors().astype(np.float32)
-    vectors = normalize_l2(vectors)
+    # normalize_l2's astype(float32) performs the int->f32 conversion —
+    # a separate .astype here would allocate a second full-size copy
+    # (8 GB transient at N=1M x d=2048)
+    vectors = normalize_l2(db.load_vectors())
     index = FlatIPIndex(vectors)
     out = os.path.join(db_folder, "faiss.index")
     index.save(out)

@@ -216,22 +216,9 @@ def rescore(hits, query_norms: np.ndarray, names: list[str],
     return out
 
 
-def _serving_mesh(mesh_devices: int):
-    """mesh_devices: 1 = single device (None mesh); 0 = all local devices
-    (THIS process's — local_mesh, so multi-process runs serve from their
-    own addressable chips); n > 1 = first n local devices (the pairwise
-    CLI's convention)."""
-    if mesh_devices == 1:
-        return None
-    if mesh_devices < 0:
-        raise ValueError(f"--mesh_devices must be >= 0, got {mesh_devices}")
-    from jax.sharding import Mesh
-    from ..parallel.mesh import DATA_AXIS
-    locals_ = jax.local_devices()
-    n = mesh_devices or len(locals_)
-    if n > len(locals_):
-        raise ValueError(f"need {n} local devices, have {len(locals_)}")
-    return Mesh(np.array(locals_[:n]), (DATA_AXIS,)) if n > 1 else None
+# the canonical --mesh_devices resolution lives in parallel.mesh (shared
+# with the pairwise CLI)
+from ..parallel.mesh import serving_mesh as _serving_mesh  # noqa: E402
 
 
 # one-slot device-resident index cache: repeated search_index calls in one

@@ -12,7 +12,7 @@ import tempfile
 import numpy as np
 
 from ..io.dbfolder import DbFolder
-from ..io.hashes import parse_hashes_file
+from ..io.hashes import parse_hashes_file, write_hashes_file
 from .search import search_index
 
 
@@ -35,12 +35,11 @@ def validate(index_folder: str, hashes_file: str, n_samples: int = 20,
     hashes = {n: set(int(x) for x in h) for n, h in named}
 
     with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
-        query_order = []
-        for n, h in named:
-            if n in samples:
-                f.write(f"{n}: " + " ".join(str(x) for x in sorted(h)) + "\n")
-                query_order.append(n)
         qpath = f.name
+    # the shared writer, not a hand-rolled copy of the line format (the
+    # one on-disk contract must have one writer)
+    query_order = [n for n, _ in named if n in samples]
+    write_hashes_file(qpath, [(n, h) for n, h in named if n in samples])
     try:
         folder = index_folder if index_folder.endswith("/") else index_folder + "/"
         neighbors = search_index(folder, qpath, j, verbose=False,

@@ -55,9 +55,13 @@ def tile_from_memory(max_memory_gb: float, dimension: int) -> int:
     reference's own formula divides by bytes_per_vector^2 — a known bug we
     deliberately do not copy; SURVEY.md 'known reference bugs'.)"""
     budget = max_memory_gb * (1 << 30)
-    # dominant terms: ~9 int32 partial tiles of tile^2 + 6 int8 limb blocks
+    # solve 48*tile^2 + 6*tile*d <= budget (the ~9 int32 partial tiles of
+    # tile^2 bytes PLUS the 6 int8 limb blocks of tile x d, so the
+    # dimension the signature advertises actually shapes the answer)
     import math
-    tile = int(math.sqrt(max(1.0, budget / 48.0)))
+    d = float(max(1, dimension))
+    tile = int((-6 * d + math.sqrt(36 * d * d
+                                   + 4 * 48 * max(1.0, budget))) / 96.0)
     # cap at 2048: larger extraction tiles recompute needlessly coarse hot
     # regions and the counts sweep runs at a fixed 512 pallas block anyway
     tile = max(256, min(2048, 1 << (tile.bit_length() - 1)))
@@ -79,13 +83,12 @@ def main(argv=None) -> int:
         return 0
     db = DbFolder(args.db)
     tile = args.tile or tile_from_memory(args.max_memory_gb, db.dimension)
-    mesh = None
-    if args.mesh_devices != 1:
-        import jax
-        from ..parallel.mesh import make_mesh
-        n = args.mesh_devices or len(jax.local_devices())
-        if n > 1:
-            mesh = make_mesh(n)
+    # LOCAL devices, as the help promises — make_mesh takes the first n of
+    # jax.devices(), which on a jax.distributed run would hand process 1 a
+    # mesh over process 0's (non-addressable) chips. _serving_mesh has the
+    # correct 1/0/n-over-local-devices semantics with validation.
+    from ..parallel.mesh import serving_mesh
+    mesh = serving_mesh(args.mesh_devices)
     compute_pairwise_shard(args.db, args.output_folder,
                            num_shards=args.num_shards, shard_idx=args.shard_idx,
                            tile_rows=tile, tile_cols=tile, resume=args.resume,

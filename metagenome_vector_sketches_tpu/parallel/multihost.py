@@ -33,6 +33,13 @@ def initialize(coordinator_address: str | None = None,
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr is None and num_processes is None:
         return
+    # read the WHOLE documented env triple, not just the address: on
+    # hosts without cluster auto-detection, initialize() with only an
+    # address raises "Number of processes must be defined"
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     jax.distributed.initialize(coordinator_address=addr,
                                num_processes=num_processes,
                                process_id=process_id)
