@@ -70,3 +70,36 @@ def test_multihost_pairwise_wrapper(tmp_path, ref_toy_dir):
     assert len(folders) == 2
     from metagenome_vector_sketches_tpu.matrix.reader import discover_shards
     assert discover_shards(str(tmp_path / "m")) == 2
+
+
+def test_initialize_reads_full_env_triple(monkeypatch):
+    """The documented JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars must be
+    read (not just the address) — otherwise env-driven launches raise
+    'Number of processes must be defined'."""
+    import jax
+    from metagenome_vector_sketches_tpu.parallel import multihost
+    seen = {}
+
+    def fake_init(coordinator_address=None, num_processes=None,
+                  process_id=None):
+        seen.update(addr=coordinator_address, n=num_processes, p=process_id)
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "h:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "1")
+    multihost.initialize()
+    assert seen == {"addr": "h:1234", "n": 4, "p": 1}
+
+
+def test_serving_mesh_semantics():
+    import pytest
+    from metagenome_vector_sketches_tpu.parallel.mesh import serving_mesh
+    assert serving_mesh(1) is None
+    m = serving_mesh(0)          # all local devices (conftest gives 8)
+    assert m is not None and m.devices.size == 8
+    assert serving_mesh(2).devices.size == 2
+    with pytest.raises(ValueError):
+        serving_mesh(-1)
+    with pytest.raises(ValueError):
+        serving_mesh(4096)
