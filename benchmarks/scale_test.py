@@ -78,6 +78,9 @@ def main():
     d = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
     num_shards = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     synth_mode = sys.argv[4] if len(sys.argv) > 4 else "host"
+    if synth_mode not in ("host", "project"):
+        raise SystemExit(f"unknown synth mode {synth_mode!r}: "
+                         "expected 'host' or 'project'")
 
     from metagenome_vector_sketches_tpu.io.dbfolder import DbFolder
     from metagenome_vector_sketches_tpu.matrix.compute import compute_pairwise_shard
@@ -130,8 +133,9 @@ def main():
         t0 = time.perf_counter()
         D, I = idx.search(Q, 50)
         summary["ann_search_256q_s"] = round(time.perf_counter() - t0, 2)
-        # quality: top-1 self
-        summary["ann_top1_self_frac"] = float(np.mean(I[:, 0] == np.arange(256)))
+        # quality: top-1 self (N may be < 256, so size from Q)
+        summary["ann_top1_self_frac"] = float(
+            np.mean(I[:, 0] == np.arange(len(Q))))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(summary))

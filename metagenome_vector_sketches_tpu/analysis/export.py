@@ -21,6 +21,10 @@ def matrix_to_coo(matrix_folder: str, total_vectors: int):
 def export_npz(matrix_folder: str, total_vectors: int, out_path: str) -> str:
     r, c, d = matrix_to_coo(matrix_folder, total_vectors)
     np.savez_compressed(out_path, row=r, col=c, data=d)
+    # savez_compressed appends '.npz' when the suffix is missing — return
+    # the path of the file actually written, not the argument
+    if not out_path.endswith(".npz"):
+        out_path += ".npz"
     return out_path
 
 

@@ -40,11 +40,16 @@ def convert(folder: str, output_file: str, num_threads: int = 1,
             log(f"Failed to read {path}: {e}")
             return sigzip.accession_name(path), set()
 
+    # iterate pool.map LAZILY so per-file progress prints as files finish
+    # (buffering all logs to the end left a multi-hour ingest silent, with
+    # no stuck-detection signal; the reference logs per file)
+    results = []
     with ThreadPoolExecutor(max_workers=max(1, num_threads)) as pool:
-        results = list(pool.map(load, files))
-    if verbose:
-        for i, (name, hs) in enumerate(results):
-            log(f"Processed {files[i]}, hashes size {len(hs)}, file number {i}")
+        for i, (name, hs) in enumerate(pool.map(load, files)):
+            results.append((name, hs))
+            if verbose:
+                log(f"Processed {files[i]}, hashes size {len(hs)}, "
+                    f"file number {i}")
     write_hashes_file(output_file, results)
     if verbose:
         log(f"Time to convert all signatures: {time.perf_counter() - t0:.4f} seconds")
@@ -56,8 +61,11 @@ def sketch(hash_file: str, index_folder: str, dimension: int = 2048,
            verbose: bool = True) -> DbFolder:
     """Project every hash set in ``hash_file`` and write the db folder.
 
-    device: 'auto' uses the TPU/accelerator batch path when a non-CPU backend
-    is present, 'host' forces the numpy path, 'device' forces the jax path.
+    device: 'auto' uses the jax batch path whenever jax is importable
+    (correct on every backend, CPU included — but it DOES initialize the
+    default backend, which on this image may be the axon TPU plugin);
+    'host' forces the pure-numpy path (no jax/backend touch), 'device'
+    forces the jax path.
     """
     t0 = time.perf_counter()
     named = parse_hashes_file(hash_file)

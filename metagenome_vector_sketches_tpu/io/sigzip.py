@@ -71,7 +71,8 @@ def _read_sig_zip_native(path: str, ksize: int):
         arr = np.ctypeslib.as_array(out, shape=(n,)).copy()
     finally:
         lib.sigscan_free(out)
-    return set(int(h) for h in np.unique(arr))
+    # the set dedupes by itself; np.unique here was a redundant full sort
+    return set(int(h) for h in arr)
 
 
 def accession_name(path: str) -> str:

@@ -90,7 +90,7 @@ def pairwise_jaccard_minhash(hash_sets) -> tuple[np.ndarray, np.ndarray]:
 def minhash_triples(hash_sets):
     """Surviving (row, col, value) triples under the reference retention rule
     expressed on the true sets: keep iff intersection > 0.05*(|A|+|B|)
-    (equivalently J > 0.05/1.05; matches the sketch path's rule with the
+    (equivalently J > 0.05/0.95, since |A|+|B| = U + I; matches the sketch path's rule with the
     exact quantities in place of the estimates). `value` is the raw
     intersection count, analogous to dot/d of the sketch path."""
     inter = pairwise_intersections(hash_sets)
