@@ -20,8 +20,9 @@ def test_simulate_cell_envelope():
 
 
 def test_simulate_cell_infeasible_returns_none():
-    assert accuracy.simulate_cell(10_000, 10_000_000, 0.99,
-                                  n_trials=10) is not None or True
+    # a large-but-feasible cell returns a result dict
+    assert accuracy.simulate_cell(10_000, 10_000, 0.5,
+                                  n_trials=10) is not None
     # jaccard implying intersection > min(size) is skipped
     assert accuracy.simulate_cell(100, 1_000_000_000, 0.5, n_trials=10) is None
 

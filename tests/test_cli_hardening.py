@@ -117,11 +117,11 @@ def test_interpret_unknown_neighbor(tmp_path, capsys):
     assert "not found" in capsys.readouterr().out
 
 
-def test_search_index_device_residency_cache(tmp_path):
+def test_search_index_device_residency_cache(tmp_path, toy_sig_dir):
     from metagenome_vector_sketches_tpu.ann import search as asearch
     from metagenome_vector_sketches_tpu.ann.flat_index import index_vectors
     from metagenome_vector_sketches_tpu.io.ingest import convert, sketch
-    convert('/root/reference/test/toy', str(tmp_path / "ah.txt"),
+    convert(str(toy_sig_dir), str(tmp_path / "ah.txt"),
             verbose=False)
     sketch(str(tmp_path / "ah.txt"), str(tmp_path / "db"), dimension=256,
            verbose=False)
@@ -137,8 +137,8 @@ def test_search_index_device_residency_cache(tmp_path):
     r2 = asearch.search_index(str(tmp_path / "db"), str(qf), 0.1,
                               verbose=False)
     assert asearch._INDEX_CACHE.get("value") is idx_first  # reused
-    assert [h for h, *_ in r1[0]] == [h for h, *_ in r2[0]] \
-        if isinstance(r1, list) and r1 and isinstance(r1[0], list) else True
+    # identical query against the cached index must give identical results
+    assert r1 == r2
     # a rebuilt artifact evicts (mtime/size key)
     index_vectors(str(tmp_path / "db"))
     os.utime(os.path.join(str(tmp_path / "db"), "faiss.index"), ns=(2, 2))

@@ -92,8 +92,7 @@ def test_batched_matrix_rows_byte_identical():
     """mvs_write_matrix_rows (one native call per shard) must be
     byte-identical with the per-row cv+rice loop, including positions and
     first-neighbor columns; ascending-column violations are refused."""
-    from metagenome_vector_sketches_tpu.codecs import native
-    if not native.available():
+    if not HAVE_NATIVE:
         pytest.skip("native codecs unavailable")
     rng = np.random.default_rng(5)
     cols_all, q_all, starts = [], [], [0]
@@ -130,7 +129,7 @@ def test_codec_fuzz_native_eq_pyref_and_clean_corrupt_errors():
     encoders must produce BYTE-IDENTICAL buffers (the on-disk contract),
     decoders must round-trip, and truncated buffers must raise in BOTH
     decoders (never crash or silently return)."""
-    if not native.available():
+    if not HAVE_NATIVE:
         pytest.skip("native codecs unavailable")
     rng = np.random.default_rng(41)
     for trial in range(60):

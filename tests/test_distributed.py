@@ -18,6 +18,7 @@ import textwrap
 
 import numpy as np
 import pytest
+from helpers import assert_matrix_matches_oracle
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -177,9 +178,5 @@ def test_two_process_distributed_pairwise(tmp_path):
     # the artifacts from BOTH processes merge through the shard reader
     _, norms = db.names_and_norms()
     ns = norms * norms
-    er, ec, ev = compute_pairwise_oracle(V, ns, d)
-    eq = quantize_jaccard(ev, er, ec, ns, d)
-    rr, cc, qq = MatrixReader(out).decode_all_triples(n)
-    assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
-        set(zip(er.tolist(), ec.tolist(), eq.tolist()))
+    assert_matrix_matches_oracle(V, ns, d, out, n)
     assert sorted(os.listdir(out)) == [f"shard_{s}" for s in range(4)]

@@ -16,6 +16,7 @@ from metagenome_vector_sketches_tpu.ops import pairwise as pw
 from metagenome_vector_sketches_tpu.matrix import compute as mc
 from metagenome_vector_sketches_tpu.matrix.reader import MatrixReader
 from metagenome_vector_sketches_tpu.matrix.writer import quantize_jaccard
+from helpers import assert_matrix_matches_oracle
 
 
 def test_count_le_matches_searchsorted_right():
@@ -36,7 +37,6 @@ def _mask_oracle(V, norms_sq, tile, r, c, d):
     """Float32-sweep survivor mask for tile (r, c) — same float32 math the
     kernel applies (self-pairs excluded, as the kernel masks them),
     computed densely in numpy."""
-    L = pw.pick_limbs(int(np.max(np.abs(V))) or 1)
     dots = V[r * tile:(r + 1) * tile].astype(np.float64) @ \
         V[c * tile:(c + 1) * tile].astype(np.float64).T
     ti = norms_sq[r * tile:(r + 1) * tile].astype(np.float32)
@@ -129,11 +129,7 @@ def test_fused_engine_oracle_with_forced_retries(tmp_path, floor,
                               verbose=False)
     _, norms = db.names_and_norms()
     ns = norms * norms
-    er, ec, ev = mc.compute_pairwise_oracle(V, ns, d)
-    eq = quantize_jaccard(ev, er, ec, ns, d)
-    rr, cc, qq = MatrixReader(str(tmp_path / "m")).decode_all_triples(n)
-    assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
-        set(zip(er.tolist(), ec.tolist(), eq.tolist()))
+    assert_matrix_matches_oracle(V, ns, d, str(tmp_path / "m"), n)
 
 
 def test_fused_engine_int16_oracle(tmp_path):
@@ -148,11 +144,7 @@ def test_fused_engine_int16_oracle(tmp_path):
     assert mc.LAST_STAGES.get("mode") == "fused"
     _, norms = db.names_and_norms()
     ns = norms * norms
-    er, ec, ev = mc.compute_pairwise_oracle(stored, ns, d, "int16")
-    eq = quantize_jaccard(ev, er, ec, ns, d)
-    rr, cc, qq = MatrixReader(str(tmp_path / "m")).decode_all_triples(n)
-    assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
-        set(zip(er.tolist(), ec.tolist(), eq.tolist()))
+    assert_matrix_matches_oracle(stored, ns, d, str(tmp_path / "m"), n, "int16")
 
 
 def test_fused_engine_mesh_oracle(tmp_path):
@@ -174,11 +166,7 @@ def test_fused_engine_mesh_oracle(tmp_path):
     assert mc.LAST_STAGES.get("mode") == "fused"
     _, norms = db.names_and_norms()
     ns = norms * norms
-    er, ec, ev = mc.compute_pairwise_oracle(V, ns, d)
-    eq = quantize_jaccard(ev, er, ec, ns, d)
-    rr, cc, qq = MatrixReader(str(tmp_path / "m")).decode_all_triples(n)
-    assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
-        set(zip(er.tolist(), ec.tolist(), eq.tolist()))
+    assert_matrix_matches_oracle(V, ns, d, str(tmp_path / "m"), n)
 
 
 def test_two_phase_engine_still_available(tmp_path):
@@ -192,19 +180,13 @@ def test_two_phase_engine_still_available(tmp_path):
     assert mc.LAST_STAGES.get("mode") != "fused"
     _, norms = db.names_and_norms()
     ns = norms * norms
-    er, ec, ev = mc.compute_pairwise_oracle(V, ns, d)
-    eq = quantize_jaccard(ev, er, ec, ns, d)
-    rr, cc, qq = MatrixReader(str(tmp_path / "m")).decode_all_triples(n)
-    assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
-        set(zip(er.tolist(), ec.tolist(), eq.tolist()))
+    assert_matrix_matches_oracle(V, ns, d, str(tmp_path / "m"), n)
     # the STREAMING two_phase variant (budget=0 forces column windows;
     # shares the _streaming_stager with the fused engine)
     mc.compute_pairwise_shard(db.path, str(tmp_path / "m2"), tile_rows=16,
                               verbose=False, engine="two_phase",
                               device_budget_bytes=0)
-    rr, cc, qq = MatrixReader(str(tmp_path / "m2")).decode_all_triples(n)
-    assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
-        set(zip(er.tolist(), ec.tolist(), eq.tolist()))
+    assert_matrix_matches_oracle(V, ns, d, str(tmp_path / "m2"), n)
 
 
 def test_fused_multi_shard_resume(tmp_path):
@@ -220,11 +202,7 @@ def test_fused_multi_shard_resume(tmp_path):
                                   verbose=False)
     _, norms = db.names_and_norms()
     ns = norms * norms
-    er, ec, ev = mc.compute_pairwise_oracle(V, ns, d)
-    eq = quantize_jaccard(ev, er, ec, ns, d)
-    rr, cc, qq = MatrixReader(str(tmp_path / "m")).decode_all_triples(n)
-    assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
-        set(zip(er.tolist(), ec.tolist(), eq.tolist()))
+    assert_matrix_matches_oracle(V, ns, d, str(tmp_path / "m"), n)
 
 
 def test_fused_streaming_oracle(tmp_path):
@@ -241,11 +219,7 @@ def test_fused_streaming_oracle(tmp_path):
     assert mc.LAST_STAGES.get("mode") == "fused-streaming"
     _, norms = db.names_and_norms()
     ns = norms * norms
-    er, ec, ev = mc.compute_pairwise_oracle(V, ns, d)
-    eq = quantize_jaccard(ev, er, ec, ns, d)
-    rr, cc, qq = MatrixReader(str(tmp_path / "m")).decode_all_triples(n)
-    assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
-        set(zip(er.tolist(), ec.tolist(), eq.tolist()))
+    assert_matrix_matches_oracle(V, ns, d, str(tmp_path / "m"), n)
 
 
 def test_fused_streaming_mesh_oracle(tmp_path):
@@ -262,11 +236,7 @@ def test_fused_streaming_mesh_oracle(tmp_path):
                               mesh=make_mesh(8))
     _, norms = db.names_and_norms()
     ns = norms * norms
-    er, ec, ev = mc.compute_pairwise_oracle(V, ns, d)
-    eq = quantize_jaccard(ev, er, ec, ns, d)
-    rr, cc, qq = MatrixReader(str(tmp_path / "m")).decode_all_triples(n)
-    assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
-        set(zip(er.tolist(), ec.tolist(), eq.tolist()))
+    assert_matrix_matches_oracle(V, ns, d, str(tmp_path / "m"), n)
 
 
 def test_fused_streaming_dense_fallback_oracle(tmp_path, monkeypatch):
@@ -284,8 +254,4 @@ def test_fused_streaming_dense_fallback_oracle(tmp_path, monkeypatch):
                               device_budget_bytes=0, verbose=False)
     _, norms = db.names_and_norms()
     ns = norms * norms
-    er, ec, ev = mc.compute_pairwise_oracle(V, ns, d)
-    eq = quantize_jaccard(ev, er, ec, ns, d)
-    rr, cc, qq = MatrixReader(str(tmp_path / "m")).decode_all_triples(n)
-    assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
-        set(zip(er.tolist(), ec.tolist(), eq.tolist()))
+    assert_matrix_matches_oracle(V, ns, d, str(tmp_path / "m"), n)

@@ -8,7 +8,13 @@ import numpy as np
 import pytest
 
 from metagenome_vector_sketches_tpu.utils import zstdio
-from metagenome_vector_sketches_tpu.codecs import native, pyref
+from metagenome_vector_sketches_tpu.codecs import pyref
+
+try:
+    from metagenome_vector_sketches_tpu.codecs import native
+    HAVE_NATIVE = native.available()
+except Exception:
+    HAVE_NATIVE = False
 
 
 def test_zstd_truncated_raises():
@@ -33,7 +39,7 @@ def test_zstd_truncated_raises():
                 zstdio._decompress_libzstd(lib, bad)
 
 
-@pytest.mark.skipif(not native.available(), reason="native codecs unavailable")
+@pytest.mark.skipif(not HAVE_NATIVE, reason="native codecs unavailable")
 def test_native_offset_wrap_rejected():
     """Row addresses near UINT64_MAX (cumsums of untrusted deltas) must be
     rejected, not wrap `off + 24 > len` into a wild read."""
@@ -46,7 +52,7 @@ def test_native_offset_wrap_rejected():
             dec(blob, 0xFFFFFFFFFFFFFFF0)
 
 
-@pytest.mark.skipif(not native.available(), reason="native codecs unavailable")
+@pytest.mark.skipif(not HAVE_NATIVE, reason="native codecs unavailable")
 def test_native_and_pyref_corrupt_contracts_agree():
     """The width/param-aware header caps must reject the SAME crafted blobs
     in both implementations (a blob one accepts and the other rejects =

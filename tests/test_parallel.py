@@ -11,6 +11,7 @@ from metagenome_vector_sketches_tpu.parallel.pairwise import (
 )
 from metagenome_vector_sketches_tpu.ops import pairwise as pw
 from metagenome_vector_sketches_tpu.ann.flat_index import normalize_l2, FlatIPIndex
+from helpers import assert_matrix_matches_oracle
 
 
 @pytest.fixture(scope="module")
@@ -126,12 +127,9 @@ def test_mesh_engine_full_shard_matches_oracle(mesh8, tmp_path, use_int16):
     folder = compute_pairwise_shard(db.path, str(tmp_path / "m"),
                                     tile_rows=16, verbose=False, mesh=mesh8)
     dtype = "int16" if use_int16 else "int32"
-    er, ec, ev = compute_pairwise_oracle(V, ns, d, dtype)
-    eq = quantize_jaccard(ev, er, ec, ns, d)
-    rr, cc, qq = MatrixReader(str(tmp_path / "m")).decode_all_triples(n)
-    assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
-        set(zip(er.tolist(), ec.tolist(), eq.tolist()))
+    assert_matrix_matches_oracle(V, ns, d, str(tmp_path / "m"), n, dtype)
     # the dense (bitmap) path must actually have been exercised
+    er, ec, _ = compute_pairwise_oracle(V, ns, d, dtype)
     dense_cut = (16 * 16) // 32
     per_tile = {}
     for r, c in zip(er // 16, ec // 16):
@@ -175,11 +173,7 @@ def test_mesh_engine_streaming_path(mesh8, tmp_path):
     compute_pairwise_shard(db.path, str(tmp_path / "m"), tile_rows=16,
                            device_budget_bytes=3 * 16 * d * 4,
                            verbose=False, mesh=mesh8)
-    er, ec, ev = compute_pairwise_oracle(V, ns, d)
-    eq = quantize_jaccard(ev, er, ec, ns, d)
-    rr, cc, qq = MatrixReader(str(tmp_path / "m")).decode_all_triples(n)
-    assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
-        set(zip(er.tolist(), ec.tolist(), eq.tolist()))
+    assert_matrix_matches_oracle(V, ns, d, str(tmp_path / "m"), n)
 
 
 def test_multihost_local_mesh_engine(tmp_path, mesh8):
@@ -200,8 +194,4 @@ def test_multihost_local_mesh_engine(tmp_path, mesh8):
                                          num_shards=2, tile_rows=16,
                                          verbose=False)
     assert len(folders) == 2
-    er, ec, ev = compute_pairwise_oracle(V, ns, d)
-    eq = quantize_jaccard(ev, er, ec, ns, d)
-    rr, cc, qq = MatrixReader(str(tmp_path / "m")).decode_all_triples(n)
-    assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
-        set(zip(er.tolist(), ec.tolist(), eq.tolist()))
+    assert_matrix_matches_oracle(V, ns, d, str(tmp_path / "m"), n)

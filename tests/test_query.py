@@ -51,9 +51,11 @@ def test_query_matches_oracle_ordering(toy_matrix, oracle):
         np.testing.assert_allclose(
             res.jaccard_similarities,
             (want_q[order] / 255.0).astype(np.float32), rtol=0)
-        # self is the top hit (q≈255)
-        assert res.neighbor_ids[0] == identifiers[qi] or \
-            res.jaccard_similarities[0] >= res.jaccard_similarities[-1]
+        # self is the top hit (q=255; ties broken by ascending column,
+        # and no column precedes the self pair at equal q here)
+        assert res.jaccard_similarities[0] == np.float32(1.0)
+        assert identifiers[qi] in res.neighbor_ids[
+            : int((res.jaccard_similarities == 1.0).sum())]
 
 
 def test_query_by_accession_strings(toy_matrix):

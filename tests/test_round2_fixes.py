@@ -9,6 +9,7 @@ import pytest
 
 from metagenome_vector_sketches_tpu.io.dbfolder import DbFolder
 from metagenome_vector_sketches_tpu.ops import pairwise as pw
+from helpers import assert_matrix_matches_oracle
 
 
 # ---------------------------------------------------------------------------
@@ -327,11 +328,7 @@ def test_engine_device_finalize_matches_oracle(tmp_path, use_mesh):
                            verbose=False, mesh=mesh, finalize="device")
     _, norms = db.names_and_norms()
     ns = norms * norms
-    er, ec, ev = compute_pairwise_oracle(V, ns, d)
-    eq = quantize_jaccard(ev, er, ec, ns, d)
-    rr, cc, qq = MatrixReader(str(tmp_path / "m")).decode_all_triples(n)
-    assert set(zip(rr.tolist(), cc.tolist(), qq.tolist())) == \
-        set(zip(er.tolist(), ec.tolist(), eq.tolist()))
+    assert_matrix_matches_oracle(V, ns, d, str(tmp_path / "m"), n)
 
 
 # ---------------------------------------------------------------------------
