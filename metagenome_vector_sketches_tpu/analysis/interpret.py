@@ -5,7 +5,6 @@ histogram). Works over both the active shard format and legacy format A.
 
 from __future__ import annotations
 
-import os
 import sys
 
 import numpy as np

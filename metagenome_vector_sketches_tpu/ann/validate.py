@@ -9,8 +9,6 @@ import os
 import random
 import tempfile
 
-import numpy as np
-
 from ..io.dbfolder import DbFolder
 from ..io.hashes import parse_hashes_file, write_hashes_file
 from .search import search_index

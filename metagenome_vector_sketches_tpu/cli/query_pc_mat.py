@@ -11,8 +11,6 @@ import argparse
 import sys
 import time
 
-import numpy as np
-
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="query_pc_mat",

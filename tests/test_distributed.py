@@ -135,7 +135,7 @@ def _free_port() -> int:
 def test_two_process_distributed_pairwise(tmp_path):
     from metagenome_vector_sketches_tpu.io.dbfolder import DbFolder
     from metagenome_vector_sketches_tpu.matrix.compute import (
-        compute_pairwise_oracle)
+        compute_pairwise_shard)
     from metagenome_vector_sketches_tpu.matrix.reader import MatrixReader
     from metagenome_vector_sketches_tpu.matrix.writer import quantize_jaccard
 

@@ -2,7 +2,6 @@
 shards, one-vector databases, ingest CLI mains."""
 
 import numpy as np
-import pytest
 
 from metagenome_vector_sketches_tpu.matrix import writer, reader
 from metagenome_vector_sketches_tpu.io.dbfolder import DbFolder

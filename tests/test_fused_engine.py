@@ -3,9 +3,6 @@ in-kernel exact finalize partials (ops.pairwise.sweep_extract_fused), the
 pipelined chunk driver, overflow retries, dense fallback, and mesh parity.
 """
 
-import os
-import tempfile
-
 import numpy as np
 import pytest
 import jax
@@ -14,8 +11,6 @@ import jax.numpy as jnp
 from metagenome_vector_sketches_tpu.io.dbfolder import DbFolder
 from metagenome_vector_sketches_tpu.ops import pairwise as pw
 from metagenome_vector_sketches_tpu.matrix import compute as mc
-from metagenome_vector_sketches_tpu.matrix.reader import MatrixReader
-from metagenome_vector_sketches_tpu.matrix.writer import quantize_jaccard
 from helpers import assert_matrix_matches_oracle
 
 

@@ -2,7 +2,6 @@
 --strategy 1): TPU incidence matmuls vs python set brute force."""
 
 import numpy as np
-import pytest
 
 from metagenome_vector_sketches_tpu.ops import minhash
 from metagenome_vector_sketches_tpu.io.hashes import parse_hashes_file

@@ -1,7 +1,6 @@
 """Query stack gates (SURVEY.md §7.3 step 4): top-k ordering and
 dequantization, sliced matrices, CLI outputs (per-query files, csv/npy)."""
 
-import os
 
 import numpy as np
 import pytest
