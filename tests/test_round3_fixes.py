@@ -221,3 +221,27 @@ def test_query_ava_matrix_reference_flag_surface(tmp_path, capsys,
     assert rc == 0
     out = capsys.readouterr().out
     assert "Query: 2" in out and "Query: 5" in out
+
+
+def test_last_stages_reset_on_skipped_and_empty_shards(tmp_path):
+    """A multi-shard loop reading LAST_STAGES after a resume-skipped or
+    empty shard must see zeros, not the previous shard's timings."""
+    from metagenome_vector_sketches_tpu.matrix import compute as mc
+    rng = np.random.default_rng(17)
+    V = rng.integers(-50, 51, size=(4, 16)).astype(np.int32)
+    db = DbFolder.write(str(tmp_path / "db"), [f"S{i}" for i in range(4)],
+                        V, 16)
+    out = str(tmp_path / "m")
+    mc.compute_pairwise_shard(db.path, out, num_shards=8, shard_idx=0,
+                              tile_rows=8, verbose=False)
+    assert mc.LAST_STAGES["pairs_written"] >= 1  # shard 0 = row 0 only
+    # resume-skip: stages must reset to zeros
+    mc.compute_pairwise_shard(db.path, out, num_shards=8, shard_idx=0,
+                              tile_rows=8, verbose=False, resume=True)
+    assert mc.LAST_STAGES["pairs_written"] == 0
+    assert mc.LAST_STAGES["total_ms"] == 0 if "total_ms" in mc.LAST_STAGES \
+        else True
+    # shard beyond the row space (empty): also zeros
+    mc.compute_pairwise_shard(db.path, out, num_shards=8, shard_idx=7,
+                              tile_rows=8, verbose=False)
+    assert mc.LAST_STAGES["pairs_written"] == 0
