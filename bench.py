@@ -520,9 +520,17 @@ def main():
 
     import jax
     tpu_unavailable = False
+    last_onchip = None
     if not _backend_is_reachable():
         jax.config.update("jax_platforms", "cpu")
         tpu_unavailable = True
+        # carry the most recent real-chip measurements into the round
+        # artifact so a tunnel outage at bench time doesn't erase them
+        try:
+            with open(os.path.join(here, "BENCH_ONCHIP_LAST.json")) as f:
+                last_onchip = json.load(f)
+        except OSError:
+            pass
     if jax.default_backend() == "cpu":
         # keep the fallback benchmark finite on a CPU-only host
         pps, pair_extras = bench_pairwise(N=2048, tile=1024, reps=3)
@@ -552,6 +560,7 @@ def main():
         "extras": {
             "backend": jax.default_backend(),
             "tpu_unavailable": tpu_unavailable,
+            **({"last_onchip": last_onchip} if last_onchip else {}),
             "device": str(jax.devices()[0]),
             "conformance": conf,
             "pairwise": pair_extras,
