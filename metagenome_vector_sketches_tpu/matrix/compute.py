@@ -57,7 +57,24 @@ def _reset_stages():
     LAST_STAGES.clear()
     LAST_STAGES.update(stage_ms=0.0, sweep_ms=0.0, extract_ms=0.0,
                        finalize_ms=0.0, write_ms=0.0, candidates=0,
-                       pairs_written=0)
+                       pairs_written=0,
+                       # cold-start attribution (VERDICT r3 next #3):
+                       # stage_ms further splits into host limb decompose
+                       # vs H2D upload; dispatch_walls_ms records the wall
+                       # of each fused-chunk dispatch (the FIRST carries
+                       # the program compiles — huge on remote-compile
+                       # backends — later ones are the steady state)
+                       stage_decompose_ms=0.0, stage_h2d_ms=0.0,
+                       dispatch_walls_ms=[])
+
+
+_MAX_DISPATCH_WALLS = 50
+
+
+def _note_dispatch_wall(t0: float) -> None:
+    walls = LAST_STAGES.get("dispatch_walls_ms")
+    if walls is not None and len(walls) < _MAX_DISPATCH_WALLS:
+        walls.append(round((time.perf_counter() - t0) * 1e3, 1))
 
 
 def _acc(key: str, t0: float) -> None:
@@ -293,12 +310,19 @@ def _stage_database(db, norms_sq, total, tile, L, d, max_abs, ops=None):
     true_max = 0
     for s in range(0, total, chunk):
         e = min(s + chunk, total)
+        t0 = time.perf_counter()
         block = np.asarray(V[s:e]).astype(np.int32)
         true_max = max(true_max, _check_stale_max(block, max_abs, db))
         # upload int8 limbs (L B/element) instead of int32 (4 B/element)
         limbs = pw.decompose_limbs_host(block, L)
-        planes = pw.planes_update(planes, jnp.asarray(limbs),
-                                  jnp.int32(s))
+        _acc("stage_decompose_ms", t0)
+        t0 = time.perf_counter()
+        limbs_dev = jnp.asarray(limbs)
+        jb = getattr(limbs_dev, "block_until_ready", None)
+        if jb:
+            jb()              # honest H2D attribution (one RT per chunk)
+        _acc("stage_h2d_ms", t0)
+        planes = pw.planes_update(planes, limbs_dev, jnp.int32(s))
     thr = np.full(npad, np.float32(1e30), dtype=np.float32)
     # widen the sweep threshold when the certified float32 combine error of
     # this (L, max_abs, d) exceeds the fixed SLACK_ABS (extreme int16-range
@@ -625,6 +649,7 @@ def _run_fused_extraction(planes, thr_j, tile, L, coords, row_base,
     for s in range(0, T, K):
         t0 = time.perf_counter()
         job = dispatch(s)
+        _note_dispatch_wall(t0)
         _acc("extract_ms", t0)
         if pending is not None:
             collect(pending)
@@ -936,6 +961,7 @@ def _streaming_stager(db, norms_sq, total, d, L, max_abs):
 
     def stage(start, end, n_rows):
         """Load rows [start, end) padded to n_rows (thr=+inf padding)."""
+        t0 = time.perf_counter()
         block = np.zeros((n_rows, d), dtype=np.int32)
         block[:end - start] = db.load_vectors(start, end).astype(np.int32)
         _check_stale_max(block[:end - start], max_abs, db)
@@ -945,6 +971,7 @@ def _streaming_stager(db, norms_sq, total, d, L, max_abs):
         # sums on device — streaming re-stages the whole database once per
         # shard, so H2D volume is the staging cost that matters
         limbs = pw.decompose_limbs_host(block, L)
+        _acc("stage_decompose_ms", t0)  # approx: prefetch thread may add
         return pw.planes_from_limbs(jnp.asarray(limbs)), jnp.asarray(thr)
 
     return Vmm, thr_f32, stage

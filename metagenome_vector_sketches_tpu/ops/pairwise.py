@@ -673,64 +673,90 @@ def sweep_extract_fused_ij(planes_i, thr_i_all, planes_j, thr_j_all,
                   - SLACK_ABS) & (valid > 0) \
             & (ti_g[:, None] != tj_g[None, :])            # self-pairs out
 
-        # ---- direct rank lookup: the k-th survivor's (row, group, bit).
-        # Every step is either an MXU matmul over the mask or a small
-        # register-resident lookup — the round-3 bisect killed the two
-        # costly forms here (jnp.searchsorted lowering ~50 us/tile, and a
-        # scattered (cap_c, 32) element gather from the tile^2 mask
-        # ~120 us/tile; both are now a few us).
+        # survivor counts come free off the sweep (one tiny extra MXU
+        # matmul, ~0.5% of the sweep FLOPs at tile=2048); they gate the
+        # whole selection + partials stages below
         wcounts = gcount(passes).astype(jnp.int32)         # (tile, ng)
         row_counts = jnp.sum(wcounts, axis=1)              # (tile,)
         cand_count = jnp.sum(row_counts)
-        cum_rows = jnp.cumsum(row_counts)
-        starts = cum_rows - row_counts
-        j = jnp.arange(cap_c, dtype=jnp.int32)
-        row_s = jnp.minimum(_count_le(cum_rows, j), tile - 1)
-        local = j - starts[row_s]
-        wrow = wcounts[row_s]                              # (cap_c, ng)
-        cumw = jnp.cumsum(wrow, axis=1)
-        grp = jnp.sum((cumw <= local[:, None]).astype(jnp.int32), axis=1)
-        grp_s = jnp.minimum(grp, ng - 1)
-        before = jnp.where(
-            grp_s > 0,
-            jnp.take_along_axis(cumw, jnp.maximum(grp_s - 1, 0)[:, None],
-                                axis=1)[:, 0], 0)
-        q2 = local - before
-        base = row_s * tile + grp_s * g
-        if pack is not None:
-            # one uint32 word per candidate from the MXU-packed mask
-            # (128 KB, VMEM-resident), then a 32-step register bit-rank
-            words = pack(passes)                           # (tile*ng,)
-            w = words[row_s * ng + grp_s]                  # (cap_c,)
-            cum = jnp.zeros_like(q2)
-            bit = jnp.zeros_like(q2)
-            for n in range(32):
-                b_n = ((w >> jnp.uint32(n)) & jnp.uint32(1)).astype(jnp.int32)
-                cum = cum + b_n
-                bit = bit + (cum <= q2).astype(jnp.int32)
-        else:
-            flat = passes.reshape(-1).astype(jnp.int32)
-            seg = flat[base[:, None] + gi[None, :]]        # (cap_c, g)
-            cumb = jnp.cumsum(seg, axis=1)
-            bit = jnp.sum((cumb <= q2[:, None]).astype(jnp.int32), axis=1)
-        valid_c = j < cand_count
-        cand = jnp.where(valid_c,
-                         base + jnp.minimum(bit, g - 1), -1)   # (cap_c,)
 
-        # ---- exact limb-pair partials for the selected candidates, from
-        # the tile operands already on hand (first L planes = the limbs).
-        # Per-limb row gathers + elementwise multiply-reduce: the batched
-        # (cap_c, L, d) x (cap_c, L, d) dot_general lowered to cap_c tiny
-        # matmuls (~165 us/tile); the explicit form is VPU-parallel.
-        ii = jnp.maximum(cand, 0) // tile
-        jj = jnp.maximum(cand, 0) % tile
-        xs = [vi[a][ii].astype(jnp.int32) for a in range(L)]  # (cap_c, d)
-        ys = [vj[b][jj].astype(jnp.int32) for b in range(L)]
-        cols = [jnp.sum(xs[a] * ys[a], axis=1) for a in range(L)]
-        cols += [jnp.sum(xs[a] * ys[b] + xs[b] * ys[a], axis=1)
-                 for a in range(L) for b in range(a + 1, L)]
-        partials = jnp.stack(cols, axis=1)                 # (cap_c, PL)
-        partials = jnp.where(valid_c[:, None], partials, 0)
+        def hot(_):
+            # ---- direct rank lookup: the k-th survivor's (row, group,
+            # bit). Every step is either an MXU matmul over the mask or a
+            # small register-resident lookup — the round-3 bisect killed
+            # the two costly forms here (jnp.searchsorted lowering
+            # ~50 us/tile, and a scattered (cap_c, 32) element gather from
+            # the tile^2 mask ~120 us/tile; both are now a few us).
+            cum_rows = jnp.cumsum(row_counts)
+            starts = cum_rows - row_counts
+            j = jnp.arange(cap_c, dtype=jnp.int32)
+            row_s = jnp.minimum(_count_le(cum_rows, j), tile - 1)
+            local = j - starts[row_s]
+            wrow = wcounts[row_s]                          # (cap_c, ng)
+            cumw = jnp.cumsum(wrow, axis=1)
+            grp = jnp.sum((cumw <= local[:, None]).astype(jnp.int32),
+                          axis=1)
+            grp_s = jnp.minimum(grp, ng - 1)
+            before = jnp.where(
+                grp_s > 0,
+                jnp.take_along_axis(cumw,
+                                    jnp.maximum(grp_s - 1, 0)[:, None],
+                                    axis=1)[:, 0], 0)
+            q2 = local - before
+            base = row_s * tile + grp_s * g
+            if pack is not None:
+                # one uint32 word per candidate from the MXU-packed mask
+                # (128 KB, VMEM-resident), then a 32-step register bit-rank
+                words = pack(passes)                       # (tile*ng,)
+                w = words[row_s * ng + grp_s]              # (cap_c,)
+                cum = jnp.zeros_like(q2)
+                bit = jnp.zeros_like(q2)
+                for n in range(32):
+                    b_n = ((w >> jnp.uint32(n))
+                           & jnp.uint32(1)).astype(jnp.int32)
+                    cum = cum + b_n
+                    bit = bit + (cum <= q2).astype(jnp.int32)
+            else:
+                flat = passes.reshape(-1).astype(jnp.int32)
+                seg = flat[base[:, None] + gi[None, :]]    # (cap_c, g)
+                cumb = jnp.cumsum(seg, axis=1)
+                bit = jnp.sum((cumb <= q2[:, None]).astype(jnp.int32),
+                              axis=1)
+            valid_c = j < cand_count
+            cand = jnp.where(valid_c,
+                             base + jnp.minimum(bit, g - 1),
+                             -1)                           # (cap_c,)
+
+            # ---- exact limb-pair partials for the selected candidates,
+            # from the tile operands already on hand (first L planes = the
+            # limbs). Per-limb row gathers + elementwise multiply-reduce:
+            # the batched (cap_c, L, d) x (cap_c, L, d) dot_general lowered
+            # to cap_c tiny matmuls (~165 us/tile); the explicit form is
+            # VPU-parallel.
+            ii = jnp.maximum(cand, 0) // tile
+            jj = jnp.maximum(cand, 0) % tile
+            xs = [vi[a][ii].astype(jnp.int32)
+                  for a in range(L)]                       # (cap_c, d)
+            ys = [vj[b][jj].astype(jnp.int32) for b in range(L)]
+            cols = [jnp.sum(xs[a] * ys[a], axis=1) for a in range(L)]
+            cols += [jnp.sum(xs[a] * ys[b] + xs[b] * ys[a], axis=1)
+                     for a in range(L) for b in range(a + 1, L)]
+            partials = jnp.stack(cols, axis=1)             # (cap_c, PL)
+            return cand, jnp.where(valid_c[:, None], partials, 0)
+
+        def cold(_):
+            # + cand_count*0 makes the constants VARY over the shard_map
+            # data axis like the hot branch's outputs do (cond requires
+            # branch output types — including varying axes — to match)
+            z = cand_count * 0
+            return (jnp.full((cap_c,), -1, jnp.int32) + z,
+                    jnp.zeros((cap_c, PL), jnp.int32) + z)
+
+        # candidate-free tiles skip selection + partials entirely: at
+        # production sparsity (~1e-5) nearly every tile is cold, and the
+        # gated stages cost ~2x the sweep itself (VERDICT r3 weak #1) —
+        # an HLO conditional executes only the taken branch on TPU
+        cand, partials = jax.lax.cond(cand_count > 0, hot, cold, 0)
         return carry, (cand, partials, cand_count)
 
     _, (cand_idx, partials, cand_counts) = \
