@@ -64,6 +64,12 @@ def _read_u64(buf, off):
 def _read_vec(buf, off, dtype):
     n, off = _read_u64(buf, off)
     itemsize = np.dtype(dtype).itemsize
+    # validate the untrusted length against the bytes actually present
+    # BEFORE frombuffer: a corrupted u64 near 2^64 otherwise surfaces as an
+    # OverflowError (C ssize_t), not a clean parse error (found by
+    # tools/fuzz_native.py fuzz_bitscompat)
+    if n * itemsize > len(buf) - off:
+        raise ValueError("bits vector length exceeds the buffer")
     arr = np.frombuffer(buf, dtype=dtype, count=n, offset=off)
     return arr, off + n * itemsize
 

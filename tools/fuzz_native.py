@@ -145,6 +145,95 @@ def fuzz_sigscan(lib_path, trials, rng, tmp):
     return cnt
 
 
+def _corrupt(rng, b: bytes) -> bytes:
+    """Byte flips / truncation / header-targeted corruption of a blob."""
+    bb = bytearray(b)
+    mode = int(rng.integers(0, 3))
+    if mode == 0 and len(bb):
+        for _ in range(int(rng.integers(1, 5))):
+            bb[int(rng.integers(0, len(bb)))] = int(rng.integers(0, 256))
+    elif mode == 1:
+        bb = bb[:int(rng.integers(0, len(bb) + 1))]
+    else:  # target the first 40 bytes (the size/width/universe headers)
+        for _ in range(int(rng.integers(1, 5))):
+            bb[int(rng.integers(0, min(40, len(bb))))] = \
+                int(rng.integers(0, 256))
+    return bytes(bb)
+
+
+def fuzz_bitscompat(trials, rng):
+    """The reconstructed jermp/bits-layout decoders (codecs/bitscompat.py):
+    pure python, so the bug class is untrusted-header-driven allocation
+    (MemoryError here = finding, same rule as the r3 Elias-Fano malloc)
+    and uncaught non-ValueError crashes."""
+    from metagenome_vector_sketches_tpu.codecs import bitscompat as bc
+    cnt = 0
+    for _ in range(trials):
+        k = int(rng.integers(1, 60))
+        uni = int(rng.integers(k + 1, 100000))
+        vals = np.sort(rng.choice(uni, size=k, replace=False)
+                       ).astype(np.uint64)
+        free = rng.integers(0, 1 << int(rng.integers(1, 32)),
+                            size=k).astype(np.uint64)
+        blobs = [(bc.cv_decode, bc.cv_encode(free)),
+                 (bc.rice_decode, bc.rice_encode(free)),
+                 (bc.ef_decode, bc.ef_encode(vals, uni)),
+                 (bc.ef_decode, bc.ef_encode(vals, uni, index_zeros=True))]
+        for dec, blob in blobs:
+            for _ in range(8):
+                bad = _corrupt(rng, blob)
+                try:
+                    dec(bad)
+                except MemoryError:
+                    raise AssertionError(
+                        "bitscompat: corrupted header drove a giant "
+                        "allocation (untrusted-header rule violated)")
+                except (ValueError, IndexError):
+                    pass
+                cnt += 1
+            # pure-random buffers through the layout autodetect too
+            junk = rng.integers(0, 256,
+                                size=int(rng.integers(0, 200))) \
+                .astype(np.uint8).tobytes()
+            try:
+                bc.detect_two(junk, "cv")
+            except (ValueError, IndexError):
+                pass
+            try:
+                bc.sniff_cv(junk)
+            except (ValueError, IndexError):
+                pass
+            cnt += 2
+    return cnt
+
+
+def fuzz_faissio(trials, rng, tmp):
+    """The FAISS IndexFlat header parser (ann/faissio.py): corrupted
+    headers must raise ValueError, never allocate from the claimed count
+    (np.fromfile pre-allocates — the cap check precedes it)."""
+    from metagenome_vector_sketches_tpu.ann import faissio
+    path = os.path.join(tmp, "fuzz_faiss.index")
+    good = os.path.join(tmp, "good_faiss.index")
+    V = rng.normal(size=(17, 32)).astype(np.float32)
+    faissio.write_flat(good, V)
+    orig = open(good, "rb").read()
+    cnt = 0
+    for _ in range(trials):
+        with open(path, "wb") as f:
+            f.write(_corrupt(rng, orig))
+        try:
+            out, _ = faissio.read_flat(path)
+            assert out.nbytes <= 16 * len(orig), \
+                "faissio returned more data than the file could hold"
+        except MemoryError:
+            raise AssertionError(
+                "faissio: corrupted header drove a giant allocation")
+        except ValueError:
+            pass
+        cnt += 1
+    return cnt
+
+
 def main():
     trials = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     rng = np.random.default_rng(int(os.environ.get("FUZZ_SEED", "1")))
@@ -161,8 +250,11 @@ def main():
                                     env=env).returncode)
         c1 = fuzz_codecs(libs["codecs"], trials, rng)
         c2 = fuzz_sigscan(libs["sigscan"], trials * 2, rng, tmp)
+        c3 = fuzz_bitscompat(trials, rng)
+        c4 = fuzz_faissio(trials * 4, rng, tmp)
         print(f"FUZZ OK: {c1} corrupted codec decodes, "
-              f"{c2} corrupted zips — zero memory faults")
+              f"{c2} corrupted zips, {c3} corrupted bits-layout decodes, "
+              f"{c4} corrupted FAISS headers — zero memory faults")
 
 
 if __name__ == "__main__":
