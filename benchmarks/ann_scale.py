@@ -201,6 +201,28 @@ def main():
     out["int8_approx95_recall_at_k"] = round(hits / (B * k), 4)
     iidx.mode = "exact"
 
+    # adaptive expanding pipeline over the int8 engine (round-4
+    # frontier-batched loop, reference jaccard.py:120-174 semantics):
+    # the serving headline VERDICT r3 item 4 asks for — measured cold
+    # (compiles included) and warm, with the planted-neighbor hit rate
+    # recorded next to it
+    Qh_i = qi.astype(np.float64) / np.sqrt(d)
+    db_norms_i = np.sqrt(iidx.ns / d)
+    nq_i = 32
+    walls_a = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        hits_i, _ = adaptive_search(iidx, Qh_i[:nq_i], j=0.5,
+                                    verbose=False, db_norms=db_norms_i,
+                                    queries_int=qi[:nq_i])
+        walls_a.append(time.perf_counter() - t0)
+    out["int8_adaptive_wall_cold_s"] = round(walls_a[0], 2)
+    out["int8_adaptive_wall_warm_s"] = round(min(walls_a[1:]), 3)
+    out["int8_adaptive_qps_warm"] = round(nq_i / min(walls_a[1:]), 1)
+    out["int8_adaptive_queries"] = nq_i
+    out["int8_adaptive_hits"] = len(hits_i)
+    srcs = {h[0] for h in hits_i if h[1] == h[0]}
+    out["int8_adaptive_self_found"] = len(srcs)
 
     print(json.dumps(out))
 
