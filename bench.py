@@ -202,7 +202,7 @@ def bench_pairwise(N=8192, d=2048, tile=2048, max_abs=1500, reps=10):
         nt16 = N16 // tile
         c16 = jnp.asarray(np.array([(r, c) for r in range(nt16)
                                     for c in range(nt16)], dtype=np.int32))
-        s16, _, _, b16, a16 = measure(
+        s16, _, t16_total, b16, a16 = measure(
             lambda acc: sweep_seeded(p16, t16, c16, acc, tile=tile),
             (nt16 * nt16,))
         ops16 = 2.0 * pw.num_planes(L16) * float(N16) * N16 * d
@@ -210,6 +210,26 @@ def bench_pairwise(N=8192, d=2048, tile=2048, max_abs=1500, reps=10):
         extras["i16_sweep_ms"] = round(s16 * 1e3, 3)
         extras["i16_sweep_band"] = b16
         extras["i16_mfu"] = mfu16
+        # Pallas path for the 6-plane int16 schedule (VERDICT r3 item 7:
+        # the XLA scan left ~10 MFU points vs the int32 pallas kernel);
+        # block=256 keeps the P=6 operand pair in VMEM
+        if pp.available():
+            try:
+                blk16 = 256
+                ps16, _, pt16, pb16, pa16 = measure(
+                    lambda acc: pallas_seeded(p16, t16, acc, block=blk16),
+                    ((N16 // blk16) ** 2,))
+                ps16, pmfu16 = _mfu_fields(ops16, ps16, pa16)
+                extras["i16_pallas_sweep_ms"] = round(ps16 * 1e3, 3)
+                extras["i16_pallas_band"] = pb16
+                extras["i16_pallas_mfu"] = pmfu16
+                extras["i16_pallas_block"] = blk16
+                extras["i16_pallas_eq_xla"] = bool(pt16 == t16_total)
+                if pt16 == t16_total and ps16 < s16:
+                    s16 = ps16
+                    extras["i16_mfu"] = pmfu16
+            except Exception as e:  # pragma: no cover
+                extras["i16_pallas_error"] = str(e)[:120]
         extras["i16_pairs_per_sec"] = round(float(N16) * N16 / s16, 1)
     except Exception as e:  # pragma: no cover
         extras["i16_error"] = str(e)[:120]
@@ -594,6 +614,11 @@ def main():
                              for k, v in topk.items()},
             "e2e_pairwise": e2e,
             "matrix_reads": bench_matrix_reads(),
+            # production row density (VERDICT r3 item 6): server matrix
+            # rows carry hundreds of neighbors (README.md:111 scale)
+            "matrix_reads_dense": bench_matrix_reads(N=20000,
+                                                     neighbors=400,
+                                                     B=2000),
         },
     }
     print(json.dumps(result))
