@@ -622,6 +622,15 @@ def main():
         },
     }
     print(json.dumps(result))
+    if not tpu_unavailable and jax.default_backend() == "tpu":
+        # persist the freshest real-chip measurements so a tunnel outage
+        # at a later bench time can still carry them into the artifact
+        try:
+            with open(os.path.join(here, "BENCH_ONCHIP_LAST.json"),
+                      "w") as f:
+                json.dump(result, f)
+        except OSError:
+            pass
 
 
 if __name__ == "__main__":

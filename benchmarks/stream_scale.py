@@ -185,7 +185,8 @@ def main():
                 "stage_split_ms": {
                     k: round(float(st.get(k, 0.0)), 0)
                     for k in ("stage_ms", "sweep_ms", "extract_ms",
-                              "finalize_ms", "write_ms")},
+                              "finalize_ms", "write_ms",
+                              "stage_decompose_ms")},
             }
             summary[run]["spot_check_ok"] = spot_check(
                 db_path, out_dir, N, d, row_range=(0, rows_in_shard))
