@@ -268,7 +268,7 @@ class IntExactIndex:
     mode: 'exact' (certified pooling, the default) | 'approx'
     (recall_target-bounded pooling; rescoring stays exact-math)."""
 
-    def __init__(self, vectors: np.ndarray, chunk_rows: int = 65536,
+    def __init__(self, vectors: np.ndarray, chunk_rows: int = 262144,
                  mode: str = "exact", recall_target: float = 0.95,
                  pool_margin: int = 64):
         assert mode in ("exact", "approx"), mode
@@ -314,7 +314,7 @@ class IntExactIndex:
         self._stack = stack
 
     @classmethod
-    def from_dbfolder(cls, db_folder: str, chunk_rows: int = 65536,
+    def from_dbfolder(cls, db_folder: str, chunk_rows: int = 262144,
                       mode: str = "exact",
                       recall_target: float = 0.95) -> "IntExactIndex":
         """Stage the db folder's vectors.bin straight into the plane stack
