@@ -443,7 +443,7 @@ def _fused_extract_with_retries(planes, thr, tile, L, coords, row_base,
         again = _run_fused_extraction(
             planes, thr, tile, L, coords[ks], row_base[ks],
             col_base[ks], min(ccap, tile * tile), finalize_dots, ops,
-            col_planes, col_thr)
+            col_planes, col_thr, adapt=False)
         assert not again, "fused retry at exact capacity overflowed"
     if bitmap_ks:
         ks = np.asarray(bitmap_ks)
@@ -498,7 +498,8 @@ def _dense_bitmap_extract(planes, thr, tile, coords, row_base, col_base,
 
 def _run_fused_extraction(planes, thr_j, tile, L, coords, row_base,
                           col_base, cap_c, finalize_dots, ops=None,
-                          col_planes=None, col_thr=None):
+                          col_planes=None, col_thr=None,
+                          adapt: bool = True):
     """Chunked, pipelined fused extraction over a tile coordinate list.
 
     Dispatches chunk i+1's device programs before reading chunk i's
@@ -527,13 +528,28 @@ def _run_fused_extraction(planes, thr_j, tile, L, coords, row_base,
     # the heavy program's buffers stay resident)
     seen_tiles = 0
     seen_cands = 0
+    # counts-ADAPTIVE per-tile capacity (round 4): the floor cap pays
+    # selection + partials work proportional to cap_c on EVERY tile, but
+    # production-density tiles carry ~40-100 survivors — once observed
+    # counts bound the density, later chunks run at a snug pow2 cap
+    # (1.25x headroom over the max seen; the authoritative-count overflow
+    # retry already guarantees correctness if a later tile exceeds it).
+    # One extra heavy-program compile per distinct cap, persistent-cached.
+    cur_cap = [cap_c]
+    max_seen = [0]
 
-    def estimate():
+    def adapt_cap():
+        # never on retry batches: their caps are EXACT (assert not again)
+        if adapt and max_seen[0] > 0:
+            tgt = _next_pow2(max(64, int(max_seen[0] * 1.25) + 1))
+            cur_cap[0] = min(cap_c, max(64, tgt))
+
+    def estimate(cap):
         if seen_tiles == 0:
-            per_tile = max(cap_c // 8, 16)
+            per_tile = max(cap // 8, 16)
         else:
             per_tile = 2 * seen_cands / seen_tiles + 64
-        per_dev = int(min(cap_c * (K // scale),
+        per_dev = int(min(cap * (K // scale),
                           max(16384, per_tile * (K // scale))))
         return ((per_dev + 16383) // 16384) * 16384
 
@@ -543,14 +559,14 @@ def _run_fused_extraction(planes, thr_j, tile, L, coords, row_base,
         bases[:e - s, 1] = col_base[s:e]
         return bases
 
-    def exact_out_cap(cand_counts, e_minus_s, k_pad):
+    def exact_out_cap(cand_counts, e_minus_s, k_pad, cap):
         """Exact per-device out_cap from the authoritative counts — a
         TINY (4 bytes/tile) device read. Used for the FIRST chunk, where
         the running density estimate has no data and a shortfall would
         cost a full second transfer of the big buffer."""
         cc = np.asarray(cand_counts)[:e_minus_s]
-        kept = np.minimum(cc.astype(np.int64), cap_c)
-        kept[cc > cap_c] = 0
+        kept = np.minimum(cc.astype(np.int64), cap)
+        kept[cc > cap] = 0
         if ops is not None:
             padded = np.zeros(k_pad, dtype=np.int64)
             padded[:e_minus_s] = kept
@@ -563,6 +579,7 @@ def _run_fused_extraction(planes, thr_j, tile, L, coords, row_base,
 
     def dispatch(s):
         nonlocal first_dispatch
+        cap = cur_cap[0]
         e = min(s + K, T)
         bcoords = np.zeros((K, 3), dtype=np.int32)
         bcoords[:e - s, :2] = coords[s:e]
@@ -571,7 +588,7 @@ def _run_fused_extraction(planes, thr_j, tile, L, coords, row_base,
         if ops is not None:
             cand_idx, partials, cand_counts, k_pad = \
                 ops.sweep_extract_fused(planes, thr_j, bcoords, bases,
-                                        tile, L, cap_c, col_planes,
+                                        tile, L, cap, col_planes,
                                         col_thr)
         else:
             pj = planes if col_planes is None else col_planes
@@ -580,14 +597,14 @@ def _run_fused_extraction(planes, thr_j, tile, L, coords, row_base,
                 pw.sweep_extract_fused_ij(planes, thr_j, pj, tj,
                                           jnp.asarray(bcoords),
                                           jnp.asarray(bases), tile, L,
-                                          cap_c)
+                                          cap)
             k_pad = K
         # exact counts only for the FIRST dispatch: a seen_tiles gate
         # would also block the SECOND dispatch on its own counts read
         # (collect for chunk 1 runs after dispatch of chunk 2),
         # serializing the advertised overlap
-        out_cap = exact_out_cap(cand_counts, e - s, k_pad) \
-            if first_dispatch else estimate()
+        out_cap = exact_out_cap(cand_counts, e - s, k_pad, cap) \
+            if first_dispatch else estimate(cap)
         first_dispatch = False
         if ops is not None:
             buf = ops.compact_cands_combined(
@@ -597,8 +614,8 @@ def _run_fused_extraction(planes, thr_j, tile, L, coords, row_base,
             buf = pw.compact_cands_combined(
                 cand_counts, cand_idx, partials, jnp.asarray(bases), tile,
                 out_cap)
-        return (s, e, out_cap, cand_idx, partials, cand_counts, bases,
-                buf, k_pad)
+        return (s, e, cap, out_cap, cand_idx, partials, cand_counts,
+                bases, buf, k_pad)
 
     retries = []
 
@@ -611,16 +628,18 @@ def _run_fused_extraction(planes, thr_j, tile, L, coords, row_base,
 
     def collect(job):
         nonlocal seen_tiles, seen_cands
-        (s, e, out_cap, cand_idx, partials, cand_counts, bases, buf,
+        (s, e, cap, out_cap, cand_idx, partials, cand_counts, bases, buf,
          k_pad) = job
         t0 = time.perf_counter()
         cc, r_glob, c_glob, parts_h = read_split(buf, k_pad, out_cap)
         cc = cc[:e - s]
         seen_tiles += e - s
         seen_cands += int(cc.sum())
-        over = cc > cap_c
+        max_seen[0] = max(max_seen[0], int(cc.max(initial=0)))
+        adapt_cap()
+        over = cc > cap
         retries.extend((s + t, int(cc[t])) for t in np.flatnonzero(over))
-        kept = np.minimum(cc.astype(np.int64), cap_c)
+        kept = np.minimum(cc.astype(np.int64), cap)
         kept[over] = 0
         if ops is not None:
             padded = np.zeros(k_pad, dtype=np.int64)
