@@ -390,14 +390,41 @@ def _compute_device_resident_fused(db, norms_sq, total, begin_row, end_row,
     npad = ((total + tile - 1) // tile) * tile
     nt = npad // tile
     rt0, rt1 = begin_row // tile, (end_row - 1) // tile + 1
-    coords = np.array([(r, c) for r in range(rt0, rt1) for c in range(nt)],
-                      dtype=np.int32)
+    # TRIANGLE tile grid (round 4): within this shard's row-tile range
+    # [rt0, rt1) the grid is symmetric — tiles (r, c) and (c, r) carry the
+    # same unordered pairs, and every per-pair quantity is symmetric
+    # (exact dot, the 0.05*(|vi|^2+|vj|^2) retention threshold, the
+    # quantization) — so only c >= r is swept and the host finalize emits
+    # each off-diagonal candidate in BOTH directions (_mirror below).
+    # Column tiles outside the row-tile range keep the full rectangle:
+    # their mirror rows belong to other shards. ~2x fewer tiles (and ~2x
+    # e2e) for the flagship single-shard all-vs-all case. The reference
+    # sweeps its full row-block x N rectangle per process
+    # (pairwise_comp_optimized.cpp:949-990).
+    coords = np.array([(r, c) for r in range(rt0, rt1) for c in range(nt)
+                       if c >= r or not rt0 <= c < rt1], dtype=np.int32)
     row_base = coords[:, 0].astype(np.int64) * tile
     col_base = coords[:, 1].astype(np.int64) * tile
 
     parts, finalize_globals, finalize_dots = _make_finalizer(
         V, norms_sq, begin_row, end_row, total, d, exact_filter, max_abs,
         device_ctx=(planes, L))
+
+    def _mirror(fn):
+        # mirror candidates whose tile-transposed twin (c_tile, r_tile)
+        # was dropped from coords above; the begin/end row filter inside
+        # the finalizer keeps only this shard's rows either way. Diagonal
+        # tiles (ct == rt) already carry both orders and self-pairs are
+        # emitted separately — neither is mirrored.
+        def call(r_glob, c_glob, *rest):
+            fn(r_glob, c_glob, *rest)
+            ct = c_glob // tile
+            m = (ct > r_glob // tile) & (ct >= rt0) & (ct < rt1)
+            if m.any():
+                fn(c_glob[m], r_glob[m], *(x[m] for x in rest))
+        return call
+
+    fin_dots, fin_globals = _mirror(finalize_dots), _mirror(finalize_globals)
 
     # self-pairs (masked out of the kernel so diagonal tiles stay at
     # ordinary density) are emitted directly from the exact self dots —
@@ -409,8 +436,7 @@ def _compute_device_resident_fused(db, norms_sq, total, begin_row, end_row,
     finalize_globals(self_rows, self_rows.copy())
 
     _fused_extract_with_retries(planes, thr_j, tile, L, coords, row_base,
-                                col_base, finalize_dots, finalize_globals,
-                                ops)
+                                col_base, fin_dots, fin_globals, ops)
     return _concat(parts)
 
 
