@@ -40,6 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "host = float64 BLAS from the resident vectors; "
                         "device = int32 limb partials on the chip, O(K) host "
                         "combine; auto = device on TPU backends")
+    p.add_argument("--gate_sparse_tiles", action="store_true",
+                   help="Skip selection work on candidate-free tiles via an "
+                        "HLO conditional (extension). Only for genuinely "
+                        "SPARSE tile grids (most tiles empty); at production "
+                        "density the conditional costs ~17% (measured at "
+                        "N=262k, tile=2048 on v5e)")
     p.add_argument("--strategy", type=int, default=0, choices=[0, 1],
                    help="0 = projected-sketch estimates (default); 1 = exact "
                         "MinHash set Jaccard from --hashes (the reference's "
@@ -94,7 +100,8 @@ def main(argv=None) -> int:
                            tile_rows=tile, tile_cols=tile, resume=args.resume,
                            mesh=mesh,
                            finalize=None if args.finalize == "auto"
-                           else args.finalize)
+                           else args.finalize,
+                           gate=args.gate_sparse_tiles)
     return 0
 
 

@@ -761,7 +761,9 @@ def sweep_extract_fused_ij(planes_i, thr_i_all, planes_j, thr_j_all,
         # hot, and the cond costs ~17% (extract 6.08 s vs 5.21 s at
         # N=262,144 on v5e — VERDICT r3 #2's premise holds only for much
         # smaller tiles or far sparser thresholds). Off by default; opt in
-        # for genuinely sparse tile grids.
+        # for genuinely sparse tile grids via
+        # matrix.compute.compute_pairwise_shard(gate=True) / the CLI's
+        # --gate_sparse_tiles.
         if gate:
             cand, partials = jax.lax.cond(cand_count > 0, hot, cold, 0)
         else:
@@ -774,13 +776,13 @@ def sweep_extract_fused_ij(planes_i, thr_i_all, planes_j, thr_j_all,
 
 
 def sweep_extract_fused(planes, thr, coords, tile: int, L: int,
-                        cap_c: int):
+                        cap_c: int, gate: bool = False):
     """Symmetric (all-vs-all) wrapper of :func:`sweep_extract_fused_ij` —
     row and column tiles slice the same device-resident planes array,
     bases derived from the tile coordinates."""
     bases = coords[:, :2].astype(jnp.int32) * tile
     return sweep_extract_fused_ij(planes, thr, planes, thr, coords,
-                                  bases, tile, L, cap_c)
+                                  bases, tile, L, cap_c, gate=gate)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "out_cap"))

@@ -82,11 +82,12 @@ def _compact_words_fn(mesh, tile: int, cap_words: int, out_cap: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _extract_fused_heavy_fn(mesh, tile: int, L: int, cap_c: int):
+def _extract_fused_heavy_fn(mesh, tile: int, L: int, cap_c: int,
+                            gate: bool = False):
     def local(planes_i, thr_i, planes_j, thr_j, coords, bases):
         return pw.sweep_extract_fused_ij.__wrapped__(
             planes_i, thr_i, planes_j, thr_j, coords, bases, tile, L,
-            cap_c)
+            cap_c, gate=gate)
 
     return jax.jit(shard_map(local, mesh=mesh,
                              in_specs=(P(), P(), P(), P(),
@@ -193,7 +194,8 @@ class MeshSweepOps:
 
     def sweep_extract_fused(self, planes, thr, bcoords, bases, tile: int,
                             L: int, cap_c: int,
-                            planes_j=None, thr_j=None):
+                            planes_j=None, thr_j=None,
+                            gate: bool = False):
         """Mesh version of the round-3 FUSED single-pass heavy program:
         tile coordinates + global bases sharded; returns DEVICE-RESIDENT
         (cand_idx, partials) (for compact_cands_combined) plus counts
@@ -206,7 +208,7 @@ class MeshSweepOps:
         if planes_j is None:
             planes_j, thr_j = planes, thr
         cand_idx, partials, cand_counts = \
-            _extract_fused_heavy_fn(self.mesh, tile, L, cap_c)(
+            _extract_fused_heavy_fn(self.mesh, tile, L, cap_c, gate)(
                 planes, thr, planes_j, thr_j, jnp.asarray(cp),
                 jnp.asarray(bp))
         # cp.shape[0] is the PADDED tile count (a multiple of n_devices) —

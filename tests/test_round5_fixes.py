@@ -1,0 +1,399 @@
+"""Round-5 fixes (VERDICT r4): targeted tests for the round-4 rewrites that
+landed without tests, plus the ADVICE r4 finalizer bookkeeping fixes.
+
+- gate=True (HLO-conditional skip of selection+partials on candidate-free
+  tiles, ops/pairwise.py sweep_extract_fused_ij) — kernel equality on a
+  mixed hot/cold grid, engine oracle-equality single-device AND under the
+  8-device mesh (the axis-varying cond constant fix is exactly the kind of
+  thing that silently breaks under shard_map).
+- frontier-batched adaptive search (ann/search.py): queries pinned at
+  DIFFERENT expansion levels inside one round must equal a serial
+  per-query loop implementing the reference semantics (jaccard.py:127-170).
+- two-stage exact selector (ann/int_index.py _int_scan_pool): adversarial
+  tie grids (duplicated scores straddling 128-block boundaries, kc edge
+  cases) vs an independent numpy oracle with lax.top_k tie order.
+- finalizer bookkeeping (ADVICE r4): LAST_STAGES['candidates'] means
+  device-extracted volume (mirror twins only under 'emitted'), and the
+  dense/retry mirror path computes each unordered pair's exact dot ONCE.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from metagenome_vector_sketches_tpu.io.dbfolder import DbFolder
+from metagenome_vector_sketches_tpu.ops import pairwise as pw
+from metagenome_vector_sketches_tpu.matrix import compute as mc
+from helpers import assert_matrix_matches_oracle
+
+
+# ---------------------------------------------------------------- gate=True
+
+def _two_orthogonal_clusters(n, d, seed):
+    """Rows 0..n/2 live in dims [0, d/2), the rest in [d/2, d): cross-cluster
+    dots are EXACTLY zero while norms are large, so every cross tile fails
+    the 0.05*(ni+nj) sweep threshold -> genuinely COLD tiles."""
+    rng = np.random.default_rng(seed)
+    V = np.zeros((n, d), dtype=np.int32)
+    V[:n // 2, :d // 2] = rng.integers(40, 61, size=(n // 2, d // 2))
+    V[n // 2:, d // 2:] = rng.integers(40, 61, size=(n - n // 2, d - d // 2))
+    return V
+
+
+def test_gate_kernel_equals_ungated_on_mixed_grid():
+    """gate=True must produce bit-identical (cand, partials, counts) to the
+    ungated kernel on a grid mixing hot tiles (within-cluster) and cold
+    tiles (cross-cluster, zero survivors — the branch the cond skips)."""
+    n, d, tile = 128, 32, 32
+    V = _two_orthogonal_clusters(n, d, 50)
+    norms_sq = (np.einsum("ij,ij->i", V.astype(np.float64),
+                          V.astype(np.float64)) / d)
+    L = pw.pick_limbs(60)
+    planes = pw.decompose_planes(jnp.asarray(V), L)
+    thr = jnp.asarray(norms_sq.astype(np.float32))
+    nt = n // tile
+    coords = jnp.asarray(np.array([(r, c, 1) for r in range(nt)
+                                   for c in range(nt)], dtype=np.int32))
+    cap = tile * tile
+    c0, p0, n0 = pw.sweep_extract_fused(planes, thr, coords, tile, L, cap)
+    c1, p1, n1 = pw.sweep_extract_fused(planes, thr, coords, tile, L, cap,
+                                        gate=True)
+    np.testing.assert_array_equal(np.asarray(n0), np.asarray(n1))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    # the grid genuinely mixes hot and cold tiles (or the test proves nothing)
+    counts = np.asarray(n0)
+    assert (counts == 0).any() and (counts > 0).any()
+
+
+def test_fused_engine_gate_oracle(tmp_path):
+    """compute_pairwise_shard(gate=True) end-to-end oracle equality —
+    the CLI-reachable plumbing of the gated kernel."""
+    n, d = 96, 64
+    V = _two_orthogonal_clusters(n, d, 51)
+    db = DbFolder.write(str(tmp_path / "db"), [f"S{i}" for i in range(n)],
+                        V, d)
+    mc.compute_pairwise_shard(db.path, str(tmp_path / "m"), tile_rows=16,
+                              verbose=False, gate=True)
+    assert mc.LAST_STAGES.get("mode") == "fused"
+    _, norms = db.names_and_norms()
+    assert_matrix_matches_oracle(V, norms * norms, d, str(tmp_path / "m"), n)
+
+
+def test_fused_engine_gate_mesh_oracle(tmp_path):
+    """gate=True under the 8-device mesh: the cond's branch outputs must
+    keep matching axis-varying types under shard_map (ops/pairwise.py's
+    `+ cand_count*0` fix) — this is the configuration that would silently
+    break."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from metagenome_vector_sketches_tpu.parallel.mesh import make_mesh
+    n, d = 128, 64
+    V = _two_orthogonal_clusters(n, d, 52)
+    db = DbFolder.write(str(tmp_path / "db"), [f"S{i}" for i in range(n)],
+                        V, d)
+    mc.compute_pairwise_shard(db.path, str(tmp_path / "m"), tile_rows=16,
+                              verbose=False, mesh=make_mesh(8), gate=True)
+    _, norms = db.names_and_norms()
+    assert_matrix_matches_oracle(V, norms * norms, d, str(tmp_path / "m"), n)
+
+
+def test_gate_cli_flag(tmp_path):
+    """--gate_sparse_tiles reaches the engine through the CLI surface."""
+    from metagenome_vector_sketches_tpu.cli import pairwise_comp
+    n, d = 64, 32
+    V = _two_orthogonal_clusters(n, d, 53)
+    db = DbFolder.write(str(tmp_path / "db"), [f"S{i}" for i in range(n)],
+                        V, d)
+    rc = pairwise_comp.main([
+        "--db", db.path, "--max_memory_gb", "1", "--num_threads", "1",
+        "--output_folder", str(tmp_path / "m"), "--num_shards", "1",
+        "--shard_idx", "0", "--tile", "16", "--mesh_devices", "1",
+        "--gate_sparse_tiles"])
+    assert rc == 0
+    _, norms = db.names_and_norms()
+    assert_matrix_matches_oracle(V, norms * norms, d,
+                                 str(tmp_path / "m"), n)
+
+
+# ----------------------------------------- frontier-batched adaptive search
+
+def _serial_reference_search(index, queries_f64, j, db_norms,
+                             queries_int=None):
+    """The reference's PER-QUERY expansion loop (jaccard.py:120-174),
+    executed serially — the semantics the frontier-batched adaptive_search
+    must reproduce exactly. Collects every valid candidate at the final
+    level (the exact filter happens in rescore, same as the batched path)."""
+    from metagenome_vector_sketches_tpu.ann.search import (
+        INITIAL_NB_SEARCHES, MAX_LEVELS)
+    from metagenome_vector_sketches_tpu.ann.flat_index import normalize_l2
+    queries = queries_f64.astype(np.float32)
+    query_norms = np.linalg.norm(queries, axis=1)
+    qn = normalize_l2(queries)
+    min_ip = np.float32(2 * j / (1 + j))
+    hits = []
+    for qi in range(len(qn)):
+        level = 0
+        while True:
+            nbs = INITIAL_NB_SEARCHES * 3 ** level
+            nb_eff = min(nbs, index.ntotal)
+            if queries_int is not None:
+                D, I = index.search(queries_int[qi:qi + 1], nb_eff)
+            else:
+                D, I = index.search(qn[qi:qi + 1], nb_eff)
+            D, I = D[0], I[0]
+            any_above = bool(np.any(D[:nb_eff] > min_ip))
+            kth = np.float32(D[nb_eff - 1])
+            deeper = any_above and kth > min_ip and nbs < index.ntotal
+            if deeper:
+                if kth - np.float32(0.05) > min_ip and level <= MAX_LEVELS - 3:
+                    level += 2
+                    continue
+                elif level <= MAX_LEVELS - 2:
+                    level += 1
+                    continue
+            break
+        for rank in range(nb_eff):
+            if I[rank] >= 0:
+                hits.append((qi, int(I[rank]), float(D[rank])))
+    return hits, query_norms
+
+
+def _rescored_map(hits, qn, names, norms, j):
+    from metagenome_vector_sketches_tpu.ann.search import rescore
+    out = rescore(hits, qn, names, norms, j, verbose=False)
+    return {(q, nid): jac for q, nid, jac in out}
+
+
+def _assert_rescored_equal(got, want):
+    """Same neighbor MEMBERSHIP per query; jaccard values equal up to the
+    f32 inner-product ulp drift between different batch shapes (XLA picks
+    a different accumulation order per program shape — the batched round
+    scans at the round's max nb, the serial loop per-query)."""
+    assert got.keys() == want.keys(), (
+        sorted(got.keys() - want.keys())[:5],
+        sorted(want.keys() - got.keys())[:5])
+    for key, jac in got.items():
+        np.testing.assert_allclose(jac, want[key], rtol=1e-5, atol=1e-6,
+                                   err_msg=str(key))
+
+
+def _mixed_level_db(seed=60):
+    """Float db engineered so one batch of queries lands at DIFFERENT
+    expansion levels within one frontier round:
+      q0 -> few neighbors, stops at level 0;
+      q1 -> ~100 rows at ip ~= 0.48 (inside the 0.05 estimate window above
+            min_ip = 0.4615 at j=0.3), takes the +1 branch to level 1;
+      q2 -> 500 near-identical rows, takes the +2 branch to level 2.
+    Round 2 then batches q1 at nb=150 with q2 at nb=450 — the shared-scan
+    per-query slicing under test."""
+    rng = np.random.default_rng(seed)
+    d = 64
+    b1 = rng.normal(size=d)
+    b1 /= np.linalg.norm(b1)
+    o1 = rng.normal(size=d)
+    o1 -= (o1 @ b1) * b1
+    o1 /= np.linalg.norm(o1)
+    b2 = rng.normal(size=d)
+    b2 /= np.linalg.norm(b2)
+    ip = 0.48
+    ring = (ip * b1[None, :] + np.sqrt(1 - ip * ip) * o1[None, :]
+            + 0.001 * rng.normal(size=(100, d)))
+    close = b2[None, :] + 0.01 * rng.normal(size=(500, d))
+    far = rng.normal(size=(1000, d))
+    V = np.concatenate([ring, close, far]).astype(np.float32)
+    queries = np.stack([rng.normal(size=d), b1, b2]).astype(np.float64)
+    return V, queries
+
+
+def test_frontier_mixed_levels_matches_serial_reference():
+    from metagenome_vector_sketches_tpu.ann.search import adaptive_search
+    from metagenome_vector_sketches_tpu.ann.flat_index import (
+        FlatIPIndex, normalize_l2)
+    V, queries = _mixed_level_db()
+    norms = np.linalg.norm(V, axis=1).astype(np.float64)
+    idx = FlatIPIndex(normalize_l2(V), chunk_rows=1024)
+    j = 0.3
+    names = [f"A{i}" for i in range(len(V))]
+    hits_b, qn_b = adaptive_search(idx, queries, j, verbose=False,
+                                   db_norms=norms)
+    hits_s, qn_s = _serial_reference_search(idx, queries, j, norms)
+    np.testing.assert_allclose(qn_b, qn_s, rtol=1e-6)
+    _assert_rescored_equal(_rescored_map(hits_b, qn_b, names, norms, j),
+                           _rescored_map(hits_s, qn_s, names, norms, j))
+    # the scenario actually exercised a mixed-level round: the serial
+    # reference must have visited three distinct final levels (distinct
+    # raw candidate counts = distinct final nb)
+    finals = set()
+    for qi in range(3):
+        h = [i for q, i, _ in hits_s if q == qi]
+        finals.add(len(h))
+    assert len(finals) == 3
+
+
+def test_frontier_mixed_levels_int8_engine():
+    """Same mixed-level scenario through the int8-plane exact engine
+    (queries_int path): the frontier rounds route index.search at the
+    round's max nb and slice per-query — must equal the serial loop over
+    the SAME engine."""
+    from metagenome_vector_sketches_tpu.ann.search import adaptive_search
+    from metagenome_vector_sketches_tpu.ann.int_index import IntExactIndex
+    V, queries = _mixed_level_db(seed=61)
+    Vi = np.round(V * 1000).astype(np.int32)
+    q_int = np.round(queries * 1000).astype(np.int32)
+    d = Vi.shape[1]
+    queries_f64 = q_int.astype(np.float64) / np.sqrt(d)
+    norms = np.sqrt(np.einsum("ij,ij->i", Vi.astype(np.float64),
+                              Vi.astype(np.float64)))
+    idx = IntExactIndex(Vi, chunk_rows=1024)
+    j = 0.3
+    names = [f"A{i}" for i in range(len(Vi))]
+    hits_b, qn_b = adaptive_search(idx, queries_f64, j, verbose=False,
+                                   db_norms=norms, queries_int=q_int)
+    hits_s, qn_s = _serial_reference_search(idx, queries_f64, j, norms,
+                                            queries_int=q_int)
+    np.testing.assert_allclose(qn_b, qn_s, rtol=1e-6)
+    _assert_rescored_equal(_rescored_map(hits_b, qn_b, names, norms, j),
+                           _rescored_map(hits_s, qn_s, names, norms, j))
+
+
+# ------------------------------------------------- two-stage exact selector
+
+def _tie_grid_vectors(R, d, seed):
+    """Integer vectors built from FEW prototypes so scores form large
+    exact-tie classes scattered across 128-blocks; prototypes are small
+    enough for L=1 (single plane, so the f32 device score is exactly
+    reproducible in numpy)."""
+    rng = np.random.default_rng(seed)
+    protos = rng.integers(-4, 5, size=(8, d)).astype(np.int32)
+    assign = rng.integers(0, 8, size=R)
+    V = protos[assign]
+    # hand-placed duplicates straddling 128-block boundaries
+    V[120:136] = protos[0]
+    V[255:258] = protos[1]
+    V[1023:1026] = protos[2]
+    return V
+
+
+@pytest.mark.parametrize("pool", [1, 7, 16])
+def test_two_stage_selector_tie_oracle(pool):
+    """_int_scan_pool's two-stage per-chunk selector vs an independent
+    numpy oracle with lax.top_k's tie order (descending score, lowest
+    index first): duplicated scores straddle 128-block boundaries and the
+    kc-th cut falls INSIDE a tie class; kc edges (1, odd, kc == nb)."""
+    from metagenome_vector_sketches_tpu.ann.int_index import (
+        IntExactIndex, _int_scan_pool, _host_planes)
+    R, d = 2048, 16
+    V = _tie_grid_vectors(R, d, 70)
+    idx = IntExactIndex(V, chunk_rows=R)
+    assert idx.L == 1  # single plane -> numpy-exact f32 score oracle
+    nb = R // 128
+    kc = min(pool, R)
+    assert kc <= nb and kc < R and R % 128 == 0  # two-stage conditions hold
+    Q = np.concatenate([V[[120, 255, 1023, 0]],
+                        np.random.default_rng(71).integers(
+                            -4, 5, size=(4, d))]).astype(np.int32)
+    qp = jnp.asarray(_host_planes(Q, idx.L))
+    s, i, p = _int_scan_pool(qp, idx._stack, idx._inv_n, R, pool)
+    s, i, p = np.asarray(s), np.asarray(i), np.asarray(p)
+
+    # numpy oracle of the device math: exact int32 plane dot, f32 combine
+    # (weight 1.0 at L=1), f32 * f32 inv-norm — every step exact in f32
+    S = (Q.astype(np.int64) @ V.astype(np.int64).T).astype(np.int32)
+    ns = np.einsum("ij,ij->i", V.astype(np.int64), V.astype(np.int64))
+    inv = (1.0 / np.sqrt(ns.astype(np.float64))).astype(np.float32)
+    score = S.astype(np.float32) * inv[None, :]
+    for b in range(len(Q)):
+        order = np.lexsort((np.arange(R), -score[b]))[:kc]
+        np.testing.assert_array_equal(i[b][:kc], order,
+                                      err_msg=f"query {b}")
+        np.testing.assert_array_equal(s[b][:kc], score[b][order])
+        np.testing.assert_array_equal(p[0, b][:kc], S[b][order])
+        # the cut genuinely falls inside a tie class for the self-queries
+        if b < 3 and kc > 1:
+            assert score[b][order[-1]] == score[b][order[-2]] or \
+                (score[b] == score[b][order[-1]]).sum() >= 1
+
+
+def test_two_stage_selector_matches_plain_topk_large_pool():
+    """Cross-check at a pool just past nb (two-stage disabled -> plain
+    lax.top_k): the first nb entries must equal the two-stage run at
+    pool=nb — the exact-prefix property the two-stage argument claims."""
+    from metagenome_vector_sketches_tpu.ann.int_index import (
+        IntExactIndex, _int_scan_pool, _host_planes)
+    R, d = 1024, 16
+    V = _tie_grid_vectors(R, d, 72)
+    idx = IntExactIndex(V, chunk_rows=R)
+    nb = R // 128
+    Q = V[[120, 0, 500]].astype(np.int32)
+    qp = jnp.asarray(_host_planes(Q, idx.L))
+    s2, i2, p2 = _int_scan_pool(qp, idx._stack, idx._inv_n, R, nb)
+    s1, i1, p1 = _int_scan_pool(qp, idx._stack, idx._inv_n, R, nb + 1)
+    np.testing.assert_array_equal(np.asarray(i1)[:, :nb], np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(s1)[:, :nb], np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(p1)[:, :, :nb],
+                                  np.asarray(p2))
+
+
+# --------------------------------------------- finalizer bookkeeping (ADVICE)
+
+def test_candidates_counts_extraction_not_mirrors(tmp_path):
+    """Single-shard all-vs-all (triangle grid + host mirroring):
+    LAST_STAGES['candidates'] must reflect device-extracted volume only;
+    mirror twins land under 'emitted' (ADVICE r4 #2)."""
+    rng = np.random.default_rng(80)
+    n, d = 96, 64
+    V = rng.integers(-200, 201, size=(n, d)).astype(np.int32)
+    V[10:40] = V[9] + rng.integers(-1, 2, size=(30, d)).astype(np.int32)
+    db = DbFolder.write(str(tmp_path / "db"), [f"S{i}" for i in range(n)],
+                        V, d)
+    mc.compute_pairwise_shard(db.path, str(tmp_path / "m"), tile_rows=16,
+                              verbose=False)
+    _, norms = db.names_and_norms()
+    assert_matrix_matches_oracle(V, norms * norms, d, str(tmp_path / "m"), n)
+    cand = mc.LAST_STAGES["candidates"]
+    emitted = mc.LAST_STAGES["emitted"]
+    # the clustered block guarantees off-diagonal-tile pairs, so mirrors
+    # exist: emitted strictly exceeds extraction volume
+    assert emitted > cand
+    # every written pair traces back to an emission; extraction volume must
+    # not be inflated by mirrors (the old behavior had candidates ~= emitted)
+    assert mc.LAST_STAGES["pairs_written"] <= emitted
+
+
+def test_dense_mirror_path_oracle_and_single_dot_compute(tmp_path,
+                                                         monkeypatch):
+    """Ultra-dense everything + tiny cap floor forces the dense-bitmap
+    retry through the MIRRORED finalize_globals: exact dots are computed
+    once per unordered pair and both directions emitted — results must
+    stay oracle-equal and the dot computation must see each unordered pair
+    exactly once (ADVICE r4 #1)."""
+    monkeypatch.setattr(mc, "FUSED_CAP_FLOOR", 4)
+    rng = np.random.default_rng(81)
+    n, d = 64, 32
+    base = rng.integers(30, 61, size=d).astype(np.int32)
+    V = base[None, :] + rng.integers(-1, 2, size=(n, d)).astype(np.int32)
+    db = DbFolder.write(str(tmp_path / "db"), [f"S{i}" for i in range(n)],
+                        V, d)
+
+    seen_pairs = []
+    orig = pw.exact_dots_host
+
+    def spy(Vv, rows, cols, max_abs, chunk=None):
+        seen_pairs.append(np.stack([np.minimum(rows, cols),
+                                    np.maximum(rows, cols)], axis=1))
+        return orig(Vv, rows, cols, max_abs, chunk)
+
+    monkeypatch.setattr(pw, "exact_dots_host", spy)
+    mc.clear_device_cache()
+    mc.compute_pairwise_shard(db.path, str(tmp_path / "m"), tile_rows=16,
+                              verbose=False, finalize="host")
+    _, norms = db.names_and_norms()
+    assert_matrix_matches_oracle(V, norms * norms, d, str(tmp_path / "m"), n)
+    if seen_pairs:  # dense bitmap path taken (it is, with floor=4)
+        allp = np.concatenate(seen_pairs)
+        offdiag = allp[allp[:, 0] != allp[:, 1]]
+        uniq = np.unique(offdiag, axis=0)
+        # each unordered off-diagonal pair's dot computed exactly once
+        assert len(offdiag) == len(uniq)
