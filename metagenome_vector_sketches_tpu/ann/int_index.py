@@ -35,6 +35,7 @@ pool misses; pooled hits are still exact-math rescored).
 from __future__ import annotations
 
 import functools
+import time
 
 import numpy as np
 import jax
@@ -43,6 +44,27 @@ import jax.numpy as jnp
 from ..ops import pairwise as pw
 from ..utils import compilecache
 compilecache.ensure()
+
+
+# per-stage wall split of the LAST IntExactIndex.search() call (the
+# pairwise engine's LAST_STAGES pattern — VERDICT r4 #1: the 19x gap
+# between the device scan rate and the served wall was unattributed).
+# Keys: prep_ms (host query plane decompose + H2D), dispatch_ms (host time
+# to enqueue the scan+pack programs), device_d2h_ms (wall of the ONE
+# combined-buffer host read = device scan + transfer; the pure-scan
+# marginal is measured separately by bench.py), d2h_bytes, finalize_ms
+# (host exact recombine + rank).
+LAST_SEARCH_STAGES: dict = {}
+
+
+@jax.jit
+def _pack_pool(i, p):
+    """(B, pool) int32 indices + (P, B, pool) int32 partials -> ONE flat
+    int32 buffer, so a single D2H transfer moves everything the host
+    finalize needs (a tunneled chip charges ~45 ms fixed latency per
+    transfer; round 4 read three buffers). The f32 ranking scores are NOT
+    transferred at all — the host reranks from the exact partials."""
+    return jnp.concatenate([i.reshape(-1), p.reshape(-1)])
 
 
 def _inv_norms(ns, C: int, R: int, n: int) -> np.ndarray:
@@ -419,31 +441,55 @@ class IntExactIndex:
                               self.ntotal, pool, recall_target=rt,
                               selector=self.selector)
 
-    def search(self, queries: np.ndarray, k: int):
-        """queries: (B, d) INTEGER vectors (projected query sketches).
-        -> (D (B, k) float32 exact-float64 cosines, I (B, k) int32);
-        missing slots are (0, -1) like FAISS when k > ntotal."""
+    def validate_queries(self, queries: np.ndarray) -> None:
+        """Shared query-range check (search() and the device-resident
+        adaptive frontier in ann/search.py): integer dtype, components
+        within the L-limb range this index was decomposed for."""
         Q = np.asarray(queries)
         if Q.dtype not in (np.int8, np.int16, np.int32, np.int64):
-            raise ValueError("IntExactIndex.search takes integer query "
+            raise ValueError("IntExactIndex takes integer query "
                              f"vectors; got {Q.dtype}")
-        B = Q.shape[0]
-        if self.ntotal == 0:
-            return (np.zeros((B, k), np.float32),
-                    np.full((B, k), -1, np.int32))
         qmax = int(np.max(np.abs(Q.astype(np.int64)))) if Q.size else 0
         if not pw._limbs_ok(max(1, qmax), self.L):
             raise ValueError(
                 f"query |component| {qmax} exceeds the L={self.L} limb "
                 f"range this index was built for (db max_abs="
                 f"{self.max_abs}); use the FlatIPIndex f32 path")
+
+    def search(self, queries: np.ndarray, k: int):
+        """queries: (B, d) INTEGER vectors (projected query sketches).
+        -> (D (B, k) float32 exact-float64 cosines, I (B, k) int32);
+        missing slots are (0, -1) like FAISS when k > ntotal."""
+        Q = np.asarray(queries)
+        B = Q.shape[0]
+        if self.ntotal == 0:
+            if Q.dtype not in (np.int8, np.int16, np.int32, np.int64):
+                raise ValueError("IntExactIndex takes integer query "
+                                 f"vectors; got {Q.dtype}")
+            return (np.zeros((B, k), np.float32),
+                    np.full((B, k), -1, np.int32))
+        self.validate_queries(Q)
         k_eff = min(k, self.ntotal)
         pool = self.pool_for(k_eff)
+        LAST_SEARCH_STAGES.clear()
+        t0 = time.perf_counter()
         qp = jnp.asarray(_host_planes(Q.astype(np.int32), self.L))
+        LAST_SEARCH_STAGES["prep_ms"] = (time.perf_counter() - t0) * 1e3
         rt = self.recall_target if self.mode == "approx" else 1.0
+        t0 = time.perf_counter()
         s, i, p = self._pool(qp, pool, rt)
-        idx = np.asarray(i)                            # (B, pool)
-        parts = np.asarray(p).astype(np.int64)         # (P, B, pool)
+        buf = _pack_pool(i, p)
+        LAST_SEARCH_STAGES["dispatch_ms"] = (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
+        flat = np.asarray(buf)                         # the ONE host read
+        LAST_SEARCH_STAGES["device_d2h_ms"] = \
+            (time.perf_counter() - t0) * 1e3
+        LAST_SEARCH_STAGES["d2h_bytes"] = flat.nbytes
+        t0 = time.perf_counter()
+        W = i.shape[1]                                 # pool_eff
+        Pn = pw.num_planes(self.L)
+        idx = flat[:B * W].reshape(B, W)               # (B, pool)
+        parts = flat[B * W:].reshape(Pn, B, W).astype(np.int64)
         w = pw.plane_weights_int(self.L)
         dots = np.einsum("p,pbk->bk", w, parts)        # exact int64
         qns = np.einsum("ij,ij->i", Q.astype(np.int64), Q.astype(np.int64))
@@ -453,12 +499,18 @@ class IntExactIndex:
             score = np.where(denom > 0, dots / np.maximum(denom, 1e-300),
                              0.0)
         score = np.where(idx >= 0, score, -np.inf)
+        # ONE batched lexsort (query-major, then exact score desc, then
+        # lowest index — the FAISS tie order): invalid entries carry -inf
+        # so each row's valid hits form a PREFIX of its order
+        rows = np.repeat(np.arange(B), W)
+        order = np.lexsort((idx.ravel(), -score.ravel(), rows))
+        cols = (order % W).reshape(B, W)[:, :k_eff]
+        top_i = np.take_along_axis(idx, cols, axis=1)
+        top_s = np.take_along_axis(score, cols, axis=1)
+        valid = top_i >= 0
         D = np.zeros((B, k), dtype=np.float32)
         I = np.full((B, k), -1, dtype=np.int32)
-        for b in range(B):
-            order = np.lexsort((idx[b], -score[b]))[:k_eff]
-            valid = idx[b][order] >= 0
-            take = order[valid]
-            I[b, :len(take)] = idx[b][take]
-            D[b, :len(take)] = score[b][take].astype(np.float32)
+        I[:, :k_eff] = np.where(valid, top_i, -1)
+        D[:, :k_eff] = np.where(valid, top_s, 0.0).astype(np.float32)
+        LAST_SEARCH_STAGES["finalize_ms"] = (time.perf_counter() - t0) * 1e3
         return D, I

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 
 import numpy as np
 import jax
@@ -24,6 +25,13 @@ from .flat_index import FlatIPIndex, normalize_l2
 
 INITIAL_NB_SEARCHES = 50
 MAX_LEVELS = 20  # 50 * 3^19 hard cap (jaccard.py:129)
+
+# per-stage wall split of the LAST adaptive_search call (the pairwise
+# engine's LAST_STAGES pattern): rounds, prep_ms (query staging/upload),
+# dispatch_ms (program enqueue), stats_ms (the per-round 2-scalar-per-query
+# signal D2H), collect_ms (final-level hit compaction D2H + exact host
+# recombine), host_ms (python frontier bookkeeping).
+LAST_ADAPTIVE_STAGES: dict = {}
 
 
 @jax.jit
@@ -43,14 +51,20 @@ def _level_stats(D, min_ip, nb_row):
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
-def _compact_hits(D, I, qn, nn_all, j, nb_row, cap: int):
+def _compact_hits(D, I, qn, nn_all, j, nb_row, cap: int, Pp=None):
     """Conservative device-side hit filter + compaction for queries at their
     FINAL expansion level: keep (row, idx, ip) where the float32 Jaccard
     estimate clears j with slack (the host refilters exactly in float64; the
     slack only prevents false negatives). Only ranks < the query's own nb
     count (rows come from a shared max-nb scan). Returns flat arrays of
     length cap (-1 padding) + the true count (retry with larger cap if
-    count > cap)."""
+    count > cap).
+
+    Pp (optional): (P, B, k) exact int32 plane partials riding the same
+    ranks (the int8 engine's device-resident frontier) — compacted
+    alongside as a fifth output (P, cap), so the host can recombine the
+    emitted hits' ips EXACTLY (float64) instead of trusting the f32 device
+    ranking scores."""
     B, k = D.shape
     nn = nn_all[jnp.maximum(I, 0)]
     qn_b = qn[:, None]
@@ -66,7 +80,22 @@ def _compact_hits(D, I, qn, nn_all, j, nb_row, cap: int):
     out_q = jnp.where(pos >= 0, (safe // k).astype(jnp.int32), -1)
     out_i = jnp.where(pos >= 0, I.reshape(-1)[safe], -1)
     out_ip = jnp.where(pos >= 0, D.reshape(-1)[safe], np.float32(0))
-    return out_q, out_i, out_ip, count
+    if Pp is None:
+        return out_q, out_i, out_ip, count
+    out_p = jnp.where(pos[None, :] >= 0, Pp[:, safe // k, safe % k], 0)
+    return out_q, out_i, out_ip, out_p, count
+
+
+@jax.jit
+def _gather_rows(qp_all, qsel):
+    """(P, B_all, d) query planes -> the round's (P, B_pad, d) batch."""
+    return qp_all[:, qsel, :]
+
+
+@jax.jit
+def _scale_rows(s, invq):
+    """Device pool scores (combined dot * 1/|v|) -> f32 cosines."""
+    return s * invq[:, None]
 
 
 def project_queries(hash_sets, dimension: int):
@@ -92,13 +121,46 @@ def adaptive_search(index, queries_f64: np.ndarray, j: float,
 
     queries_int: the UNSCALED integer query vectors; passing them (with an
     ann.int_index.IntExactIndex) routes each level through the int8-plane
-    exact engine — D values are then float64-exact cosines instead of f32
-    inner products, and the expansion/filter logic is unchanged.
+    exact engine, DEVICE-RESIDENT across rounds (round 5): the query
+    planes upload once, every round runs the pooled scan + level stats on
+    device, and the only per-round D2H is 2 scalars per query (the
+    expansion signals) plus each FINAL-level query's compacted hits with
+    their exact int32 plane partials — the host recombines those into
+    float64-exact cosines. Round 4 routed every round through
+    index.search(): a (B, nb*(1+P)) int32 pool D2H + host finalize + a
+    (B, nb) re-upload per round, which dominated the wall through the
+    tunnel (VERDICT r4 #8: 85 q/s served vs ~3-4k q/s scan at N=1M).
+    Expansion/filter semantics are unchanged; the nb-prefix slicing rides
+    the device's f32 combined-score ranking (certified error ~1e-5 cosine,
+    ops/pairwise.required_slack_abs) exactly as the engine's own pooling
+    does.
     """
+    LAST_ADAPTIVE_STAGES.clear()
+    LAST_ADAPTIVE_STAGES.update(rounds=0, prep_ms=0.0, dispatch_ms=0.0,
+                                stats_ms=0.0, collect_ms=0.0, host_ms=0.0)
+    t_all = time.perf_counter()
+    t0 = t_all
     queries = queries_f64.astype(np.float32)
     query_norms = np.linalg.norm(queries, axis=1)
     queries = normalize_l2(queries)
     min_ip = np.float32(2 * j / (1 + j))
+    int_dev = queries_int is not None and hasattr(index, "_pool") \
+        and index.ntotal > 0
+    if int_dev:
+        from ..ops import pairwise as pw
+        from .int_index import _host_planes
+        Qi = np.ascontiguousarray(queries_int, dtype=np.int32)
+        index.validate_queries(Qi)
+        qp_all = jnp.asarray(_host_planes(Qi, index.L))   # ONE upload
+        qns_int = np.einsum("ij,ij->i", Qi.astype(np.int64),
+                            Qi.astype(np.int64))          # exact |q|^2
+        with np.errstate(divide="ignore"):
+            invq_all = np.where(
+                qns_int > 0, 1.0 / np.sqrt(qns_int.astype(np.float64)),
+                0.0).astype(np.float32)
+        rt_int = index.recall_target if index.mode == "approx" else 1.0
+        w_int = pw.plane_weights_int(index.L)
+    LAST_ADAPTIVE_STAGES["prep_ms"] = (time.perf_counter() - t0) * 1e3
     if db_norms is None:
         # squared-norm recovery from the normalized index rows is not
         # possible; callers should pass vector_norms.txt values. Fallback:
@@ -112,10 +174,25 @@ def adaptive_search(index, queries_f64: np.ndarray, j: float,
     def _pow2(x: int) -> int:
         return 1 << max(0, (x - 1)).bit_length()
 
-    def collect(D_dev, I_dev, qidx, nb_rows):
+    def _exact_ips(gq, out_i, parts):
+        """Host recombine of compacted (P, c) int32 plane partials into
+        float64-exact cosines (dot / sqrt(|v|^2 |q|^2), both norms exact
+        int64) — the same math as IntExactIndex.search's finalize."""
+        dots = np.einsum("p,pc->c", w_int, parts.astype(np.int64))
+        denom = np.sqrt(index.ns[np.maximum(out_i, 0)].astype(np.float64)
+                        * qns_int[gq].astype(np.float64))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(denom > 0, dots / np.maximum(denom, 1e-300),
+                            0.0)
+
+    def collect(D_dev, I_dev, qidx, nb_rows, Pp=None):
         """Device-compact final hits for the rows of qidx (rows padded to a
         power of two with -inf scores so program shapes stay stable).
-        nb_rows: each query's OWN result width within the shared scan."""
+        nb_rows: each query's OWN result width within the shared scan.
+        Pp: (P, rows, k) exact int32 plane partials riding the same ranks
+        (the int8 device-resident route) — emitted hits then carry
+        float64-exact cosines recombined on host instead of the f32
+        device scores."""
         if nn_all is None:
             # no db norms: keep every valid candidate (exact host refilter
             # follows); vectorized collect, still (query, rank) order
@@ -125,9 +202,14 @@ def adaptive_search(index, queries_f64: np.ndarray, j: float,
                 (I >= 0) & (np.arange(I.shape[1])[None, :]
                             < np.asarray(nb_rows)[:, None]))
             qidx_arr = np.asarray(qidx)
-            hits.extend(zip(qidx_arr[rows].tolist(),
-                            I[rows, ranks].tolist(),
-                            D[rows, ranks].astype(float).tolist()))
+            gq = qidx_arr[rows]
+            if Pp is not None:
+                parts = np.asarray(Pp)[:, rows, ranks]       # (P, c)
+                ips = _exact_ips(gq, I[rows, ranks], parts)
+            else:
+                ips = D[rows, ranks].astype(float)
+            hits.extend(zip(gq.tolist(), I[rows, ranks].tolist(),
+                            ips.tolist()))
             return
         R, k = D_dev.shape
         R_pad = _pow2(R)
@@ -136,24 +218,32 @@ def adaptive_search(index, queries_f64: np.ndarray, j: float,
                 [D_dev, jnp.full((R_pad - R, k), -jnp.inf, jnp.float32)])
             I_dev = jnp.concatenate(
                 [I_dev, jnp.full((R_pad - R, k), -1, jnp.int32)])
+            if Pp is not None:
+                Pp = jnp.concatenate(
+                    [Pp, jnp.zeros((Pp.shape[0], R_pad - R, k), Pp.dtype)],
+                    axis=1)
         qn_rows = np.ones(R_pad, dtype=np.float32)
         qn_rows[:R] = query_norms[np.asarray(qidx)].astype(np.float32)
         nb_pad = np.zeros(R_pad, dtype=np.int32)
         nb_pad[:R] = np.asarray(nb_rows, dtype=np.int32)
         cap = 4096
         while True:
-            out_q, out_i, out_ip, count = _compact_hits(
+            outs = _compact_hits(
                 D_dev, I_dev, jnp.asarray(qn_rows), nn_all,
-                np.float32(j), jnp.asarray(nb_pad), cap)
-            count = int(count)
+                np.float32(j), jnp.asarray(nb_pad), cap, Pp)
+            count = int(outs[-1])
             if count <= cap:
                 break
             cap = 1 << (count - 1).bit_length()
-        out_q = np.asarray(out_q[:count])
-        out_i = np.asarray(out_i[:count])
-        out_ip = np.asarray(out_ip[:count])
-        for row, idx, ip in zip(out_q, out_i, out_ip):
-            hits.append((int(qidx[row]), int(idx), float(ip)))
+        out_q = np.asarray(outs[0][:count])
+        out_i = np.asarray(outs[1][:count])
+        gq = np.asarray(qidx)[out_q]
+        if Pp is not None:
+            parts = np.asarray(outs[3][:, :count])            # (P, c)
+            ips = _exact_ips(gq, out_i, parts)
+        else:
+            ips = np.asarray(outs[2][:count]).astype(float)
+        hits.extend(zip(gq.tolist(), out_i.tolist(), ips.tolist()))
 
     # FRONTIER loop (round 4): one shared full-DB scan per round serves
     # every still-expanding query AT ITS OWN LEVEL — the scan runs at the
@@ -179,12 +269,23 @@ def adaptive_search(index, queries_f64: np.ndarray, j: float,
         # would otherwise compile a fresh program per distinct size
         B = len(qidx)
         B_pad = _pow2(B)
-        if queries_int is not None:
+        Pp_round = None
+        LAST_ADAPTIVE_STAGES["rounds"] += 1
+        t0 = time.perf_counter()
+        if int_dev:
+            # device-resident route: gather the round's rows from the
+            # staged query planes ON DEVICE, pool at the round's max nb
+            # (k is already clamped to ntotal), keep scores/indices/plane
+            # partials on device — no per-round pool D2H or re-upload
+            qsel = np.zeros(B_pad, dtype=np.int32)        # pads scan q0
+            qsel[:B] = qidx
+            s_dev, I_dev, Pp_round = index._pool(
+                _gather_rows(qp_all, jnp.asarray(qsel)), int(k), rt_int)
+            D_dev = _scale_rows(s_dev, jnp.asarray(invq_all[qsel]))
+        elif queries_int is not None:
+            # no device pool on this index type: per-round host search
             qb = np.zeros((B_pad, queries_int.shape[1]), dtype=np.int32)
             qb[:B] = queries_int[qidx]
-            # k is already clamped to ntotal (nb can exceed it 3x at the
-            # final level; the engine would otherwise allocate and
-            # round-trip (B_pad, k) zero-padded result arrays)
             D_np, I_np = index.search(qb, k)
             D_dev, I_dev = jnp.asarray(D_np), jnp.asarray(I_np)
         else:
@@ -193,9 +294,14 @@ def adaptive_search(index, queries_f64: np.ndarray, j: float,
             D_dev, I_dev = index.search_device(jnp.asarray(qbatch), k)
         nb_pad = np.ones(B_pad, dtype=np.int32)
         nb_pad[:B] = nb_eff
-        any_above, kth = (np.asarray(a)[:B]
-                          for a in _level_stats(D_dev, min_ip,
-                                                jnp.asarray(nb_pad)))
+        sig = _level_stats(D_dev, min_ip, jnp.asarray(nb_pad))
+        LAST_ADAPTIVE_STAGES["dispatch_ms"] += \
+            (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
+        # the round's ONLY mandatory host sync: 2 scalars per query
+        any_above, kth = (np.asarray(a)[:B] for a in sig)
+        LAST_ADAPTIVE_STAGES["stats_ms"] += (time.perf_counter() - t0) * 1e3
+        t0 = time.perf_counter()
         stopped_rows = []
         frontier = []
         for row, q in enumerate(qidx):
@@ -214,9 +320,15 @@ def adaptive_search(index, queries_f64: np.ndarray, j: float,
                     stopped_rows.append(row)
             else:
                 stopped_rows.append(row)
+        LAST_ADAPTIVE_STAGES["host_ms"] += (time.perf_counter() - t0) * 1e3
         if stopped_rows:
+            t0 = time.perf_counter()
             rows = np.asarray(stopped_rows)
-            collect(D_dev[rows], I_dev[rows], qidx[rows], nb_eff[rows])
+            collect(D_dev[rows], I_dev[rows], qidx[rows], nb_eff[rows],
+                    None if Pp_round is None else Pp_round[:, rows, :])
+            LAST_ADAPTIVE_STAGES["collect_ms"] += \
+                (time.perf_counter() - t0) * 1e3
+    LAST_ADAPTIVE_STAGES["total_ms"] = (time.perf_counter() - t_all) * 1e3
     return hits, query_norms
 
 

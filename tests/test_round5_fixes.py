@@ -397,3 +397,92 @@ def test_dense_mirror_path_oracle_and_single_dot_compute(tmp_path,
         uniq = np.unique(offdiag, axis=0)
         # each unordered off-diagonal pair's dot computed exactly once
         assert len(offdiag) == len(uniq)
+
+
+# -------------------------------- device-resident int8 adaptive frontier
+
+def test_device_frontier_emits_exact_f64_cosines():
+    """Round-5 device-resident int route: emitted hit ips must be the
+    float64-EXACT cosines recombined from the compacted int32 plane
+    partials (round 4 emitted float32 casts of index.search scores) —
+    checked against an independent int64 numpy oracle."""
+    from metagenome_vector_sketches_tpu.ann.search import adaptive_search
+    from metagenome_vector_sketches_tpu.ann.int_index import IntExactIndex
+    rng = np.random.default_rng(70)
+    n, d = 700, 48
+    V = rng.integers(-100, 101, size=(n, d)).astype(np.int32)
+    # plant a near-duplicate cluster; queries are scaled ~sqrt(d) so their
+    # 1/sqrt(d) norms land NEAR the db norms (the reference's mixed-unit
+    # jac filter only passes j when qn ~= nn, jaccard.py:211)
+    base = rng.integers(-100, 101, size=d).astype(np.int32)
+    V[10:40] = base + rng.integers(-2, 3, size=(30, d))
+    V[0, 0] = 800   # widen the db limb range to cover the scaled queries
+    q_int = rng.integers(-700, 701, size=(3, d)).astype(np.int32)
+    q_int[1] = base * 7
+    queries_f64 = q_int.astype(np.float64) / np.sqrt(d)
+    norms = np.sqrt(np.einsum("ij,ij->i", V.astype(np.float64),
+                              V.astype(np.float64)))
+    idx = IntExactIndex(V, chunk_rows=256)
+    hits, _ = adaptive_search(idx, queries_f64, j=0.2, verbose=False,
+                              db_norms=norms, queries_int=q_int)
+    assert hits, "scenario must produce hits"
+    dots = V.astype(np.int64) @ q_int.astype(np.int64).T        # (n, 3)
+    qns = np.einsum("ij,ij->i", q_int.astype(np.int64),
+                    q_int.astype(np.int64))
+    ns = np.einsum("ij,ij->i", V.astype(np.int64), V.astype(np.int64))
+    for q, i, ip in hits:
+        want = dots[i, q] / np.sqrt(ns[i].astype(np.float64)
+                                    * qns[q].astype(np.float64))
+        np.testing.assert_allclose(ip, want, rtol=1e-12, err_msg=(q, i))
+
+
+def test_device_frontier_no_db_norms_branch():
+    """db_norms=None + queries_int: the host-side keep-everything collect
+    must also recombine exact ips from the device partials."""
+    from metagenome_vector_sketches_tpu.ann.search import (
+        adaptive_search, rescore)
+    from metagenome_vector_sketches_tpu.ann.int_index import IntExactIndex
+    rng = np.random.default_rng(71)
+    n, d = 300, 36
+    V = rng.integers(-80, 81, size=(n, d)).astype(np.int32)
+    base = rng.integers(-80, 81, size=d).astype(np.int32)
+    V[5:25] = base + rng.integers(-2, 3, size=(20, d))
+    V[0, 0] = 520   # widen the db limb range to cover the scaled queries
+    q_int = rng.integers(-480, 481, size=(2, d)).astype(np.int32)
+    q_int[0] = base * 6
+    queries_f64 = q_int.astype(np.float64) / np.sqrt(d)
+    norms = np.sqrt(np.einsum("ij,ij->i", V.astype(np.float64),
+                              V.astype(np.float64)))
+    idx = IntExactIndex(V, chunk_rows=128)
+    j = 0.2
+    names = [f"A{i}" for i in range(n)]
+    hits_n, qn_n = adaptive_search(idx, queries_f64, j, verbose=False,
+                                   db_norms=None, queries_int=q_int)
+    hits_d, qn_d = adaptive_search(idx, queries_f64, j, verbose=False,
+                                   db_norms=norms, queries_int=q_int)
+    got = {(q, nid): jac for q, nid, jac
+           in rescore(hits_n, qn_n, names, norms, j, verbose=False)}
+    want = {(q, nid): jac for q, nid, jac
+            in rescore(hits_d, qn_d, names, norms, j, verbose=False)}
+    assert got and got.keys() == want.keys()
+    for key, jac in got.items():
+        np.testing.assert_allclose(jac, want[key], rtol=1e-9)
+
+
+def test_int_search_stage_attribution_populated():
+    """IntExactIndex.search() records the per-stage wall split (VERDICT r4
+    #1): every stage key present, positive, and the D2H byte count equals
+    the ONE packed buffer (B*pool + P*B*pool int32s)."""
+    from metagenome_vector_sketches_tpu.ann import int_index as ii
+    rng = np.random.default_rng(72)
+    n, d = 400, 32
+    V = rng.integers(-200, 201, size=(n, d)).astype(np.int32)
+    idx = ii.IntExactIndex(V, chunk_rows=128)
+    Q = rng.integers(-200, 201, size=(4, d)).astype(np.int32)
+    D, I = idx.search(Q, 10)
+    st = ii.LAST_SEARCH_STAGES
+    for key in ("prep_ms", "dispatch_ms", "device_d2h_ms", "finalize_ms"):
+        assert key in st and st[key] >= 0, (key, st)
+    P = pw.num_planes(idx.L)
+    pool = idx.pool_for(10)
+    assert st["d2h_bytes"] == 4 * (4 * pool + P * 4 * pool)
