@@ -614,6 +614,15 @@ def bench_compile_cache(small: bool = False):
     return out
 
 
+def _load_json_extra(here: str, fname: str, key: str) -> dict:
+    """Embed a persisted measurement file into extras (absent -> {})."""
+    try:
+        with open(os.path.join(here, fname)) as f:
+            return {key: json.load(f)}
+    except (OSError, ValueError):
+        return {}
+
+
 def _backend_is_reachable(timeout_s: int = 240) -> bool:
     """Probe backend init in a SUBPROCESS: the axon plugin's init blocks
     indefinitely when its tunnel is unreachable, which would hang the whole
@@ -696,6 +705,11 @@ def main():
                                                      B=2000),
             "compile_cache": bench_compile_cache(
                 small=jax.default_backend() == "cpu"),
+            # whole-pipeline chip run (hashes in -> neighbors out) is
+            # minutes-long; benchmarks/full_pipeline.py persists its last
+            # result rather than re-running inside every bench
+            **_load_json_extra(here, "FULL_PIPELINE_LAST.json",
+                               "full_pipeline"),
         },
     }
     print(json.dumps(result))
