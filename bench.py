@@ -560,10 +560,13 @@ def bench_compile_cache(small: bool = False):
     from any server-side caching on the remote-compile endpoint. The shape
     (d rotated per wall-clock hour, never 2048) dodges server-side hits on
     production shapes. If utils/compilecache.py works through the endpoint,
-    proc2's dispatch_first_ms collapses toward the warm dispatch while
-    proc3's matches proc1's; if the endpoint bypasses it, proc2 == proc3
-    and the array-job deployment (one process per shard,
-    pairwise_comp_optimized.cpp:938-941) pays a compile per job."""
+    proc2's dispatch_first_ms collapses toward the warm dispatch; if the
+    endpoint bypasses it, proc2 == proc1 and the array-job deployment (one
+    process per shard, pairwise_comp_optimized.cpp:938-941) pays a compile
+    per job. A third MVS_TPU_NO_COMPILE_CACHE control was run once (r5):
+    it exceeded its 900 s timeout while the cached proc took 1.0 s — the
+    cold-on-empty-dir proc1 IS that control by construction, so the bench
+    keeps two procs (each proc costs real tunnel-minutes)."""
     import shutil
     import subprocess
     import tempfile
@@ -582,8 +585,7 @@ def bench_compile_cache(small: bool = False):
     if small:
         base_env["MVS_BENCH_FORCE_CPU"] = "1"
     plans = [("proc1_cold", {"JAX_COMPILATION_CACHE_DIR": cache_dir}),
-             ("proc2_cached", {"JAX_COMPILATION_CACHE_DIR": cache_dir}),
-             ("proc3_nocache", {"MVS_TPU_NO_COMPILE_CACHE": "1"})]
+             ("proc2_cached", {"JAX_COMPILATION_CACHE_DIR": cache_dir})]
     try:
         for tag, extra in plans:
             env = dict(base_env)
@@ -603,12 +605,10 @@ def bench_compile_cache(small: bool = False):
     try:
         f1 = out["proc1_cold"]["dispatch_first_ms"]
         f2 = out["proc2_cached"]["dispatch_first_ms"]
-        f3 = out["proc3_nocache"]["dispatch_first_ms"]
         out["speedup_vs_cold"] = round(f1 / f2, 2)
-        out["speedup_vs_nocache"] = round(f3 / f2, 2)
         # first dispatch also pays H2D + real execution, so the cached
         # floor is not ~0; "hit" = the compile component clearly vanished
-        out["cross_process_hit"] = bool(f2 < 0.5 * max(f1, f3))
+        out["cross_process_hit"] = bool(f2 < 0.5 * f1)
     except (KeyError, TypeError, ZeroDivisionError):
         pass
     return out
