@@ -25,8 +25,13 @@ max_component exceeds 127 and the engine runs the production 2-limb plane
 decomposition, as a large-genome tail does at the reference's N >= 7e5
 deployment scale (query_ava_matrix.cpp:280,598).
 
-Run: python benchmarks/full_pipeline.py [N] [d]
+Run: python benchmarks/full_pipeline.py [N] [d] [workdir]
 Writes /root/repo/FULL_PIPELINE_LAST.json (embedded in bench.py's artifact).
+A `workdir` makes the run resumable through tunnel-phase timeouts: the
+synthesized all_hashes.txt and the projected db folder are reused when
+present (their stage times then read 0 and `resumed` lists what was
+skipped — the pipeline_wall of a resumed run is NOT the quotable number;
+rerun clean for that).
 """
 
 import json
@@ -85,40 +90,74 @@ def main():
     from metagenome_vector_sketches_tpu.query import engine as qe
     from benchmarks.stream_scale import spot_check
 
-    tmp = tempfile.mkdtemp(prefix="mvs_pipeline_", dir="/tmp")
+    workdir = sys.argv[3] if len(sys.argv) > 3 else None
+    tmp = workdir or tempfile.mkdtemp(prefix="mvs_pipeline_", dir="/tmp")
+    if workdir:
+        os.makedirs(tmp, exist_ok=True)
     out = {"N": N, "d": d, "n_groups": n_groups, "n_heavy": n_heavy,
            "base_hashes": BASE_HASHES, "shared": SHARED,
            "heavy_hashes": HEAVY_HASHES}
+    resumed = []
     stages = {}
     try:
         hashes_path = os.path.join(tmp, "all_hashes.txt")
-        t0 = time.perf_counter()
-        synth_hashes_file(hashes_path, N, n_groups, n_heavy)
-        out["harness_gen_s"] = round(time.perf_counter() - t0, 2)
+        db_path = os.path.join(tmp, "db")
+        db_done = os.path.exists(os.path.join(db_path, "dtype.txt"))
+        if os.path.exists(hashes_path):
+            out["harness_gen_s"] = 0.0
+            resumed.append("gen")
+        else:
+            t0 = time.perf_counter()
+            synth_hashes_file(hashes_path, N, n_groups, n_heavy)
+            out["harness_gen_s"] = round(time.perf_counter() - t0, 2)
         out["hashes_file_mb"] = round(os.path.getsize(hashes_path) / 1e6, 1)
 
-        t0 = time.perf_counter()
-        named = parse_hashes_file(hashes_path)
-        stages["parse_s"] = round(time.perf_counter() - t0, 2)
-        names = [n for n, _ in named]
-        sets_ = [h for _, h in named]
-        out["total_hashes"] = int(sum(len(s) for s in sets_))
+        print(f"[pipeline] hashes file ready ({out['hashes_file_mb']} MB, "
+              f"gen {out['harness_gen_s']} s)", file=sys.stderr, flush=True)
 
-        t0 = time.perf_counter()
-        vectors = project_hash_lines(sets_, d, device="device")
-        stages["project_s"] = round(time.perf_counter() - t0, 2)
-        del named, sets_
+        if db_done:
+            # resume: the db folder already holds the projected vectors
+            stages["parse_s"] = stages["project_s"] = \
+                stages["db_write_s"] = 0.0
+            resumed += ["parse", "project", "db_write"]
+            db = DbFolder(db_path)
+            assert db.num_vectors == N and db.dimension == d, \
+                f"stale workdir db: {db.num_vectors}x{db.dimension}"
+            names, _ = db.names_and_norms()
+            names = list(names)
+        else:
+            t0 = time.perf_counter()
+            named = parse_hashes_file(hashes_path)
+            stages["parse_s"] = round(time.perf_counter() - t0, 2)
+            print(f"[pipeline] parse {stages['parse_s']} s",
+                  file=sys.stderr, flush=True)
+            names = [n for n, _ in named]
+            sets_ = [h for _, h in named]
+            out["total_hashes"] = int(sum(len(s) for s in sets_))
 
-        t0 = time.perf_counter()
-        db = DbFolder.write(os.path.join(tmp, "db"), names, vectors, d)
-        stages["db_write_s"] = round(time.perf_counter() - t0, 2)
-        out["max_component"] = int(np.abs(vectors).max())
-        del vectors
+            t0 = time.perf_counter()
+            vectors = project_hash_lines(sets_, d, device="device")
+            stages["project_s"] = round(time.perf_counter() - t0, 2)
+            print(f"[pipeline] project {stages['project_s']} s",
+                  file=sys.stderr, flush=True)
+            del named, sets_
+
+            t0 = time.perf_counter()
+            db = DbFolder.write(db_path, names, vectors, d)
+            stages["db_write_s"] = round(time.perf_counter() - t0, 2)
+            print(f"[pipeline] db_write {stages['db_write_s']} s",
+                  file=sys.stderr, flush=True)
+            out["max_component"] = int(np.abs(vectors).max())
+            del vectors
 
         mat = os.path.join(tmp, "mat")
+        if os.path.exists(mat):
+            shutil.rmtree(mat)  # partial shard from a timed-out run
         t0 = time.perf_counter()
         mc.compute_pairwise_shard(db.path, mat, verbose=False)
         stages["pairwise_s"] = round(time.perf_counter() - t0, 2)
+        print(f"[pipeline] pairwise {stages['pairwise_s']} s",
+              file=sys.stderr, flush=True)
         out["pairwise_stages"] = {
             k: (round(v, 3) if isinstance(v, float) else v)
             for k, v in mc.LAST_STAGES.items()
@@ -149,13 +188,16 @@ def main():
         out["validate_s"] = round(time.perf_counter() - t0, 2)
 
         out["stages"] = stages
+        if resumed:
+            out["resumed"] = resumed
         out["pipeline_wall_s"] = round(sum(stages.values()), 2)
         out["ok"] = bool(out["spot_check_ok"]
                          and out["planted_recall"] == 1.0)
         import jax
         out["backend"] = jax.default_backend()
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        if not workdir:
+            shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(out))
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(here, "FULL_PIPELINE_LAST.json"), "w") as f:
