@@ -772,24 +772,28 @@ def _compute_device_resident_two_phase(db, norms_sq, total, begin_row,
     if ops is not None:
         # mesh path: every device sweeps its own slice of the tile grid
         counts = ops.sweep_counts(planes, thr_j, coords, tile)
-    # fastest VMEM-safe sweep block on v5e at d=2048: operand blocks are
-    # 2 * P * block * d int8, so P=3 (int32 dbs) fits at 512 and P=6 (int16)
-    # at 256; larger plane counts fall back to the XLA scan
+    # fastest VMEM-safe sweep blocks on v5e at d=2048: the column side is
+    # the STREAMED operand (roofline intensity = 2*row_block int8-ops per
+    # fetched byte), so when P=6 (int16 dbs) forbids the symmetric 512
+    # pair (2*6.3 MB double-buffered), keep the streamed side at 256 and
+    # grow the ROW block to 512 — same streamed-DMA budget, double the
+    # intensity; larger plane counts fall back to the XLA scan
     P = planes.shape[0]
-    PALLAS_BLOCK = 512 if P <= 3 else 256 if P <= 6 else 0
-    if counts is None and PALLAS_BLOCK and tile % PALLAS_BLOCK == 0 and d % 128 == 0:
+    BI, BJ = (512, 512) if P <= 3 else (512, 256) if P <= 6 else (0, 0)
+    if counts is None and BI and tile % BI == 0 and tile % BJ == 0 \
+            and d % 128 == 0:
         # Pallas fast path (TPU): one kernel over the whole grid at the
         # speed-of-light block size, sub-block counts aggregated up to the
         # (coarser) extraction tile
         from ..ops import pallas_pairwise as pp
         if pp.available():
             try:
-                m = tile // PALLAS_BLOCK
+                mi, mj = tile // BI, tile // BJ
                 c_sub = np.asarray(pp.pallas_sweep_counts(
-                    planes, thr_j, row_t0=rt0 * m, row_t1=rt1 * m,
-                    block=PALLAS_BLOCK))                  # (R*m, nt*m)
-                counts = c_sub.reshape(rt1 - rt0, m, nt, m).sum(axis=(1, 3)) \
-                    .reshape(-1)
+                    planes, thr_j, row_t0=rt0 * mi, row_t1=rt1 * mi,
+                    block=BI, block_j=BJ))                # (R*mi, nt*mj)
+                counts = c_sub.reshape(rt1 - rt0, mi, nt, mj) \
+                    .sum(axis=(1, 3)).reshape(-1)
             except Exception:
                 counts = None  # e.g. VMEM overflow -> XLA path
     if counts is None:

@@ -27,6 +27,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _make_kernel(P: int, d: int, block: int):
     from .pairwise import SLACK_ABS, SLACK_REL, limbs_from_planes, plane_weights
     weights = plane_weights(limbs_from_planes(P))
+    del block  # the kernel body is shape-polymorphic over (block_i, block_j)
 
     def kernel(vi_ref, vj_ref, thr_i_ref, thr_j_ref, count_ref):
         def mm(x, y):
@@ -49,9 +50,11 @@ def _make_kernel(P: int, d: int, block: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("row_t0", "row_t1", "block", "interpret"))
+                   static_argnames=("row_t0", "row_t1", "block", "block_j",
+                                    "interpret"))
 def pallas_sweep_counts(planes, thr, row_t0: int = 0, row_t1: int | None = None,
-                        block: int = 512, interpret: bool = False):
+                        block: int = 512, block_j: int | None = None,
+                        interpret: bool = False):
     """Survivor counts for row tiles [row_t0, row_t1) x ALL column tiles.
 
     Args:
@@ -60,36 +63,49 @@ def pallas_sweep_counts(planes, thr, row_t0: int = 0, row_t1: int | None = None,
         be a multiple of 128 and the (P, block, d) blocks of both operand
         sides must fit VMEM (block=512 at d=2048, P=3 uses ~6 MB).
       thr: (Npad,) float32 squared norms.
+      block_j: column-tile edge (defaults to `block`). The column side is
+        the STREAMED operand (its DMA re-fires every grid step, the row
+        block only when the row index changes), so the roofline intensity
+        of the sweep is 2*block int8-ops per fetched byte; when VMEM cannot
+        hold the symmetric pair at a compute-bound block (the P=6 int16
+        schedule: 2*6.3 MB double-buffered at block 512), keep block_j at
+        256 and GROW the row block instead — same VMEM high-water, double
+        the intensity.
 
-    Returns: (row_t1-row_t0, Npad//block) int32 per-tile survivor counts.
+    Returns: (row_t1-row_t0, Npad//block_j) int32 per-tile survivor counts
+      for (block x block_j) tiles.
     """
     P, npad, d = planes.shape
+    if block_j is None:
+        block_j = block
     # loud failure, not a silently truncated grid: npad // block would
     # drop the tail rows/columns from the sweep entirely
-    assert npad % block == 0, \
-        f"Npad={npad} must be a multiple of block={block}"
-    nt = npad // block
+    assert npad % block == 0 and npad % block_j == 0, \
+        f"Npad={npad} must be a multiple of block={block} and {block_j}"
+    nti = npad // block
+    ntj = npad // block_j
     if row_t1 is None:
-        row_t1 = nt
-    assert 0 <= row_t0 <= row_t1 <= nt, (row_t0, row_t1, nt)
+        row_t1 = nti
+    assert 0 <= row_t0 <= row_t1 <= nti, (row_t0, row_t1, nti)
     kernel = _make_kernel(P, d, block)
-    grid = (row_t1 - row_t0, nt)
+    grid = (row_t1 - row_t0, ntj)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((P, block, d), lambda i, j: (0, i + row_t0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, block, d), lambda i, j: (0, j, 0),
+            pl.BlockSpec((P, block_j, d), lambda i, j: (0, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block), lambda i, j: (0, i + row_t0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block), lambda i, j: (0, j),
+            pl.BlockSpec((1, block_j), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, 8, 128), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((row_t1 - row_t0, nt, 8, 128), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((row_t1 - row_t0, ntj, 8, 128),
+                                       jnp.int32),
         interpret=interpret,
     )(planes, planes, thr.reshape(1, -1), thr.reshape(1, -1))
     return out[:, :, 0, 0]

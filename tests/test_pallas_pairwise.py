@@ -28,6 +28,28 @@ def test_pallas_matches_xla_full_grid():
     np.testing.assert_array_equal(got, want)
 
 
+def test_pallas_asymmetric_blocks():
+    """block != block_j (the P=6 VMEM escape, r5): per-(block x block_j)
+    tile counts must equal the vertical sums of the symmetric XLA tiles,
+    for an int16-range db that actually produces 6 planes."""
+    limbs, thr = _setup(64, 128, max_abs=30000)
+    assert limbs.shape[0] == 6
+    sub = 16
+    nt = 64 // sub
+    coords = jnp.asarray(np.array([(r, c) for r in range(nt) for c in range(nt)],
+                                  dtype=np.int32))
+    ref = np.asarray(pw.sweep_counts(limbs, thr, coords, sub)).reshape(nt, nt)
+    got = np.asarray(pallas_sweep_counts(limbs, thr, block=32, block_j=16,
+                                         interpret=True))
+    np.testing.assert_array_equal(got, ref.reshape(nt // 2, 2, nt).sum(axis=1))
+    # row-windowed asymmetric grid (the engine's begin/end_row slicing)
+    got2 = np.asarray(pallas_sweep_counts(limbs, thr, row_t0=1, row_t1=2,
+                                          block=32, block_j=16,
+                                          interpret=True))
+    np.testing.assert_array_equal(
+        got2, ref.reshape(nt // 2, 2, nt).sum(axis=1)[1:2])
+
+
 def test_pallas_row_range():
     limbs, thr = _setup(64, 128)
     block, nt = 16, 4
