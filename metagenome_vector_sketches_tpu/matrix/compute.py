@@ -339,11 +339,14 @@ def _stage_database(db, norms_sq, total, tile, L, d, max_abs, ops=None):
         _acc("stage_h2d_ms", t0)
         planes = pw.planes_update(planes, limbs_dev, jnp.int32(s))
     thr = np.full(npad, np.float32(1e30), dtype=np.float32)
-    # widen the sweep threshold when the certified float32 combine error of
-    # this (L, max_abs, d) exceeds the fixed SLACK_ABS (extreme int16-range
-    # components) — guarantees no false-negative pair vs the exact re-filter
-    margin = pw.extra_threshold_margin(L, max_abs, d)
-    thr[:total] = (norms_sq - margin).astype(np.float32)
+    # signed slack adjustment (ops.pairwise.threshold_adjust): widens when
+    # the certified float32 combine error exceeds the fixed SLACK_ABS
+    # (extreme int16-range components — no false-negative pair vs the
+    # exact re-filter), TIGHTENS toward the certified requirement for
+    # small-norm databases where a fixed 16 would pass a constant fraction
+    # of all pairs to the exact finalize (r5)
+    adj = pw.threshold_adjust(L, max_abs, d)
+    thr[:total] = (norms_sq + adj).astype(np.float32)
     thr_dev = jnp.asarray(thr)
     if ops is not None:
         planes, thr_dev = ops.replicate(planes, thr_dev)
@@ -1064,8 +1067,8 @@ def _streaming_stager(db, norms_sq, total, d, L, max_abs):
     vec_dt = np.int16 if db.dtype == "int16" else np.int32
     Vmm = np.memmap(os.path.join(db.path, "vectors.bin"), dtype=vec_dt,
                     mode="r", shape=(total, d))
-    margin = pw.extra_threshold_margin(L, max_abs, d)
-    thr_f32 = (norms_sq - margin).astype(np.float32)
+    adj = pw.threshold_adjust(L, max_abs, d)  # same rule as _stage_database
+    thr_f32 = (norms_sq + adj).astype(np.float32)
 
     def stage(start, end, n_rows):
         """Load rows [start, end) padded to n_rows (thr=+inf padding)."""

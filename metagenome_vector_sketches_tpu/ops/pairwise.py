@@ -281,6 +281,27 @@ def extra_threshold_margin(L: int, max_abs: int, d: int) -> float:
     return max(0.0, (need - float(SLACK_ABS)) * 10.0)
 
 
+def threshold_adjust(L: int, max_abs: int, d: int) -> float:
+    """Signed per-entry squared-norm adjustment unifying BOTH slack
+    directions. The sweep compares approx/d > 0.05*(ti+tj)*REL - SLACK_ABS;
+    adding a to every entry shifts (ti+tj) by 2a, i.e. removes
+    0.05*2a = 0.1*a of absolute slack. Negative return = widen, exactly
+    extra_threshold_margin's case (certified float32 combine error above
+    SLACK_ABS); positive = TIGHTEN the effective slack down to
+    max(1.0, 2*required_slack_abs). Tightening matters for small-norm
+    databases: accessions with only a few hundred FracMinHash hashes have
+    ns ~ |hashes|, so a fixed absolute slack of 16 can eat most of the
+    0.05*(ni+nj) retention threshold and pass a CONSTANT FRACTION of all
+    pairs to the exact finalize (measured r5: 1.54e9 sweep candidates for
+    441k true pairs at N=262,144 with 256-hash accessions — a 3,400 s
+    host finalize for a 4 s extraction). The exact re-filter makes this a
+    pure-cost bug, never a correctness one; the tightened slack keeps a
+    >= 2x certified margin against false negatives."""
+    need = required_slack_abs(L, max_abs, d)
+    target = max(1.0, min(2.0 * need, max(float(SLACK_ABS), need)))
+    return (float(SLACK_ABS) - target) * 10.0
+
+
 def sweep_counts_impl(planes, thr, tile_coords, tile: int):
     """Survivor counts for a batch of (row_tile, col_tile) coordinate pairs,
     as ONE jitted lax.scan — the whole-sweep hot loop. Nothing bigger than a

@@ -486,3 +486,50 @@ def test_int_search_stage_attribution_populated():
     P = pw.num_planes(idx.L)
     pool = idx.pool_for(10)
     assert st["d2h_bytes"] == 4 * (4 * pool + P * 4 * pool)
+
+
+# ------------------------------------------- small-norm sweep slack (r5)
+
+def test_small_norm_db_sweep_slack_tightened(tmp_path):
+    """A db of small-norm accessions (few hashes -> ns ~ tens, as real
+    small-genome FracMinHash sketches have) must NOT pass a constant
+    fraction of all pairs to the exact finalize: the fixed SLACK_ABS=16
+    would swamp the 0.05*(ni+nj) threshold (measured r5: 1.54e9
+    candidates for 441k pairs at N=262k). threshold_adjust tightens the
+    effective slack to the certified requirement; output stays
+    oracle-equal."""
+    rng = np.random.default_rng(81)
+    n, d = 256, 1024
+    # ns ~ 91: retention threshold 0.05*(ni+nj) ~ 9.1 < old effective
+    # slack 16 -> EVERY pair passed the old sweep; with the tightened
+    # slack (~1.0) the pass bound sits ~2.8 sigma above the background
+    # dot fluctuation (sigma = ns/sqrt(d) ~ 2.8), so the sweep is
+    # selective again
+    V = rng.integers(-16, 17, size=(n, d)).astype(np.int32)
+    V[3] = V[2]                                   # one genuine pair
+    db = DbFolder.write(str(tmp_path / "db"), [f"S{i}" for i in range(n)],
+                        V, d)
+    mc.compute_pairwise_shard(db.path, str(tmp_path / "m"), tile_rows=64,
+                              verbose=False)
+    _, norms = db.names_and_norms()
+    assert_matrix_matches_oracle(V, norms * norms, d, str(tmp_path / "m"), n)
+    # with the tightened slack the sweep is selective again: well under
+    # 10% of the n*n candidate volume (the old fixed slack passed 100%)
+    assert mc.LAST_STAGES["candidates"] < 0.1 * n * n, \
+        mc.LAST_STAGES["candidates"]
+
+
+def test_threshold_adjust_directions():
+    """threshold_adjust must equal -extra_threshold_margin when widening
+    and keep >= 2x certified slack (floor 1.0) when tightening."""
+    for L, max_abs in ((1, 5), (2, 1200), (3, 32767)):
+        need = pw.required_slack_abs(L, max_abs, 256)
+        adj = pw.threshold_adjust(L, max_abs, 256)
+        margin = pw.extra_threshold_margin(L, max_abs, 256)
+        if need >= float(pw.SLACK_ABS):
+            assert adj == -margin
+        else:
+            eff = float(pw.SLACK_ABS) - 0.1 * adj
+            assert eff >= max(1.0, min(2.0 * need, float(pw.SLACK_ABS))) \
+                - 1e-9
+            assert eff >= need
