@@ -169,10 +169,13 @@ def bench_pairwise(N=8192, d=2048, tile=2048, max_abs=1500, reps=10):
 
     from metagenome_vector_sketches_tpu.ops import pallas_pairwise as pp
     if pp.available():
-        # (1024, 512) doubles the streamed-operand roofline intensity at
-        # the same per-step DMA (see the i16 note below); symmetric 512
-        # is the r3 configuration, kept as the comparison point
-        for block, block_j in ((1024, 512), (512, 512)):
+        # Symmetric 512 is already comfortably compute-bound for P=3
+        # (streamed-operand intensity 2*block = 1024 int8-ops/byte vs the
+        # v5e ridge ~482); every attempt to grow the row block past
+        # 512*P/3 rows ((1024, 512), (1024, 256)) failed Mosaic compile
+        # (measured r5: remote HTTP 500), so the block sweep is P=6-only
+        # (see the i16 section).
+        for block, block_j in ((512, 512),):
             try:
                 p_sweep, _, p_total, p_band, p_amort = measure(
                     lambda acc: pallas_seeded(limbs, thr, acc, block=block,
@@ -227,13 +230,13 @@ def bench_pairwise(N=8192, d=2048, tile=2048, max_abs=1500, reps=10):
         extras["i16_sweep_band"] = b16
         extras["i16_mfu"] = mfu16
         # Pallas path for the 6-plane int16 schedule (VERDICT r3 item 7 /
-        # r4 item 5). Symmetric block=256 is the VMEM limit for the P=6
-        # operand pair, but it sits AT the v5e roofline ridge (streamed-
-        # operand intensity 2*block ~ 512 int8-ops/byte vs peak/BW ~ 481)
-        # — the measured 0.82 MFU cap. The asymmetric (512, 256) config
-        # doubles the intensity at the same streamed-side VMEM budget.
+        # r4 item 5). Symmetric block=256 sits AT the v5e roofline ridge
+        # (streamed-operand intensity 2*block ~ 512 int8-ops/byte vs
+        # peak/BW ~ 482) — the r4 0.82 MFU cap. The asymmetric (512, 128)
+        # config doubles the intensity inside the same ~8 MB VMEM operand
+        # budget ((512, 256) at P=6 is 9.4 MB and does not compile).
         if pp.available():
-            for blk16, blkj16 in ((512, 256), (256, 256)):
+            for blk16, blkj16 in ((512, 128), (256, 256)):
                 try:
                     ps16, _, pt16, pb16, pa16 = measure(
                         lambda acc: pallas_seeded(p16, t16, acc,

@@ -775,14 +775,17 @@ def _compute_device_resident_two_phase(db, norms_sq, total, begin_row,
     if ops is not None:
         # mesh path: every device sweeps its own slice of the tile grid
         counts = ops.sweep_counts(planes, thr_j, coords, tile)
-    # fastest VMEM-safe sweep blocks on v5e at d=2048: the column side is
-    # the STREAMED operand (roofline intensity = 2*row_block int8-ops per
-    # fetched byte), so when P=6 (int16 dbs) forbids the symmetric 512
-    # pair (2*6.3 MB double-buffered), keep the streamed side at 256 and
-    # grow the ROW block to 512 — same streamed-DMA budget, double the
-    # intensity; larger plane counts fall back to the XLA scan
+    # fastest VMEM-safe sweep blocks on v5e at d=2048 (measured r5, by
+    # compile-success bisect: Mosaic accepts P*(BI+BJ)*d <= ~8 MB AND
+    # BI <= 512 — P=3 (1024, 256) fails despite fitting the byte bound).
+    # The column side is the STREAMED operand (roofline intensity =
+    # 2*BI int8-ops per fetched byte, ridge ~482): P=3 runs the
+    # comfortably compute-bound symmetric 512; P=6 (int16 dbs) cannot,
+    # and (512, 128) doubles the r4 symmetric-256 intensity to 1024 at
+    # the same VMEM high-water — measured 0.82 -> 0.91 MFU. Larger plane
+    # counts fall back to the XLA scan.
     P = planes.shape[0]
-    BI, BJ = (512, 512) if P <= 3 else (512, 256) if P <= 6 else (0, 0)
+    BI, BJ = (512, 512) if P <= 3 else (512, 128) if P <= 6 else (0, 0)
     if counts is None and BI and tile % BI == 0 and tile % BJ == 0 \
             and d % 128 == 0:
         # Pallas fast path (TPU): one kernel over the whole grid at the
