@@ -41,13 +41,16 @@ def _level_stats(D, min_ip, nb_row):
     within the query's OWN nb prefix, the query's nb-th score). nb_row is
     per-query because one round batches queries at DIFFERENT expansion
     levels (the shared scan runs at the max nb; a larger-k search returns
-    the same ordered prefix, so each query's own-level signals are exact)."""
+    the same ordered prefix, so each query's own-level signals are exact).
+    Packed into ONE (2, B) float32 array so the round costs a single D2H
+    round trip (measured r5: two separate small reads cost ~0.2 s/round
+    through the tunnel — the dominant term of the warm adaptive wall)."""
     k = D.shape[1]
     in_range = jnp.arange(k, dtype=jnp.int32)[None, :] < nb_row[:, None]
     any_above = jnp.any((D > min_ip) & in_range, axis=1)
     kth = jnp.take_along_axis(
         D, jnp.maximum(nb_row[:, None] - 1, 0), axis=1)[:, 0]
-    return any_above, kth
+    return jnp.stack([any_above.astype(jnp.float32), kth])
 
 
 @functools.partial(jax.jit, static_argnames=("cap",))
@@ -56,15 +59,18 @@ def _compact_hits(D, I, qn, nn_all, j, nb_row, cap: int, Pp=None):
     FINAL expansion level: keep (row, idx, ip) where the float32 Jaccard
     estimate clears j with slack (the host refilters exactly in float64; the
     slack only prevents false negatives). Only ranks < the query's own nb
-    count (rows come from a shared max-nb scan). Returns flat arrays of
-    length cap (-1 padding) + the true count (retry with larger cap if
-    count > cap).
+    count (rows come from a shared max-nb scan).
+
+    Returns ONE packed int32 buffer
+    [count, q(cap), idx(cap), ip_bits(cap), partials(P*cap)...] so the
+    collect sync is a single D2H round trip (r5 — separate reads cost a
+    tunnel RTT each); ip rides as a float32 bitcast. Retry with a larger
+    cap if buf[0] > cap.
 
     Pp (optional): (P, B, k) exact int32 plane partials riding the same
     ranks (the int8 engine's device-resident frontier) — compacted
-    alongside as a fifth output (P, cap), so the host can recombine the
-    emitted hits' ips EXACTLY (float64) instead of trusting the f32 device
-    ranking scores."""
+    alongside, so the host can recombine the emitted hits' ips EXACTLY
+    (float64) instead of trusting the f32 device ranking scores."""
     B, k = D.shape
     nn = nn_all[jnp.maximum(I, 0)]
     qn_b = qn[:, None]
@@ -80,10 +86,12 @@ def _compact_hits(D, I, qn, nn_all, j, nb_row, cap: int, Pp=None):
     out_q = jnp.where(pos >= 0, (safe // k).astype(jnp.int32), -1)
     out_i = jnp.where(pos >= 0, I.reshape(-1)[safe], -1)
     out_ip = jnp.where(pos >= 0, D.reshape(-1)[safe], np.float32(0))
-    if Pp is None:
-        return out_q, out_i, out_ip, count
-    out_p = jnp.where(pos[None, :] >= 0, Pp[:, safe // k, safe % k], 0)
-    return out_q, out_i, out_ip, out_p, count
+    ip_bits = jax.lax.bitcast_convert_type(out_ip, jnp.int32)
+    parts = [count[None], out_q, out_i, ip_bits]
+    if Pp is not None:
+        out_p = jnp.where(pos[None, :] >= 0, Pp[:, safe // k, safe % k], 0)
+        parts.append(out_p.reshape(-1))
+    return jnp.concatenate(parts)
 
 
 @jax.jit
@@ -228,21 +236,22 @@ def adaptive_search(index, queries_f64: np.ndarray, j: float,
         nb_pad[:R] = np.asarray(nb_rows, dtype=np.int32)
         cap = 4096
         while True:
-            outs = _compact_hits(
+            buf = np.asarray(_compact_hits(          # the ONE host read
                 D_dev, I_dev, jnp.asarray(qn_rows), nn_all,
-                np.float32(j), jnp.asarray(nb_pad), cap, Pp)
-            count = int(outs[-1])
+                np.float32(j), jnp.asarray(nb_pad), cap, Pp))
+            count = int(buf[0])
             if count <= cap:
                 break
             cap = 1 << (count - 1).bit_length()
-        out_q = np.asarray(outs[0][:count])
-        out_i = np.asarray(outs[1][:count])
+        out_q = buf[1:1 + count]
+        out_i = buf[1 + cap:1 + cap + count]
         gq = np.asarray(qidx)[out_q]
         if Pp is not None:
-            parts = np.asarray(outs[3][:, :count])            # (P, c)
+            parts = buf[1 + 3 * cap:].reshape(-1, cap)[:, :count]  # (P, c)
             ips = _exact_ips(gq, out_i, parts)
         else:
-            ips = np.asarray(outs[2][:count]).astype(float)
+            ips = buf[1 + 2 * cap:1 + 2 * cap + count] \
+                .view(np.float32).astype(float)
         hits.extend(zip(gq.tolist(), out_i.tolist(), ips.tolist()))
 
     # FRONTIER loop (round 4): one shared full-DB scan per round serves
@@ -298,8 +307,10 @@ def adaptive_search(index, queries_f64: np.ndarray, j: float,
         LAST_ADAPTIVE_STAGES["dispatch_ms"] += \
             (time.perf_counter() - t0) * 1e3
         t0 = time.perf_counter()
-        # the round's ONLY mandatory host sync: 2 scalars per query
-        any_above, kth = (np.asarray(a)[:B] for a in sig)
+        # the round's ONLY mandatory host sync: ONE packed (2, B) read
+        sig_h = np.asarray(sig)
+        any_above = sig_h[0, :B] > 0
+        kth = sig_h[1, :B]
         LAST_ADAPTIVE_STAGES["stats_ms"] += (time.perf_counter() - t0) * 1e3
         t0 = time.perf_counter()
         stopped_rows = []
