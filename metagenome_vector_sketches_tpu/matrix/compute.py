@@ -323,20 +323,47 @@ def _stage_database(db, norms_sq, total, tile, L, d, max_abs, ops=None):
     planes = jnp.zeros((P, npad, d), dtype=jnp.int8)  # pad rows stay zero
     chunk = max(tile, (STAGE_CHUNK_BYTES // max(1, L * d)) // tile * tile)
     true_max = 0
+    # limb decomposition placement: the HOST path uploads L int8 B/element
+    # (best when the link is the bottleneck — a ~30 MB/s tunnel); the
+    # DEVICE path uploads the raw int32 (4 B/element) and decomposes on
+    # chip (best on a locally-attached host, where PCIe moves GB/s and the
+    # single-core numpy decompose at ~30 MB/s would dominate staging —
+    # measured r5: 66 s of a 96 s stage at N=262k). "auto" decides from
+    # the FIRST chunk's measured H2D rate (> 500 MB/s => local => device).
+    mode = os.environ.get("MVS_STAGE_DECOMPOSE", "auto")
     for s in range(0, total, chunk):
         e = min(s + chunk, total)
         t0 = time.perf_counter()
         block = np.asarray(V[s:e]).astype(np.int32)
         true_max = max(true_max, _check_stale_max(block, max_abs, db))
-        # upload int8 limbs (L B/element) instead of int32 (4 B/element)
-        limbs = pw.decompose_limbs_host(block, L)
-        _acc("stage_decompose_ms", t0)
-        t0 = time.perf_counter()
-        limbs_dev = jnp.asarray(limbs)
-        jb = getattr(limbs_dev, "block_until_ready", None)
-        if jb:
-            jb()              # honest H2D attribution (one RT per chunk)
-        _acc("stage_h2d_ms", t0)
+        if mode == "device":
+            _acc("stage_decompose_ms", t0)
+            t0 = time.perf_counter()
+            block_dev = jnp.asarray(block)
+            jb = getattr(block_dev, "block_until_ready", None)
+            if jb:
+                jb()          # honest H2D attribution (one RT per chunk)
+            h2d_bytes = block.nbytes
+            _acc("stage_h2d_ms", t0)
+            t0 = time.perf_counter()
+            limbs_dev = pw.decompose_limbs_device(block_dev, L)
+            _acc("stage_decompose_ms", t0)
+        else:
+            # upload int8 limbs (L B/element) instead of int32 (4 B/el)
+            limbs = pw.decompose_limbs_host(block, L)
+            _acc("stage_decompose_ms", t0)
+            t0 = time.perf_counter()
+            limbs_dev = jnp.asarray(limbs)
+            jb = getattr(limbs_dev, "block_until_ready", None)
+            if jb:
+                jb()          # honest H2D attribution (one RT per chunk)
+            h2d_bytes = limbs.nbytes
+            _acc("stage_h2d_ms", t0)
+        if mode == "auto":
+            rate = h2d_bytes / max(1e-9, LAST_STAGES.get("stage_h2d_ms",
+                                                         1.0) / 1e3)
+            mode = "device" if rate > 500e6 else "host"
+        LAST_STAGES["stage_decompose_mode"] = mode
         planes = pw.planes_update(planes, limbs_dev, jnp.int32(s))
     thr = np.full(npad, np.float32(1e30), dtype=np.float32)
     # signed slack adjustment (ops.pairwise.threshold_adjust): widens when

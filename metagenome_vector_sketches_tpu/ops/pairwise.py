@@ -186,6 +186,12 @@ def decompose_limbs_host(v: np.ndarray, L: int) -> np.ndarray:
 
 planes_from_limbs = jax.jit(karatsuba_planes)
 
+# jitted limbs-only decomposition for the device staging path (one program
+# per chunk instead of eager per-op dispatches — those cost a round trip
+# each on remote/tunneled backends)
+decompose_limbs_device = functools.partial(
+    jax.jit, static_argnames=("L",))(decompose_limbs)
+
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def planes_update(buf, limbs, start):

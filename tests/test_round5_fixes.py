@@ -533,3 +533,26 @@ def test_threshold_adjust_directions():
             assert eff >= max(1.0, min(2.0 * need, float(pw.SLACK_ABS))) \
                 - 1e-9
             assert eff >= need
+
+
+# ------------------------------------------- staging decompose placement (r5)
+
+def test_stage_decompose_device_mode_oracle(tmp_path, monkeypatch):
+    """MVS_STAGE_DECOMPOSE=device stages raw int32 chunks and decomposes
+    limbs ON DEVICE (the locally-attached-host fast path: PCIe moves GB/s
+    while single-core numpy decompose runs ~30 MB/s); output must stay
+    oracle-equal and the mode must be recorded."""
+    monkeypatch.setenv("MVS_STAGE_DECOMPOSE", "device")
+    mc._RESIDENT.clear()   # staged planes are keyed by db, not by mode
+    rng = np.random.default_rng(82)
+    n, d = 192, 128
+    V = rng.integers(-1200, 1201, size=(n, d)).astype(np.int32)
+    V[5] = V[4]
+    db = DbFolder.write(str(tmp_path / "db"), [f"S{i}" for i in range(n)],
+                        V, d)
+    mc.compute_pairwise_shard(db.path, str(tmp_path / "m"), tile_rows=64,
+                              verbose=False)
+    assert mc.LAST_STAGES["stage_decompose_mode"] == "device"
+    _, norms = db.names_and_norms()
+    assert_matrix_matches_oracle(V, norms * norms, d, str(tmp_path / "m"), n)
+    mc._RESIDENT.clear()
