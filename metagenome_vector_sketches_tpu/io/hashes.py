@@ -18,8 +18,60 @@ def write_hashes_file(path: str, named_sets) -> None:
             f.write(f"{name}: {body}\n" if body else f"{name}:\n")
 
 
+def _parse_hashes_native(path: str):
+    """One-pass C tokenizer (native/sigscan.cpp hashparse_read) -> the same
+    (name, sorted unique uint64 array) list, or None to fall back (missing
+    lib, stale .so without the symbol, malformed token, IO error). At
+    production scale the Python tokenizer is the ingest bottleneck
+    (~34 s for 7e7 hashes at N=262k; the native pass is a few seconds)."""
+    import ctypes
+    from . import sigzip
+    lib = sigzip._load_native()
+    if lib is None or not hasattr(lib, "hashparse_read"):
+        return None
+    if not getattr(lib, "_hashparse_configured", False):
+        lib.hashparse_read.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_char)),
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.hashparse_read.restype = ctypes.c_int64
+        lib.hashparse_free.argtypes = [ctypes.c_void_p]
+        lib._hashparse_configured = True
+    hp = ctypes.POINTER(ctypes.c_uint64)()
+    op = ctypes.POINTER(ctypes.c_int64)()
+    np_ = ctypes.POINTER(ctypes.c_char)()
+    nlen = ctypes.c_int64()
+    n = lib.hashparse_read(path.encode(), ctypes.byref(hp),
+                           ctypes.byref(op), ctypes.byref(np_),
+                           ctypes.byref(nlen))
+    if n < 0:
+        return None
+    try:
+        offsets = np.ctypeslib.as_array(op, shape=(n + 1,)).copy()
+        total = int(offsets[-1])
+        hashes = np.ctypeslib.as_array(hp, shape=(max(1, total),)) \
+            [:total].copy()
+        names_blob = ctypes.string_at(np_, nlen.value).decode()
+    finally:
+        lib.hashparse_free(hp)
+        lib.hashparse_free(op)
+        lib.hashparse_free(np_)
+    names = names_blob.split("\n")[:n] if n else []
+    out = []
+    for i, name in enumerate(names):
+        seg = hashes[offsets[i]:offsets[i + 1]]
+        out.append((name, np.unique(seg) if len(seg)
+                    else np.empty(0, dtype=np.uint64)))
+    return out
+
+
 def parse_hashes_file(path: str) -> list[tuple[str, np.ndarray]]:
     """Parse into (name, sorted unique uint64 array) pairs, line order kept."""
+    native = _parse_hashes_native(path)
+    if native is not None:
+        return native
     out = []
     with open(path) as f:
         for line in f:

@@ -40,7 +40,10 @@ def _load_native():
         if _lib is not None or _lib_failed:
             return _lib
         try:
-            if not os.path.exists(_LIB_PATH):
+            src = os.path.join(_NATIVE_DIR, "sigscan.cpp")
+            if not os.path.exists(_LIB_PATH) or (
+                    os.path.exists(src)
+                    and os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)):
                 subprocess.run(["make", "-s", "-C", _NATIVE_DIR],
                                check=True, capture_output=True, timeout=120)
             lib = ctypes.CDLL(_LIB_PATH)

@@ -272,4 +272,89 @@ int64_t sigscan_read(const char* path, int ksize, uint64_t** out) try {
 
 void sigscan_free(uint64_t* p) { std::free(p); }
 
+// ---------------------------------------------------------------------------
+// all_hashes.txt parser ("<name>: h1 h2 ...\n" per line — the writer/parser
+// contract of io/hashes.py; reference format project_everything.cpp:222-281).
+// One pass over the whole file: *hashes_out gets every value concatenated,
+// *offsets_out the (nlines+1) int64 prefix, *names_out the '\n'-joined
+// names. Per-line sort/dedup stays in numpy (np.unique on small arrays is
+// not the bottleneck; tokenizing 7e7 decimal u64s in Python is). Lines
+// without ':' are skipped, like the Python parser; any malformed numeric
+// token returns an error so the caller falls back to the Python path.
+int64_t hashparse_read(const char* path, uint64_t** hashes_out,
+                       int64_t** offsets_out, char** names_out,
+                       int64_t* names_len_out) try {
+    *hashes_out = nullptr;
+    *offsets_out = nullptr;
+    *names_out = nullptr;
+    *names_len_out = 0;
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return -1;
+    std::fseek(f, 0, SEEK_END);
+    long fsz = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
+    if (fsz < 0) { std::fclose(f); return -2; }
+    std::vector<char> data((size_t)fsz + 1);
+    if (fsz && std::fread(data.data(), 1, (size_t)fsz, f) != (size_t)fsz) {
+        std::fclose(f);
+        return -3;
+    }
+    std::fclose(f);
+    data[(size_t)fsz] = '\n';                 // sentinel terminator
+    std::vector<uint64_t> hashes;
+    std::vector<int64_t> offsets;
+    std::string names;
+    hashes.reserve((size_t)fsz / 20);         // ~20 B per decimal u64 token
+    offsets.push_back(0);
+    const char* p = data.data();
+    const char* end = p + fsz;
+    while (p < end) {
+        const char* nl = (const char*)std::memchr(p, '\n', (size_t)(end - p));
+        if (!nl) nl = end;
+        const char* colon = (const char*)std::memchr(p, ':', (size_t)(nl - p));
+        if (!colon) { p = nl + 1; continue; } // no ':' -> skip, like Python
+        names.append(p, (size_t)(colon - p));
+        names.push_back('\n');
+        const char* q = colon + 1;
+        while (q < nl) {
+            while (q < nl && (*q == ' ' || *q == '\t' || *q == '\r')) q++;
+            if (q >= nl) break;
+            if (*q < '0' || *q > '9') return -4;   // malformed token
+            uint64_t v = 0;
+            while (q < nl && *q >= '0' && *q <= '9') {
+                uint64_t nv = v * 10 + (uint64_t)(*q - '0');
+                if (nv < v) return -5;             // u64 overflow
+                v = nv;
+                q++;
+            }
+            if (q < nl && *q != ' ' && *q != '\t' && *q != '\r') return -4;
+            hashes.push_back(v);
+        }
+        offsets.push_back((int64_t)hashes.size());
+        p = nl + 1;
+    }
+    uint64_t* h = (uint64_t*)std::malloc(
+        sizeof(uint64_t) * (hashes.empty() ? 1 : hashes.size()));
+    int64_t* o = (int64_t*)std::malloc(sizeof(int64_t) * offsets.size());
+    char* nm = (char*)std::malloc(names.empty() ? 1 : names.size());
+    if (!h || !o || !nm) {
+        std::free(h);
+        std::free(o);
+        std::free(nm);
+        return -6;
+    }
+    std::memcpy(h, hashes.data(), sizeof(uint64_t) * hashes.size());
+    std::memcpy(o, offsets.data(), sizeof(int64_t) * offsets.size());
+    std::memcpy(nm, names.data(), names.size());
+    *hashes_out = h;
+    *offsets_out = o;
+    *names_out = nm;
+    *names_len_out = (int64_t)names.size();
+    return (int64_t)offsets.size() - 1;       // number of parsed lines
+} catch (...) {
+    return -7;
+}
+
+void hashparse_free(void* p) { std::free(p); }
+
 }  // extern "C"

@@ -160,3 +160,37 @@ def test_dbfolder_names_cache_invalidated_on_rewrite(tmp_path):
         f.write("C 1.0\n")
     names3, _ = db.names_and_norms()
     assert names3 == ["C"]
+
+
+def test_native_hashes_parser_equivalence(tmp_path):
+    """hashparse_read (native/sigscan.cpp) must produce exactly the Python
+    parser's output — names verbatim, per-line sorted-unique u64 arrays,
+    colon-less lines skipped — and fall back (None) on malformed tokens."""
+    import numpy as np
+    from metagenome_vector_sketches_tpu.io import hashes as H
+    p = tmp_path / "h.txt"
+    p.write_text("acc one: 5 3 3 18446744073709551615 0\n"
+                 "no colon line\n"
+                 "empty:\n"
+                 "ws:   7   8  \n"
+                 "crlf: 9 10\r\n")
+    nat = H._parse_hashes_native(str(p))
+    if nat is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    pure = []
+    with open(p) as f:
+        for line in f:
+            colon = line.find(":")
+            if colon < 0:
+                continue
+            rest = line[colon + 1:].split()
+            pure.append((line[:colon],
+                         np.unique(np.array(rest, dtype=np.uint64)) if rest
+                         else np.empty(0, dtype=np.uint64)))
+    assert len(nat) == len(pure) == 4
+    for (n1, a1), (n2, a2) in zip(nat, pure):
+        assert n1 == n2
+        assert np.array_equal(a1, a2)
+    p.write_text("bad: 12x3\n")
+    assert H._parse_hashes_native(str(p)) is None
