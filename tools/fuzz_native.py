@@ -145,6 +145,55 @@ def fuzz_sigscan(lib_path, trials, rng, tmp):
     return cnt
 
 
+def fuzz_hashparse(lib_path, trials, rng, tmp):
+    """Corrupted all_hashes.txt against hashparse_read (r5): random bytes,
+    truncations, colon/newline storms, giant tokens — must error or parse,
+    never fault; successful outputs are freed."""
+    lib = ctypes.CDLL(lib_path)
+    lib.hashparse_read.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_char)),
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.hashparse_read.restype = ctypes.c_int64
+    lib.hashparse_free.argtypes = [ctypes.c_void_p]
+    base = b"acc1: 123 456 789\nacc2: 5 5 5\nnocolon\nempty:\n"
+    path = os.path.join(tmp, "fuzz_hashes.txt")
+    cnt = 0
+    for trial in range(trials):
+        mode = trial % 4
+        if mode == 0:
+            bb = bytearray(base * int(rng.integers(1, 50)))
+            for _ in range(int(rng.integers(1, 16))):
+                bb[int(rng.integers(0, len(bb)))] = int(rng.integers(0, 256))
+            data = bytes(bb)
+        elif mode == 1:
+            data = bytes(rng.integers(0, 256, size=int(
+                rng.integers(0, 4096)), dtype=np.uint8))
+        elif mode == 2:
+            data = bytes(rng.choice(
+                list(b": \n\r\t0123456789x"),
+                size=int(rng.integers(0, 4096))).astype(np.uint8))
+        else:
+            data = b"a: " + b"9" * int(rng.integers(1, 64)) + b"\n"
+        with open(path, "wb") as f:
+            f.write(data)
+        hp = ctypes.POINTER(ctypes.c_uint64)()
+        op = ctypes.POINTER(ctypes.c_int64)()
+        nmp = ctypes.POINTER(ctypes.c_char)()
+        nlen = ctypes.c_int64()
+        n = lib.hashparse_read(path.encode(), ctypes.byref(hp),
+                               ctypes.byref(op), ctypes.byref(nmp),
+                               ctypes.byref(nlen))
+        if n >= 0:
+            lib.hashparse_free(hp)
+            lib.hashparse_free(op)
+            lib.hashparse_free(nmp)
+        cnt += 1
+    return cnt
+
+
 def _corrupt(rng, b: bytes) -> bytes:
     """Byte flips / truncation / header-targeted corruption of a blob."""
     bb = bytearray(b)
@@ -252,9 +301,11 @@ def main():
         c2 = fuzz_sigscan(libs["sigscan"], trials * 2, rng, tmp)
         c3 = fuzz_bitscompat(trials, rng)
         c4 = fuzz_faissio(trials * 4, rng, tmp)
+        c5 = fuzz_hashparse(libs["sigscan"], trials * 2, rng, tmp)
         print(f"FUZZ OK: {c1} corrupted codec decodes, "
               f"{c2} corrupted zips, {c3} corrupted bits-layout decodes, "
-              f"{c4} corrupted FAISS headers — zero memory faults")
+              f"{c4} corrupted FAISS headers, "
+              f"{c5} corrupted hashes files — zero memory faults")
 
 
 if __name__ == "__main__":
