@@ -294,63 +294,94 @@ int64_t hashparse_read(const char* path, uint64_t** hashes_out,
     long fsz = std::ftell(f);
     std::fseek(f, 0, SEEK_SET);
     if (fsz < 0) { std::fclose(f); return -2; }
-    std::vector<char> data((size_t)fsz + 1);
-    if (fsz && std::fread(data.data(), 1, (size_t)fsz, f) != (size_t)fsz) {
+    // TWO passes over raw malloc'd buffers, no std::vector growth: on this
+    // class of VM, interleaving parse work with incremental first-touch /
+    // realloc of growing vectors measured ~30 MB/s; counting first and
+    // storing into exactly-sized outputs runs ~150 MB/s end to end.
+    char* data = (char*)std::malloc((size_t)fsz + 1);
+    if (!data) { std::fclose(f); return -6; }
+    if (fsz && std::fread(data, 1, (size_t)fsz, f) != (size_t)fsz) {
+        std::free(data);
         std::fclose(f);
         return -3;
     }
     std::fclose(f);
     data[(size_t)fsz] = '\n';                 // sentinel terminator
-    std::vector<uint64_t> hashes;
-    std::vector<int64_t> offsets;
-    std::string names;
-    hashes.reserve((size_t)fsz / 20);         // ~20 B per decimal u64 token
-    offsets.push_back(0);
-    const char* p = data.data();
-    const char* end = p + fsz;
-    while (p < end) {
+    const char* end = data + fsz;
+    // pass 1: count colon-lines, digit runs (>= stored tokens), name bytes
+    size_t lines = 0, tokens = 0, nbytes = 0;
+    for (const char* p = data; p < end; ) {
+        const char* nl = (const char*)std::memchr(p, '\n', (size_t)(end - p));
+        if (!nl) nl = end;
+        const char* colon = (const char*)std::memchr(p, ':', (size_t)(nl - p));
+        if (colon) {
+            lines++;
+            nbytes += (size_t)(colon - p) + 1;
+            int in_tok = 0;
+            for (const char* q = colon + 1; q < nl; q++) {
+                int dig = (*q >= '0' && *q <= '9');
+                tokens += (size_t)(dig & ~in_tok);
+                in_tok = dig;
+            }
+        }
+        p = nl + 1;
+    }
+    uint64_t* h = (uint64_t*)std::malloc(sizeof(uint64_t) *
+                                         (tokens ? tokens : 1));
+    int64_t* o = (int64_t*)std::malloc(sizeof(int64_t) * (lines + 1));
+    char* nm = (char*)std::malloc(nbytes ? nbytes : 1);
+    if (!h || !o || !nm) {
+        std::free(h); std::free(o); std::free(nm); std::free(data);
+        return -6;
+    }
+    uint64_t* hw = h;
+    int64_t* ow = o;
+    char* nw = nm;
+    *ow++ = 0;
+    // pass 2: parse + store. Every stored token is one digit run, so the
+    // pass-1 sizes bound the writes; malformed input errors before any
+    // out-of-contract store.
+    int err = 0;
+    for (const char* p = data; p < end && !err; ) {
         const char* nl = (const char*)std::memchr(p, '\n', (size_t)(end - p));
         if (!nl) nl = end;
         const char* colon = (const char*)std::memchr(p, ':', (size_t)(nl - p));
         if (!colon) { p = nl + 1; continue; } // no ':' -> skip, like Python
-        names.append(p, (size_t)(colon - p));
-        names.push_back('\n');
+        std::memcpy(nw, p, (size_t)(colon - p));
+        nw += colon - p;
+        *nw++ = '\n';
         const char* q = colon + 1;
         while (q < nl) {
             while (q < nl && (*q == ' ' || *q == '\t' || *q == '\r')) q++;
             if (q >= nl) break;
-            if (*q < '0' || *q > '9') return -4;   // malformed token
+            if (*q < '0' || *q > '9') { err = -4; break; }  // malformed
             uint64_t v = 0;
             while (q < nl && *q >= '0' && *q <= '9') {
                 uint64_t nv = v * 10 + (uint64_t)(*q - '0');
-                if (nv < v) return -5;             // u64 overflow
+                if (nv < v) { err = -5; break; }            // u64 overflow
                 v = nv;
                 q++;
             }
-            if (q < nl && *q != ' ' && *q != '\t' && *q != '\r') return -4;
-            hashes.push_back(v);
+            if (err) break;
+            if (q < nl && *q != ' ' && *q != '\t' && *q != '\r') {
+                err = -4;
+                break;
+            }
+            *hw++ = v;
         }
-        offsets.push_back((int64_t)hashes.size());
+        *ow++ = (int64_t)(hw - h);
         p = nl + 1;
     }
-    uint64_t* h = (uint64_t*)std::malloc(
-        sizeof(uint64_t) * (hashes.empty() ? 1 : hashes.size()));
-    int64_t* o = (int64_t*)std::malloc(sizeof(int64_t) * offsets.size());
-    char* nm = (char*)std::malloc(names.empty() ? 1 : names.size());
-    if (!h || !o || !nm) {
-        std::free(h);
-        std::free(o);
-        std::free(nm);
-        return -6;
+    std::free(data);
+    if (err) {
+        std::free(h); std::free(o); std::free(nm);
+        return err;
     }
-    std::memcpy(h, hashes.data(), sizeof(uint64_t) * hashes.size());
-    std::memcpy(o, offsets.data(), sizeof(int64_t) * offsets.size());
-    std::memcpy(nm, names.data(), names.size());
     *hashes_out = h;
     *offsets_out = o;
     *names_out = nm;
-    *names_len_out = (int64_t)names.size();
-    return (int64_t)offsets.size() - 1;       // number of parsed lines
+    *names_len_out = (int64_t)nbytes;
+    return (int64_t)lines;
 } catch (...) {
     return -7;
 }
