@@ -218,7 +218,7 @@ def main():
     # dispatch + a 2-scalar/query stats sync) are ~batch-independent, so
     # served q/s grows with the batch until the scan itself dominates —
     # serve-32 is the reference's interactive shape, serve-B the bulk one
-    for nq_i in (32, min(B, len(qi))):
+    for nq_i in dict.fromkeys((32, min(B, len(qi)))):
         walls_a = []
         for _ in range(3):
             t0 = time.perf_counter()

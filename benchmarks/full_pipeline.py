@@ -108,7 +108,10 @@ def main():
             resumed.append("gen")
         else:
             t0 = time.perf_counter()
-            synth_hashes_file(hashes_path, N, n_groups, n_heavy)
+            # write-then-rename: a run killed mid-synth must NOT leave a
+            # truncated file that a workdir resume would treat as complete
+            synth_hashes_file(hashes_path + ".tmp", N, n_groups, n_heavy)
+            os.rename(hashes_path + ".tmp", hashes_path)
             out["harness_gen_s"] = round(time.perf_counter() - t0, 2)
         out["hashes_file_mb"] = round(os.path.getsize(hashes_path) / 1e6, 1)
 

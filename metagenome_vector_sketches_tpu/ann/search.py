@@ -138,10 +138,15 @@ def adaptive_search(index, queries_f64: np.ndarray, j: float,
     index.search(): a (B, nb*(1+P)) int32 pool D2H + host finalize + a
     (B, nb) re-upload per round, which dominated the wall through the
     tunnel (VERDICT r4 #8: 85 q/s served vs ~3-4k q/s scan at N=1M).
-    Expansion/filter semantics are unchanged; the nb-prefix slicing rides
-    the device's f32 combined-score ranking (certified error ~1e-5 cosine,
-    ops/pairwise.required_slack_abs) exactly as the engine's own pooling
-    does.
+    Expansion/filter semantics are unchanged. Candidate-boundary note:
+    the nb-prefix slicing rides the device's f32 combined-score ranking
+    (certified error ~1e-5 cosine, ops/pairwise.required_slack_abs), so a
+    neighbor whose exact score sits within that error of the nb-th score
+    can fall just outside the prefix — the same f32-ranked-candidate
+    semantics as the reference, whose expansion consumes FAISS's f32
+    scores directly (jaccard.py:127-170). IntExactIndex.search() keeps
+    its wider pool_for(k) margin for the serving API; EMITTED hits here
+    still carry float64-exact recombined scores either way.
     """
     LAST_ADAPTIVE_STAGES.clear()
     LAST_ADAPTIVE_STAGES.update(rounds=0, prep_ms=0.0, dispatch_ms=0.0,

@@ -486,8 +486,11 @@ def _compute_device_resident_fused(db, norms_sq, total, begin_row, end_row,
         need = fwd | rev
         if LAST_STAGES:
             # incoming = device-extracted volume; the count=False emissions
-            # below add themselves to 'emitted' only
+            # below add themselves to 'emitted' only. Out-of-shard drops
+            # still count as emitted so 'emitted' means the same thing
+            # here as in the two-phase finalizer (r5 review)
             LAST_STAGES["candidates"] += len(r_glob)
+            LAST_STAGES["emitted"] += int((~need).sum())
         if not need.any():
             _acc("finalize_ms", t0)
             return
@@ -813,6 +816,13 @@ def _compute_device_resident_two_phase(db, norms_sq, total, begin_row,
     # counts fall back to the XLA scan.
     P = planes.shape[0]
     BI, BJ = (512, 512) if P <= 3 else (512, 128) if P <= 6 else (0, 0)
+    # smaller extraction tiles still get the pallas sweep at the largest
+    # dividing blocks (the r4 symmetric-256 class) instead of silently
+    # dropping to the XLA scan
+    while BI > 128 and tile % BI:
+        BI //= 2
+    while BJ > 128 and (tile % BJ or BJ > BI):
+        BJ //= 2
     if counts is None and BI and tile % BI == 0 and tile % BJ == 0 \
             and d % 128 == 0:
         # Pallas fast path (TPU): one kernel over the whole grid at the

@@ -357,9 +357,13 @@ int64_t hashparse_read(const char* path, uint64_t** hashes_out,
             if (*q < '0' || *q > '9') { err = -4; break; }  // malformed
             uint64_t v = 0;
             while (q < nl && *q >= '0' && *q <= '9') {
-                uint64_t nv = v * 10 + (uint64_t)(*q - '0');
-                if (nv < v) { err = -5; break; }            // u64 overflow
-                v = nv;
+                uint64_t dig = (uint64_t)(*q - '0');
+                // full overflow predicate: (nv < v) alone misses wraps
+                // that land ABOVE v (e.g. "46116860184273879040" wraps to
+                // 2^63 > 2^62) and would silently store a corrupt hash
+                // instead of falling back to the loud Python parser
+                if (v > (UINT64_MAX - dig) / 10) { err = -5; break; }
+                v = v * 10 + dig;
                 q++;
             }
             if (err) break;

@@ -194,3 +194,17 @@ def test_native_hashes_parser_equivalence(tmp_path):
         assert np.array_equal(a1, a2)
     p.write_text("bad: 12x3\n")
     assert H._parse_hashes_native(str(p)) is None
+
+
+def test_native_hashes_parser_overflow_above_v(tmp_path):
+    """u64 wraps that land ABOVE the running value (the (nv < v)-blind
+    class, r5 review: '46116860184273879040' wraps to 2^63 > 2^62) must
+    error out to the Python fallback, not store a corrupt hash."""
+    from metagenome_vector_sketches_tpu.io import hashes as H
+    p = tmp_path / "h.txt"
+    p.write_text("x: 46116860184273879040\n")
+    assert H._parse_hashes_native(str(p)) is None
+    p.write_text("x: 18446744073709551615\n")     # UINT64_MAX parses
+    r = H._parse_hashes_native(str(p))
+    if r is not None:
+        assert r[0][1].tolist() == [2**64 - 1]

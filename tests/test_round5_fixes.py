@@ -556,3 +556,39 @@ def test_stage_decompose_device_mode_oracle(tmp_path, monkeypatch):
     _, norms = db.names_and_norms()
     assert_matrix_matches_oracle(V, norms * norms, d, str(tmp_path / "m"), n)
     mc._RESIDENT.clear()
+
+
+def test_compact_hits_packed_buffer_and_overflow_count():
+    """_compact_hits returns ONE packed int32 buffer
+    [count, q, idx, ip_bits, partials...]; when the true hit count exceeds
+    cap, buf[0] still reports it (the caller's retry signal) while the
+    arrays carry the first cap hits."""
+    from metagenome_vector_sketches_tpu.ann.search import _compact_hits
+    B, k, P = 4, 8, 3
+    rng = np.random.default_rng(7)
+    D = jnp.asarray(np.full((B, k), 0.9, np.float32))
+    I = jnp.asarray(np.arange(B * k, dtype=np.int32).reshape(B, k))
+    qn = jnp.asarray(np.full(B, 10.0, np.float32))
+    nn = jnp.asarray(np.full(B * k, 10.0, np.float32))
+    nb = jnp.asarray(np.full(B, k, np.int32))
+    Pp = jnp.asarray(rng.integers(-1000, 1000, size=(P, B, k)).astype(np.int32))
+    cap = 8                       # true count = B*k = 32 > cap
+    buf = np.asarray(_compact_hits(D, I, qn, nn, np.float32(0.1), nb, cap,
+                                   Pp))
+    assert buf.shape == (1 + (3 + P) * cap,)
+    assert buf[0] == B * k        # overflow reported
+    np.testing.assert_array_equal(buf[1 + cap:1 + cap + cap],
+                                  np.arange(cap))          # first cap idx
+    # ip bits round-trip to the scores
+    ips = buf[1 + 2 * cap:1 + 3 * cap].view(np.float32)
+    np.testing.assert_allclose(ips, 0.9, rtol=1e-6)
+    # partials ride in (P, cap) layout matching the kept ranks
+    parts = buf[1 + 3 * cap:].reshape(P, cap)
+    np.testing.assert_array_equal(parts, np.asarray(Pp).reshape(P, -1)[:, :cap])
+    # retry at the reported size returns the complete set
+    cap2 = 32
+    buf2 = np.asarray(_compact_hits(D, I, qn, nn, np.float32(0.1), nb, cap2,
+                                    Pp))
+    assert buf2[0] == B * k
+    np.testing.assert_array_equal(buf2[1 + cap2:1 + 2 * cap2],
+                                  np.arange(B * k))
