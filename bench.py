@@ -124,7 +124,7 @@ def bench_pairwise(N=8192, d=2048, tile=2048, max_abs=1500, reps=10):
         total = int(np.asarray(acc).sum())
         return time.perf_counter() - t0, total
 
-    def measure(step, shape, rounds=5):
+    def measure(step, shape, rounds=5, chain_reps=None):
         """Median-of-`rounds` marginal sweep time, with the drift band
         (min/median/max of the per-round marginals) and the amortized
         per-iteration wall (best n-chain / n — an upper bound on true
@@ -132,7 +132,10 @@ def bench_pairwise(N=8192, d=2048, tile=2048, max_abs=1500, reps=10):
         marginal is a DIFFERENCE of two walls, so taking the minimum would
         select rounds where the 1-iteration chain hit a latency spike (it
         can even go negative); the median is robust against spikes in
-        either term."""
+        either term. chain_reps lengthens the chains (halving marginal
+        noise per doubling — used for the ~5 ms i16 sweeps whose roll-to-
+        roll medians drifted +-15% at reps=10)."""
+        n_reps = chain_reps or reps
         chained(step, shape, 1)  # warm-up / compile
         d_probe, _ = chained(step, shape, 1)
         if d_probe > 2.0:
@@ -140,18 +143,19 @@ def bench_pairwise(N=8192, d=2048, tile=2048, max_abs=1500, reps=10):
             # ~3.6 s): keep the bench wall bounded; the amortized lower
             # bound stays valid, the marginal band will show the noise
             rounds = 2
+            n_reps = reps
         margins, d1s, dns, total = [], [], [], 0
         for _ in range(rounds):
             d1, _ = chained(step, shape, 1)
-            dn, total = chained(step, shape, reps)
-            margins.append((dn - d1) / (reps - 1))
+            dn, total = chained(step, shape, n_reps)
+            margins.append((dn - d1) / (n_reps - 1))
             d1s.append(d1)
             dns.append(dn)
         good = [m for m in margins if m > 0] or margins
         band = {"min_ms": round(min(good) * 1e3, 3),
                 "median_ms": round(float(np.median(good)) * 1e3, 3),
                 "max_ms": round(max(good) * 1e3, 3)}
-        amortized = min(dns) / reps
+        amortized = min(dns) / n_reps
         return float(np.median(good)), float(np.median(d1s)), total, \
             band, amortized
 
@@ -223,7 +227,7 @@ def bench_pairwise(N=8192, d=2048, tile=2048, max_abs=1500, reps=10):
                                     for c in range(nt16)], dtype=np.int32))
         s16, _, t16_total, b16, a16 = measure(
             lambda acc: sweep_seeded(p16, t16, c16, acc, tile=tile),
-            (nt16 * nt16,))
+            (nt16 * nt16,), chain_reps=25)
         ops16 = 2.0 * pw.num_planes(L16) * float(N16) * N16 * d
         s16, mfu16 = _mfu_fields(ops16, s16, a16)
         extras["i16_sweep_ms"] = round(s16 * 1e3, 3)
@@ -242,7 +246,7 @@ def bench_pairwise(N=8192, d=2048, tile=2048, max_abs=1500, reps=10):
                         lambda acc: pallas_seeded(p16, t16, acc,
                                                   block=blk16,
                                                   block_j=blkj16),
-                        ((N16 // blk16) * (N16 // blkj16),))
+                        ((N16 // blk16) * (N16 // blkj16),), chain_reps=25)
                     ps16, pmfu16 = _mfu_fields(ops16, ps16, pa16)
                     tag = f"i16_pallas_{blk16}x{blkj16}"
                     extras[tag] = {"sweep_ms": round(ps16 * 1e3, 3),
