@@ -66,11 +66,18 @@ def compute_norms(vectors: np.ndarray, dimension: int) -> np.ndarray:
     """Reference norm pipeline: cast int32 -> float32, divide by float32
     sqrt(d), take the float32 L2 norm (src/project_everything.cpp:327-329),
     reproducing Eigen's packet reduction order bit-for-bit so the printed
-    6-significant-digit text matches exactly."""
+    6-significant-digit text matches exactly. Chunked over rows (the
+    reduction is per-row, so chunking is bit-invariant) — full-array f32
+    temporaries doubled a 2 GB db's footprint during write (r5)."""
     sq = np.sqrt(np.float32(dimension)).astype(np.float32)
-    vf = vectors.astype(np.float32) / sq
-    sumsq = _eigen_f32_sum(vf * vf)
-    return np.sqrt(sumsq).astype(np.float32).astype(np.float64)
+    n = len(vectors)
+    out = np.empty(n, dtype=np.float64)
+    step = max(1, (64 << 20) // max(1, vectors.shape[1] * 4))
+    for s in range(0, n, step):
+        vf = vectors[s:s + step].astype(np.float32) / sq
+        sumsq = _eigen_f32_sum(vf * vf)
+        out[s:s + step] = np.sqrt(sumsq).astype(np.float32)
+    return out
 
 
 def cap_int16(vectors: np.ndarray) -> np.ndarray:
@@ -120,12 +127,16 @@ class DbFolder:
         with open(os.path.join(path, "vector_norms.txt"), "w") as f:
             for name, norm in zip(names, norms):
                 f.write(f"{name} {_format_norm(float(norm))}\n")
-        data = cap_int16(vectors) if use_int16 else vectors.astype(np.int32)
+        data = cap_int16(vectors) if use_int16 else \
+            vectors.astype(np.int32, copy=False)
         data.tofile(os.path.join(path, "vectors.bin"))
         # extension to the reference's file-config pattern: the global max
         # |component|, persisted so the pairwise engine's limb-count pick
-        # needs no extra vectors.bin pass per shard job
-        max_abs = int(np.max(np.abs(data.astype(np.int64)))) if data.size else 0
+        # needs no extra vectors.bin pass per shard job. Two reductions,
+        # no temporaries: abs(int64(data)) materialized 8.6 GB of copies
+        # at N=262k and dominated the db-write wall (r5)
+        max_abs = max(int(data.max(initial=0)),
+                      -int(data.min(initial=0))) if data.size else 0
         with open(os.path.join(path, "max_component.txt"), "w") as f:
             f.write(f"{max_abs}\n")
         return DbFolder(path)
