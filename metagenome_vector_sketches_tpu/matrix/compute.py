@@ -292,7 +292,9 @@ def _check_stale_max(block, max_abs, db) -> int:
     streaming stagers so the two paths cannot drift (ADVICE r2)."""
     if block.size == 0:
         return 0
-    true_max = int(np.max(np.abs(block.astype(np.int64))))
+    # two reductions instead of abs(int64(...)) — the temporaries tripled
+    # each staging chunk's memory traffic (r5); python ints cannot wrap
+    true_max = max(int(block.max()), -int(block.min()))
     if true_max > max_abs:
         raise ValueError(
             f"max_component.txt ({max_abs}) is stale: vectors.bin holds "
@@ -334,7 +336,9 @@ def _stage_database(db, norms_sq, total, tile, L, d, max_abs, ops=None):
     for s in range(0, total, chunk):
         e = min(s + chunk, total)
         t0 = time.perf_counter()
-        block = np.asarray(V[s:e]).astype(np.int32)
+        # one copy: asarray(...).astype(int32) made TWO 2 GB passes for
+        # int32 memmaps (r5)
+        block = np.asarray(V[s:e], dtype=np.int32)
         true_max = max(true_max, _check_stale_max(block, max_abs, db))
         if mode == "device":
             _acc("stage_decompose_ms", t0)
