@@ -203,7 +203,11 @@ def main():
             shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps(out))
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(here, "FULL_PIPELINE_LAST.json"), "w") as f:
+    # resumed runs skip stages (their wall is not the quotable number) —
+    # never let one clobber a clean run's persisted artifact
+    fname = "FULL_PIPELINE_LAST.json" if not resumed else \
+        "FULL_PIPELINE_RESUMED.json"
+    with open(os.path.join(here, fname), "w") as f:
         json.dump(out, f)
 
 
